@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline parity queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full compute, no
+collect-to-driver bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_revenue_by_segment",
+    "j2_nation_region_rollup",
+    "w1_survivor_dedupe",
+    "w2_duplicate_counts",
+    "u1_union_all_by_source",
+    "f8_canonical_id_derivation",
+    "v5_json_path_agg",
+    "v7_posexplode_outer_lines",
+    "m1_merge_upsert",
+    "stream_tumbling_window_agg",
+    "s7_s8_lineage_rownum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from financial_data_ingestion_canonical_snowflake_spark.session import get_spark
+
+    spark = get_spark(app_name="fincan-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    names = [n for n in HEADLINE if n in qmap] + [
+        n for n in sorted(qmap) if n.startswith("ns_") and n not in HEADLINE
+    ]
+
+    # Warm the JVM/codegen once on the smallest SF so per-query times measure
+    # the plan, not first-run JIT.
+    warm = qmap[names[0]](spark, "/root/testdata/sf0.001")
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,710 @@
+"""Core relational parity queries (SURVEY.md §2.2-2.10).
+
+One named query per operator group of the reference inventory, expressed
+Spark-first over the driver's TPC-H-ish tables, each with a DuckDB oracle.
+Names carry the inventory ID they certify (e.g. ``w1_`` = ROW_NUMBER
+survivorship dedupe from sql/03_transform_headers.sql:79).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import scalars
+from ..operators.dedupe import latest_by_key, rank_duplicates
+from ..operators.merge import merge_upsert
+from .registry import parity, table
+
+DEC18 = "decimal(18,6)"
+DEC38 = "decimal(38,6)"
+
+
+def _dec(col):
+    """Per-row aggregate input normalization (see registry docstring)."""
+    return col.cast(DEC18)
+
+
+# --------------------------------------------------------------------------
+# A-group: aggregations (sql/07_ops_views.sql, sql/08_smoke_tests.sql)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """A1 multi-aggregate groupBy (flagship). Reference sql/07_ops_views.sql:7-14."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast(DEC38).alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast(DEC38).alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast(DEC38).alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast(DEC38).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@parity(
+    "a2_conditional_validity_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS valid_cnt,
+           SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS invalid_cnt,
+           COUNT(*) AS txn_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a2_conditional_validity_counts(spark, sf_dir):
+    """A2 conditional aggregation — VW_CANON_COUNTS port (sql/07_ops_views.sql:16-22)."""
+    o = table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(scalars.iff(is_f, F.lit(1), F.lit(0))).alias("valid_cnt"),
+        F.sum(scalars.iff(~is_f, F.lit(1), F.lit(0))).alias("invalid_cnt"),
+        F.count(F.lit(1)).alias("txn_cnt"),
+    )
+
+
+@parity(
+    "a3_grouped_counts",
+    oracle="""
+    SELECT event_type, user_id % 7 AS user_bucket, COUNT(*) AS anomaly_count
+    FROM events GROUP BY event_type, user_id % 7
+    """,
+)
+def a3_grouped_counts(spark, sf_dir):
+    """A3 two-key count — VW_ANOMALY_COUNTS port (sql/07_ops_views.sql:24-27)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", (F.col("user_id") % 7).alias("user_bucket")
+    ).agg(F.count(F.lit(1)).alias("anomaly_count"))
+
+
+@parity(
+    "a4_smoke_counts",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS row_cnt FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    """,
+)
+def a4_smoke_counts(spark, sf_dir):
+    """A4+U4 ungrouped counts unioned — smoke-test port (sql/08_smoke_tests.sql:6-10)."""
+    out = None
+    for name in ["customer", "orders", "lineitem"]:
+        row = table(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("row_cnt")).select(
+            F.lit(name).alias("table_name"), F.col("row_cnt")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@parity(
+    "a5_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a5_distinct(spark, sf_dir):
+    """A5 SELECT DISTINCT — anomaly pre-merge dedupe port (sql/06_anomaly_detection.sql:32)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# J-group: joins (sql/04_transform_lines.sql:21, sql/06_anomaly_detection.sql:23)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "j1_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+           COUNT(*) AS line_cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_revenue_by_segment(spark, sf_dir):
+    """J1 multi-way equi-join with small dimension broadcast.
+
+    The reference's J1 joins raw rows to the (small) surviving-header side
+    (sql/04_transform_lines.sql:21); here the fact table joins two
+    dimensions. ``customer`` is broadcast explicitly — at 100 TB the fact
+    scan must never shuffle for a dimension that fits in memory.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(_dec(revenue)).cast(DEC38).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+@parity(
+    "j2_nation_region_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS customer_cnt,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j2_nation_region_rollup(spark, sf_dir):
+    """J2 snowflake-dimension join chain (sql/06_anomaly_detection.sql:23 analogue)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_cnt"),
+            F.sum(_dec(F.col("c_acctbal"))).cast(DEC38).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W-group: window survivorship (sql/03_transform_headers.sql:76-82)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "w1_survivor_dedupe",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def w1_survivor_dedupe(spark, sf_dir):
+    """W1 latest-wins survivorship via the dedupe operator.
+
+    Reference sql/03_transform_headers.sql:79 + rn=1 filter
+    (sql/05_merge_canonical.sql:13); deterministic tiebreaker added per
+    SURVEY.md §7.4-4.
+    """
+    o = table(spark, sf_dir, "orders")
+    survivors = latest_by_key(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return survivors.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+    )
+
+
+@parity(
+    "w2_duplicate_counts",
+    oracle="""
+    SELECT DISTINCT o_custkey, COUNT(*) OVER (PARTITION BY o_custkey) AS dup_cnt
+    FROM orders
+    """,
+)
+def w2_duplicate_counts(spark, sf_dir):
+    """W2 COUNT(*) OVER business key — duplicate detection
+    (sql/03_transform_headers.sql:80)."""
+    o = table(spark, sf_dir, "orders")
+    ranked = rank_duplicates(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return ranked.select("o_custkey", "dup_cnt").distinct()
+
+
+# --------------------------------------------------------------------------
+# U-group: set operations (sql/03_transform_headers.sql:56-62)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "u1_union_all_by_source",
+    oracle="""
+    WITH tagged AS (
+        SELECT 'JSON' AS source_system, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'XML', o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'CSV', o_totalprice FROM orders WHERE o_orderstatus NOT IN ('F','O')
+    )
+    SELECT source_system, COUNT(*) AS txn_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_amount
+    FROM tagged GROUP BY source_system
+    """,
+)
+def u1_union_all_by_source(spark, sf_dir):
+    """U1 three-branch UNION ALL of per-format slices (unionByName)."""
+    o = table(spark, sf_dir, "orders")
+    branches = [
+        o.filter(F.col("o_orderstatus") == "F").select(
+            F.lit("JSON").alias("source_system"), "o_totalprice"
+        ),
+        o.filter(F.col("o_orderstatus") == "O").select(
+            F.lit("XML").alias("source_system"), "o_totalprice"
+        ),
+        o.filter(~F.col("o_orderstatus").isin("F", "O")).select(
+            F.lit("CSV").alias("source_system"), "o_totalprice"
+        ),
+    ]
+    unioned = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    return unioned.groupBy("source_system").agg(
+        F.count(F.lit(1)).alias("txn_cnt"),
+        F.sum(_dec(F.col("o_totalprice"))).cast(DEC38).alias("total_amount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P-group: predicates / conditionals (sql/01_raw_ingestion.sql:119-123 etc.)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "p6_ilike_client_mapping",
+    oracle="""
+    SELECT CASE WHEN source || '/' || lang ILIKE 'SRC1/%' THEN 'client_a'
+                WHEN source || '/' || lang ILIKE 'SRC2/%' THEN 'client_b'
+                ELSE split_part(source || '/' || lang, '/', 1) END AS client_id,
+           COUNT(*) AS doc_cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def p6_ilike_client_mapping(spark, sf_dir):
+    """P6+F6+F7 CASE/ILIKE/SPLIT_PART client-folder mapping
+    (sql/01_raw_ingestion.sql:119-123)."""
+    d = table(spark, sf_dir, "documents")
+    path = F.concat(F.col("source"), F.lit("/"), F.col("lang"))
+    client = (
+        F.when(path.ilike("SRC1/%"), "client_a")
+        .when(path.ilike("SRC2/%"), "client_b")
+        .otherwise(F.split_part(path, F.lit("/"), F.lit(1)))
+    )
+    return d.groupBy(client.alias("client_id")).agg(F.count(F.lit(1)).alias("doc_cnt"))
+
+
+@parity(
+    "p7_iff_amount_bands",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 'NEGATIVE'
+                ELSE CASE WHEN o_totalprice < 150000 THEN 'MID' ELSE 'HIGH' END END AS band,
+           COUNT(*) AS txn_cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def p7_iff_amount_bands(spark, sf_dir):
+    """P7 nested IFF banding (sql/03_transform_headers.sql:99-101 style)."""
+    o = table(spark, sf_dir, "orders")
+    band = scalars.iff(
+        F.col("o_totalprice") < 0,
+        F.lit("NEGATIVE"),
+        scalars.iff(F.col("o_totalprice") < 150000, F.lit("MID"), F.lit("HIGH")),
+    )
+    return o.groupBy(band.alias("band")).agg(F.count(F.lit(1)).alias("txn_cnt"))
+
+
+@parity(
+    "p2_p3_null_or_filters",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size FROM part
+    WHERE p_name IS NOT NULL AND (p_size > 40 OR p_brand = 'Brand#13' OR p_type LIKE 'PROMO%')
+    """,
+)
+def p2_p3_null_or_filters(spark, sf_dir):
+    """P2/P3 NOT NULL + OR-chain filters (sql/04_transform_lines.sql:23,56)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").isNotNull()
+        & (
+            (F.col("p_size") > 40)
+            | (F.col("p_brand") == "Brand#13")
+            | F.col("p_type").like("PROMO%")
+        )
+    ).select("p_partkey", "p_brand", "p_size")
+
+
+# --------------------------------------------------------------------------
+# F-group: scalar functions (sql/03_transform_headers.sql:13-23,66-73)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "f8_canonical_id_derivation",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 97 = 0 THEN NULL
+                    ELSE 'client_' || CAST(o_custkey % 5 AS VARCHAR) END AS client_id,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE 'TXN-' || CAST(o_orderkey AS VARCHAR) END AS source_txn_id,
+               sha256(o_orderstatus || '|' || o_orderpriority || '|' ||
+                      strftime(o_orderdate, '%Y-%m-%d')) AS payload_hash,
+               'file_' || CAST(o_orderkey % 20 AS VARCHAR) AS src_file,
+               o_orderdate
+        FROM orders
+    )
+    SELECT o_orderkey, source_txn_id,
+           COALESCE(source_txn_id, payload_hash) AS effective_txn_id,
+           COALESCE(
+               sha256(client_id || '|' || COALESCE(source_txn_id, payload_hash)),
+               sha256(client_id || '|' || src_file || '|' ||
+                      COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%g'), ''))
+           ) AS canonical_txn_id
+    FROM base
+    """,
+)
+def f8_canonical_id_derivation(spark, sf_dir):
+    """F1/F2/F8/F9 canonical-ID derivation port (sql/03_transform_headers.sql:66-73).
+
+    Synthesizes the pipeline's client/source ids from order keys (incl. NULL
+    cases) and applies the exact COALESCE + SHA2 derivation chain.
+    """
+    o = table(spark, sf_dir, "orders")
+    client = scalars.iff(
+        F.col("o_custkey") % 97 == 0,
+        F.lit(None).cast("string"),
+        F.concat(F.lit("client_"), (F.col("o_custkey") % 5).cast("string")),
+    )
+    stxn = scalars.iff(
+        F.col("o_orderkey") % 11 == 0,
+        F.lit(None).cast("string"),
+        F.concat(F.lit("TXN-"), F.col("o_orderkey").cast("string")),
+    )
+    payload_hash = scalars.sha256_hex(
+        scalars.concat_null_if_any(
+            F.col("o_orderstatus"),
+            F.lit("|"),
+            F.col("o_orderpriority"),
+            F.lit("|"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+    )
+    src_file = F.concat(F.lit("file_"), (F.col("o_orderkey") % 20).cast("string"))
+    canonical = scalars.canonical_txn_id(
+        client, stxn, payload_hash, src_file, F.col("o_orderdate")
+    )
+    return o.select(
+        "o_orderkey",
+        stxn.alias("source_txn_id"),
+        F.coalesce(stxn, payload_hash).alias("effective_txn_id"),
+        canonical.alias("canonical_txn_id"),
+    )
+
+
+@parity(
+    "f3_f4_try_casts",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6)) AS k_num,
+           TRY_CAST(event_type AS DECIMAL(18,6)) AS bad_num,
+           strftime(TRY_CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS ts_roundtrip
+    FROM events
+    """,
+)
+def f3_f4_try_casts(spark, sf_dir):
+    """F3/F4 TRY_TO_NUMBER / TRY_TO_TIMESTAMP never-throw parsing
+    (sql/03_transform_headers.sql:14-16)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    ts_str = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return e.select(
+        "event_id",
+        scalars.try_to_number(k, DEC18).alias("k_num"),
+        scalars.try_to_number(F.col("event_type"), DEC18).alias("bad_num"),
+        F.date_format(scalars.try_to_timestamp(ts_str), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_roundtrip"
+        ),
+    )
+
+
+@parity(
+    "f1_f5_scalar_chain",
+    oracle="""
+    SELECT c_custkey,
+           upper(COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'none')) AS segment_norm,
+           split_part(c_name, '#', 2) AS name_suffix,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '') AS nvl_demo
+    FROM customer
+    """,
+)
+def f1_f5_scalar_chain(spark, sf_dir):
+    """F1/F2/F5/F6 COALESCE/NVL/UPPER/SPLIT_PART chain
+    (sql/03_transform_headers.sql:13-19,72)."""
+    c = table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return c.select(
+        "c_custkey",
+        F.upper(F.coalesce(seg, F.lit("none"))).alias("segment_norm"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        scalars.nvl(seg, "").alias("nvl_demo"),
+    )
+
+
+@parity(
+    "f11_month_rollup",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS txn_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_amount
+    FROM orders GROUP BY 1
+    """,
+)
+def f11_month_rollup(spark, sf_dir):
+    """F11 TO_VARCHAR(ts) pinned-format rendering (sql/03_transform_headers.sql:72)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("txn_cnt"),
+        F.sum(_dec(F.col("o_totalprice"))).cast(DEC38).alias("total_amount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# V-group: semi-structured (sql/04_transform_lines.sql, sql/03:43-49)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "v5_json_path_agg",
+    oracle="""
+    SELECT event_type,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS event_cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def v5_json_path_agg(spark, sf_dir):
+    """V5 VARIANT path extraction over a JSON payload column
+    (sql/03_transform_headers.sql:13-19)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("event_cnt")
+    )
+
+
+@parity(
+    "v7_posexplode_outer_lines",
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey,
+               CASE WHEN p_size < 3 THEN NULL ELSE string_split(p_type, ' ') END AS words
+        FROM part
+    ), exploded AS (
+        SELECT p_partkey,
+               UNNEST(CASE WHEN words IS NULL THEN [NULL] ELSE words END) AS word,
+               generate_subscripts(CASE WHEN words IS NULL THEN [NULL] ELSE words END, 1) AS idx
+        FROM src
+    )
+    SELECT p_partkey, word, CASE WHEN word IS NULL THEN NULL ELSE idx END AS line_number
+    FROM exploded
+    """,
+)
+def v7_posexplode_outer_lines(spark, sf_dir):
+    """V7 LATERAL FLATTEN(OUTER=>TRUE) with 1-based line numbers
+    (sql/04_transform_lines.sql:22,39; li.index + 1 at :10,27)."""
+    p = table(spark, sf_dir, "part")
+    words = scalars.iff(
+        F.col("p_size") < 3,
+        F.lit(None).cast("array<string>"),
+        F.split(F.col("p_type"), " "),
+    )
+    exploded = p.select(
+        "p_partkey", F.posexplode_outer(words).alias("pos", "word")
+    )
+    return exploded.select(
+        "p_partkey",
+        "word",
+        scalars.iff(
+            F.col("word").isNull(), F.lit(None).cast("long"), (F.col("pos") + 1).cast("long")
+        ).alias("line_number"),
+    )
+
+
+@parity(
+    "v6_array_subscript",
+    oracle="""
+    SELECT p_partkey,
+           (string_split(p_type, ' '))[3] AS third_word,
+           (string_split(p_type, ' '))[CAST(p_size % 4 AS INT) + 1] AS dyn_word
+    FROM part
+    """,
+)
+def v6_array_subscript(spark, sf_dir):
+    """V6 positional array access; out-of-range yields NULL
+    (sql/03_transform_headers.sql:43-49)."""
+    p = table(spark, sf_dir, "part")
+    arr = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        scalars.array_get(arr, 2).alias("third_word"),
+        F.get(arr, (F.col("p_size") % 4).cast("int")).alias("dyn_word"),
+    )
+
+
+@parity(
+    "v1_v2_array_compact",
+    oracle="""
+    WITH arrs AS (
+        SELECT c_custkey,
+               list_filter([NULLIF(c_mktsegment, 'BUILDING'),
+                            CASE WHEN c_acctbal < 0 THEN 'NEG_BAL' ELSE NULL END,
+                            NULLIF(c_name, '')], x -> x IS NOT NULL) AS codes
+        FROM customer
+    )
+    SELECT c_custkey, len(codes) AS n_codes, array_to_string(codes, ',') AS codes_csv,
+           len(codes) = 0 AS is_valid
+    FROM arrs
+    """,
+)
+def v1_v2_array_compact(spark, sf_dir):
+    """V1/V2/V3 ARRAY_CONSTRUCT_COMPACT + ARRAY_SIZE validity flag
+    (sql/03_transform_headers.sql:98-102, sql/05_merge_canonical.sql:10)."""
+    c = table(spark, sf_dir, "customer")
+    codes = scalars.array_compact_of(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+        F.when(F.col("c_acctbal") < 0, "NEG_BAL"),
+        F.nullif(F.col("c_name"), F.lit("")),
+    )
+    return c.select(
+        "c_custkey",
+        F.size(codes).alias("n_codes"),
+        F.array_join(codes, ",").alias("codes_csv"),
+        (F.size(codes) == 0).alias("is_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M-group: merge upsert (sql/05_merge_canonical.sql)
+# --------------------------------------------------------------------------
+
+_M1_ORACLE = """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
+               'target' AS created_from
+        FROM orders WHERE o_orderkey % 10 < 8
+    ), source AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               CAST(o_totalprice + 1000.0 AS DECIMAL(18,6)) AS o_totalprice,
+               'source' AS created_from
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.created_from ELSE s.created_from END AS created_from
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+@parity("m1_merge_upsert", oracle=_M1_ORACLE)
+def m1_merge_upsert(spark, sf_dir):
+    """M1/M2 MERGE emulation: matched rows update (created_from preserved),
+    new rows insert (sql/05_merge_canonical.sql:6-30)."""
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC18).alias("o_totalprice"),
+        F.lit("target").alias("created_from"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).cast(DEC18).alias("o_totalprice"),
+        F.lit("source").alias("created_from"),
+    )
+    return merge_upsert(target, source, keys=["o_orderkey"], preserve=["created_from"])
+
+
+# --------------------------------------------------------------------------
+# S-group: lineage projection (sql/01_raw_ingestion.sql:62-72)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "s7_s8_lineage_rownum",
+    oracle="""
+    SELECT 'file_' || CAST(l_orderkey % 20 AS VARCHAR) AS src_file,
+           row_number() OVER (PARTITION BY l_orderkey % 20
+                              ORDER BY l_orderkey, l_linenumber) AS src_row_number,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def s7_s8_lineage_rownum(spark, sf_dir):
+    """S7/S8 METADATA$FILENAME + FILE_ROW_NUMBER emulation
+    (sql/01_raw_ingestion.sql:66-67)."""
+    li = table(spark, sf_dir, "lineitem")
+    src_file = F.concat(F.lit("file_"), (F.col("l_orderkey") % 20).cast("string"))
+    w = Window.partitionBy(F.col("l_orderkey") % 20).orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        src_file.alias("src_file"),
+        F.row_number().over(w).alias("src_row_number"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped batch window (SURVEY.md §2.12)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "stream_tumbling_window_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window_agg(spark, sf_dir):
+    """Tumbling-window aggregate — the batch-equivalent of the streaming
+    audit rollup (SURVEY.md §2.12); the streaming path reuses this exact
+    aggregation under ``withWatermark`` (streaming/ingest.py)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(_dec(F.col("value"))).cast(DEC38).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
