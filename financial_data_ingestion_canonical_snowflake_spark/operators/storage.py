@@ -1,0 +1,78 @@
+"""Durable table storage with atomic overwrite (the MERGE landing layer).
+
+No Delta/Iceberg in this environment (SURVEY.md §7.4-1), so canonical tables
+are parquet directories maintained by write-temp-then-swap: readers of the
+old directory are unaffected until the rename, reruns are idempotent, and a
+crash mid-write leaves the previous table intact.
+
+Scale note: on a real deployment this class is the seam where an ACID table
+format (Delta/Iceberg MERGE) plugs in — the pipeline only uses
+``read`` / ``append`` / ``overwrite_atomic``. Canonical tables are written
+partitioned (e.g. by client_id) when ``partition_by`` is set so downstream
+scans prune; the merge path re-shuffles only on the merge keys.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class ParquetTable:
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType | None = None,
+        partition_by: Sequence[str] = (),
+    ):
+        self.path = path
+        self.schema = schema
+        self.partition_by = list(partition_by)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" or not f.startswith(".")
+            for f in os.listdir(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read the table; an absent table reads as empty when a schema is
+        declared (lets the first merge run against an empty target)."""
+        if self.exists():
+            df = spark.read.parquet(self.path)
+            if self.schema is not None:
+                df = df.select(*[f.name for f in self.schema.fields])
+            return df
+        if self.schema is None:
+            raise FileNotFoundError(f"table not found and no schema: {self.path}")
+        return spark.createDataFrame([], self.schema)
+
+    def append(self, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def overwrite_atomic(self, df: DataFrame) -> None:
+        """Write to a temp dir, then swap directories.
+
+        The swap window is not transactional on a plain filesystem — the
+        production seam is an ACID format; for this engine the guarantee is
+        crash-safety of the *previous* version, which the tmp-write provides.
+        """
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)

@@ -1,0 +1,205 @@
+"""The 9-stage batch pipeline DAG (reference ``main.sql:15-24``).
+
+    00 bootstrap        -> warehouse directory layout (ParquetTable paths)
+    01 raw ingestion    -> tri-format readers + load audit (+ COPY
+                           load-history emulation: already-audited files skip)
+    02 canonical DDL    -> schema constants (schemas.py)
+    03 header transform -> staging DataFrame (cached; replaces TEMP table)
+    04 line transform   -> staging DataFrame
+    05 canonical merge  -> merge_upsert into CAN_TXN / CAN_TXN_LINE
+    06 anomaly merge    -> merge_upsert into CAN_TXN_ANOMALY
+    07 ops views        -> registered aggregate views
+    08 smoke tests      -> count/ordered probes
+
+Session scoping of the reference's TEMP tables becomes plain DataFrame
+hand-off inside one SparkSession; ``stg_header`` is cached because stages
+04/05/06 all consume it (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators.merge import merge_upsert
+from ..operators.storage import ParquetTable
+from ..session import apply_runtime_confs
+from ..sources.audit import build_load_audit
+from ..sources.readers import CopySpec, read_raw
+from .anomaly import anomaly_merge_source, stage_anomalies
+from .ops_views import register_views, smoke_counts, smoke_probes
+from .transform_headers import transform_headers
+from .transform_lines import transform_lines
+
+# The reference's three COPY statements (sql/01_raw_ingestion.sql:62,89,116).
+DEFAULT_COPY_SPECS = (
+    CopySpec(file_type="XML", path="client_a/xml/", client_id="ClientA"),
+    CopySpec(file_type="JSON", path="client_c/json/", client_id="ClientC"),
+    CopySpec(
+        file_type="CSV",
+        path="",
+        client_id=None,
+        files=("client_a/csv/transactions.csv", "client_c/csv/transactions.csv"),
+    ),
+)
+
+CAN_TXN_COLS = [f.name for f in schemas.CAN_TXN.fields]
+CAN_LINE_COLS = [f.name for f in schemas.CAN_TXN_LINE.fields]
+CAN_ANOMALY_COLS = [f.name for f in schemas.CAN_TXN_ANOMALY.fields]
+
+
+@dataclass
+class PipelineConfig:
+    ingest_root: str
+    warehouse: str
+    copy_specs: tuple[CopySpec, ...] = DEFAULT_COPY_SPECS
+    join_mode: str = "faithful"  # 'faithful' (file-granular J1) | 'row'
+    batch_ts: dt.datetime | None = None  # pin for deterministic tests
+    skip_loaded_files: bool = True  # COPY load-history emulation
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = apply_runtime_confs(spark)
+        self.cfg = cfg
+        w = cfg.warehouse.rstrip("/")
+        self.raw_tables = {
+            "JSON": ParquetTable(f"{w}/raw/raw_txn_json"),
+            "XML": ParquetTable(f"{w}/raw/raw_txn_xml"),
+            "CSV": ParquetTable(f"{w}/raw/raw_csv_generic"),
+        }
+        self.raw_load_audit = ParquetTable(f"{w}/raw/raw_load_audit", schemas.RAW_LOAD_AUDIT)
+        self.can_txn = ParquetTable(f"{w}/canon/can_txn", schemas.CAN_TXN)
+        self.can_txn_line = ParquetTable(f"{w}/canon/can_txn_line", schemas.CAN_TXN_LINE)
+        self.can_txn_anomaly = ParquetTable(
+            f"{w}/canon/can_txn_anomaly", schemas.CAN_TXN_ANOMALY
+        )
+
+    # ------------------------------------------------------------------
+    def _ts(self) -> F.Column:
+        if self.cfg.batch_ts is not None:
+            return F.lit(self.cfg.batch_ts).cast("timestamp")
+        return F.current_timestamp()
+
+    def _resolve(self, spec: CopySpec) -> CopySpec:
+        root = self.cfg.ingest_root.rstrip("/")
+        path = f"{root}/{spec.path}" if spec.path else root
+        files = tuple(f"{root}/{f}" for f in spec.files) if spec.files else None
+        return CopySpec(spec.file_type, path, spec.client_id, files, spec.row_tag)
+
+    # ------------------------------------------------------------------
+    def ingest(self) -> dict[str, DataFrame]:
+        """Stage 01: one COPY per spec + audit capture immediately after each
+        (reference sql/01_raw_ingestion.sql:74-86 in-session coupling)."""
+        loaded_files: set[str] = set()
+        if self.cfg.skip_loaded_files and self.raw_load_audit.exists():
+            loaded_files = {
+                r.src_file
+                for r in self.raw_load_audit.read(self.spark)
+                .select("src_file")
+                .distinct()
+                .collect()
+            }
+        for spec in self.cfg.copy_specs:
+            resolved = self._resolve(spec)
+            raw = read_raw(self.spark, resolved, self.cfg.ingest_root, self._ts())
+            if loaded_files:
+                raw = raw.filter(~F.col("src_file").isin(*loaded_files))
+            raw = raw.cache()
+            audit = build_load_audit(raw, spec.file_type, self._ts())
+            good = raw.filter(F.col("_load_error").isNull()).drop("_load_error")
+            if good.isEmpty():
+                raw.unpersist()
+                continue
+            self.raw_tables[spec.file_type].append(good)
+            self.raw_load_audit.append(audit)
+            raw.unpersist()
+        return {k: t.read(self.spark) if t.exists() else None for k, t in self.raw_tables.items()}
+
+    # ------------------------------------------------------------------
+    def run_batch(self) -> dict:
+        """Stages 01-08; returns the smoke-test artifacts."""
+        raw = self.ingest()
+        ts = self._ts()
+
+        stg_header = transform_headers(
+            raw.get("JSON"), raw.get("XML"), raw.get("CSV")
+        ).cache()
+
+        stg_line = transform_lines(
+            raw.get("JSON"),
+            raw.get("XML"),
+            raw.get("CSV"),
+            stg_header,
+            join_mode=self.cfg.join_mode,
+        ).cache()
+
+        # Stage 05a: CAN_TXN merge (reference sql/05_merge_canonical.sql:6-30)
+        hdr_source = (
+            stg_header.filter(F.col("rn") == 1)
+            .withColumn(
+                "is_valid", scalars_is_valid()
+            )
+            .withColumn("created_ts", ts)
+            .withColumn("updated_ts", ts)
+            .select(*CAN_TXN_COLS)
+        )
+        can_txn_new = merge_upsert(
+            self.can_txn.read(self.spark),
+            hdr_source,
+            keys=["canonical_txn_id"],
+            preserve=["created_ts"],
+            dedupe_order=[F.col("ingest_ts").desc(), F.col("src_file")],
+        )
+        self.can_txn.overwrite_atomic(can_txn_new)
+
+        # Stage 05b: CAN_TXN_LINE merge (:32-53) with the M2 source-dedupe
+        # guard (duplicate (id, line_number) keys -> latest ingest wins).
+        line_source = (
+            stg_line.withColumn("created_ts", ts)
+            .withColumn("updated_ts", ts)
+            .select(*CAN_LINE_COLS)
+        )
+        can_line_new = merge_upsert(
+            self.can_txn_line.read(self.spark),
+            line_source,
+            keys=["canonical_txn_id", "line_number"],
+            preserve=["created_ts"],
+            dedupe_order=[F.col("ingest_ts").desc(), F.col("attributes")],
+        )
+        self.can_txn_line.overwrite_atomic(can_line_new)
+
+        # Stage 06: anomalies join the POST-merge CAN_TXN (ordering constraint
+        # noted at SURVEY §3 entry point 3).
+        can_txn_df = self.can_txn.read(self.spark)
+        stg_anomaly = stage_anomalies(stg_header, stg_line, can_txn_df)
+        anomaly_new = merge_upsert(
+            self.can_txn_anomaly.read(self.spark),
+            anomaly_merge_source(stg_anomaly, ts).select(*CAN_ANOMALY_COLS),
+            keys=["canonical_txn_id", "anomaly_code", "line_number", "anomaly_detail"],
+        )
+        self.can_txn_anomaly.overwrite_atomic(anomaly_new)
+
+        # Stages 07-08
+        can_line_df = self.can_txn_line.read(self.spark)
+        anomaly_df = self.can_txn_anomaly.read(self.spark)
+        audit_df = self.raw_load_audit.read(self.spark)
+        views = register_views(self.spark, audit_df, can_txn_df, anomaly_df)
+        result = {
+            "smoke_counts": smoke_counts(can_txn_df, can_line_df, anomaly_df),
+            "views": views,
+            "probes": smoke_probes(views),
+        }
+        stg_header.unpersist()
+        stg_line.unpersist()
+        return result
+
+
+def scalars_is_valid() -> F.Column:
+    """is_valid = IFF(ARRAY_SIZE(anomaly_codes) = 0, TRUE, FALSE)
+    (reference sql/05_merge_canonical.sql:10)."""
+    return F.when(F.size("anomaly_codes") == 0, F.lit(True)).otherwise(F.lit(False))

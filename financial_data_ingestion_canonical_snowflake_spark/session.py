@@ -42,7 +42,12 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     Safe to call on the driver's session: every conf here is
     runtime-mutable (no JVM restart needed).
     """
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    # Right-size shuffle parallelism for the local harness (a session built
+    # with Spark's default 200 pays ~6x task overhead at these scales). AQE
+    # coalescing keeps this safe if data grows.
+    confs.setdefault("spark.sql.shuffle.partitions", str(default_parallelism()))
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:

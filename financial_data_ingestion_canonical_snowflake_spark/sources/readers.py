@@ -1,0 +1,265 @@
+"""Raw-layer readers: the COPY INTO ports (SURVEY.md §2.1, S1-S10).
+
+Each reader produces the reference's RAW-table shape
+(``/root/reference/sql/01_raw_ingestion.sql:62-72,89-99,116-131``):
+
+    client_id STRING, src_file STRING, src_row_number LONG,
+    ingest_ts TIMESTAMP, payload VARIANT (CSV: ARRAY<STRING>)
+
+plus a ``_load_error`` column (NULL when the record loaded cleanly) that
+feeds the load-audit capture (audit.py) — the ``ON_ERROR='CONTINUE'`` +
+RESULT_SCAN emulation. Payloads are Spark VARIANT (``parse_json``), the
+engine-native equivalent of Snowflake VARIANT: binary-encoded, path-addressed
+(``try_variant_get``), schema-drift tolerant.
+
+Scale notes:
+- JSON files are read ``wholetext`` (one row per file) because the reference
+  semantics are per-file documents with STRIP_OUTER_ARRAY; financial txn
+  files are small and many, so parallelism comes from file count. NDJSON
+  sources at 100 TB should use the line-mode reader (``whole_file=False``).
+- All lineage derives from ``_metadata.file_path`` (exact per-file scoping,
+  no UDFs); per-file row numbers are a window over the file path — files are
+  single-split at this size so intra-file order is the read order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class CopySpec:
+    """One COPY INTO statement (reference sql/01_raw_ingestion.sql:62,89,116).
+
+    ``client_id=None`` derives the client from the path prefix like the CSV
+    COPY does (``:119-123``); a string pins it like the XML/JSON COPYs.
+    ``files`` is the explicit FILES=(...) list (S10).
+    """
+
+    file_type: str  # 'JSON' | 'XML' | 'CSV'
+    path: str  # directory or glob under the ingest root
+    client_id: str | None = None
+    files: tuple[str, ...] | None = None
+    row_tag: str = "transaction"  # XML only
+
+
+def _src_file() -> Column:
+    return F.col("_metadata.file_path")
+
+
+def _client_from_path(rel_path: Column) -> Column:
+    """CSV client derivation (reference sql/01_raw_ingestion.sql:119-123)."""
+    return (
+        F.when(rel_path.ilike("client_a/%"), "ClientA")
+        .when(rel_path.ilike("client_c/%"), "ClientC")
+        .otherwise(F.split_part(rel_path, F.lit("/"), F.lit(1)))
+        .cast("string")
+    )
+
+
+def _with_client(df: DataFrame, spec: CopySpec, ingest_root: str) -> DataFrame:
+    import re
+
+    if spec.client_id is not None:
+        return df.withColumn("client_id", F.lit(spec.client_id).cast("string"))
+    # src_file is a URI ("file:///..."); strip scheme + ingest root.
+    rel = F.regexp_replace(
+        F.col("src_file"),
+        "^(?:[a-z]+:/+)?/?" + re.escape(ingest_root.strip("/")) + "/",
+        "",
+    )
+    return df.withColumn("client_id", _client_from_path(rel))
+
+
+def read_raw_json(
+    spark: SparkSession,
+    spec: CopySpec,
+    ingest_root: str,
+    ingest_ts: Column | None = None,
+    whole_file: bool = True,
+) -> DataFrame:
+    """JSON COPY port with STRIP_OUTER_ARRAY (reference :36-38, :89-99).
+
+    A file holding a top-level array becomes one row per element; a file
+    holding an object becomes one row. Malformed JSON yields one row with a
+    NULL payload and ``_load_error`` set (ON_ERROR='CONTINUE').
+    """
+    paths = list(spec.files) if spec.files else [spec.path]
+    txt = spark.read.text(paths, wholetext=whole_file).select(
+        F.col("value"), _src_file().alias("src_file")
+    )
+    doc = F.try_parse_json(F.col("value"))
+    # STRIP_OUTER_ARRAY: explode top-level arrays; wrap single documents.
+    elements = F.coalesce(
+        F.try_variant_get(doc, "$", "array<variant>"),
+        F.when(doc.isNotNull(), F.array(doc)),
+    )
+    out = txt.select(
+        "src_file",
+        F.posexplode_outer(elements).alias("elem_idx", "payload"),
+        F.when(doc.isNull(), F.substring(F.col("value"), 1, 200)).alias("_load_error"),
+    ).withColumn("src_row_number", (F.coalesce(F.col("elem_idx"), F.lit(0)) + 1).cast("long"))
+    out = _with_client(out, spec, ingest_root)
+    return out.select(
+        "client_id",
+        "src_file",
+        "src_row_number",
+        (ingest_ts if ingest_ts is not None else F.current_timestamp()).alias("ingest_ts"),
+        "payload",
+        "_load_error",
+    )
+
+
+def _xml_element_to_obj(el):
+    """XML element -> JSON-able value, Snowflake-VARIANT-style:
+    attributes as ``@name`` keys, repeated child tags as arrays, text-only
+    elements as strings (lexical form preserved — typing is TRY_TO_*'s job),
+    mixed content under ``#text``."""
+    obj = {"@" + k: v for k, v in el.attrib.items()}
+    children = list(el)
+    text = (el.text or "").strip()
+    if not children:
+        if obj:
+            if text:
+                obj["#text"] = text
+            return obj
+        return text if text else None
+    groups: dict[str, list] = {}
+    for c in children:
+        groups.setdefault(c.tag, []).append(_xml_element_to_obj(c))
+    for tag, vals in groups.items():
+        obj[tag] = vals[0] if len(vals) == 1 else vals
+    if text:
+        obj["#text"] = text
+    return obj
+
+
+def _make_xml_docs_udf(row_tag: str):
+    """Arrow-batched per-document XML->JSON conversion.
+
+    Why not the native Spark XML reader: it infers ONE schema across all
+    files (two passes over the data), and a tag that is a struct in one file
+    but a string in another collapses to a raw-XML string — cross-file
+    coupling Snowflake's per-document VARIANT doesn't have. Converting each
+    document independently is one pass, embarrassingly parallel, and
+    drift-faithful. XML parsing is genuinely CPU-bound Python work, the one
+    sanctioned Pandas-UDF use (SURVEY.md §2.13).
+    """
+    import json
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def xml_docs(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            try:
+                root = ET.fromstring(t)
+                rows = [root] if root.tag == row_tag else root.findall(row_tag)
+                if not rows:
+                    rows = [root]
+                out.append(
+                    [json.dumps(_xml_element_to_obj(r), ensure_ascii=False) for r in rows]
+                )
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return xml_docs
+
+
+def read_raw_xml(
+    spark: SparkSession,
+    spec: CopySpec,
+    ingest_root: str,
+    ingest_ts: Column | None = None,
+) -> DataFrame:
+    """XML COPY port (reference :40-41, :62-72).
+
+    Attributes surface with the Snowflake-style ``@`` prefix so transform
+    paths like ``payload:"@transaction_id"`` translate verbatim to variant
+    paths ``$['@transaction_id']``. A wrapper document holding several
+    ``row_tag`` elements yields one row per element (like Snowflake's
+    one-VARIANT-per-top-level-element). Malformed XML -> NULL payload +
+    ``_load_error`` (ON_ERROR='CONTINUE').
+    """
+    paths = list(spec.files) if spec.files else [spec.path]
+    txt = spark.read.text(paths, wholetext=True).select(
+        F.col("value"), _src_file().alias("src_file")
+    )
+    docs = _make_xml_docs_udf(spec.row_tag)(F.col("value"))
+    out = txt.select(
+        "src_file",
+        F.posexplode_outer(docs).alias("elem_idx", "doc_json"),
+        F.when(docs.isNull(), F.substring(F.col("value"), 1, 200)).alias("_load_error"),
+    ).select(
+        "src_file",
+        (F.coalesce(F.col("elem_idx"), F.lit(0)) + 1).cast("long").alias("src_row_number"),
+        F.parse_json(F.col("doc_json")).alias("payload"),
+        "_load_error",
+    )
+    out = _with_client(out, spec, ingest_root)
+    return out.select(
+        "client_id",
+        "src_file",
+        "src_row_number",
+        (ingest_ts if ingest_ts is not None else F.current_timestamp()).alias("ingest_ts"),
+        "payload",
+        "_load_error",
+    )
+
+
+def read_raw_csv(
+    spark: SparkSession,
+    spec: CopySpec,
+    ingest_root: str,
+    ingest_ts: Column | None = None,
+) -> DataFrame:
+    """CSV COPY port (reference :43-46, :116-131).
+
+    SKIP_HEADER=1 -> ``header=True``; FIELD_OPTIONALLY_ENCLOSED_BY='"' ->
+    ``quote='"'``; the whole row becomes ``payload ARRAY<STRING>`` exactly
+    like ``ARRAY_CONSTRUCT(*)`` (positional access downstream). Ragged rows
+    are padded with NULLs (PERMISSIVE), matching Snowflake's NULL-on-missing
+    subscript behavior.
+    """
+    paths = list(spec.files) if spec.files else [spec.path]
+    df = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("inferSchema", False)
+        .option("mode", "PERMISSIVE")
+        .csv(paths)
+    )
+    data_cols = [c for c in df.columns]
+    raw = df.select(
+        _src_file().alias("src_file"),
+        F.array(*[F.col(c).cast("string") for c in data_cols]).alias("payload"),
+        F.lit(None).cast("string").alias("_load_error"),
+    )
+    w = Window.partitionBy("src_file").orderBy(F.monotonically_increasing_id())
+    raw = raw.withColumn("src_row_number", F.row_number().over(w).cast("long"))
+    raw = _with_client(raw, spec, ingest_root)
+    return raw.select(
+        "client_id",
+        "src_file",
+        "src_row_number",
+        (ingest_ts if ingest_ts is not None else F.current_timestamp()).alias("ingest_ts"),
+        "payload",
+        "_load_error",
+    )
+
+
+READERS = {"JSON": read_raw_json, "XML": read_raw_xml, "CSV": read_raw_csv}
+
+
+def read_raw(
+    spark: SparkSession, spec: CopySpec, ingest_root: str, ingest_ts: Column | None = None
+) -> DataFrame:
+    return READERS[spec.file_type](spark, spec, ingest_root, ingest_ts)
