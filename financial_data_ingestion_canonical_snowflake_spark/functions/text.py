@@ -1,0 +1,181 @@
+"""Text-analysis column expressions (north-star LLM-data operators).
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, codegen-friendly,
+no Python in the hot path. Each primitive has an exact DuckDB twin (the
+parity oracles in plans/parity_text.py) built on the same md5-based integer
+hash (scalars.md5_long), so results are cross-engine deterministic.
+
+Scale notes: everything here is embarrassingly parallel per row (no shuffle);
+the shuffles happen in the dedupe operators that consume these primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Large prime for minhash/fingerprint modular arithmetic. Small enough that
+# a*h + b stays < 2^62 (no BIGINT overflow in either engine).
+MERSENNE31 = 2_147_483_647
+FP_PRIME = 1_000_000_007
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+STOPWORDS_ES = ("el", "la", "de", "y", "que", "los")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def token_hashes(text: Column, modulus: int = MERSENNE31) -> Column:
+    """Per-token cross-engine integer hashes (md5-prefix based)."""
+    from .scalars import md5_long
+
+    return F.transform(tokens(text), lambda t: md5_long(t, modulus=modulus))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: ``['a b c', 'b c d', ...]``.
+
+    Texts shorter than ``n`` tokens yield an empty array (guarded because
+    Spark's ``sequence(1, 0)`` counts DOWN rather than returning empty).
+    """
+    toks = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3, modulus: int = MERSENNE31) -> Column:
+    from .scalars import md5_long
+
+    return F.transform(shingles(text, n), lambda s: md5_long(s, modulus=modulus))
+
+
+def minhash_signature(hashed_shingles: Column, params: list[tuple[int, int]]) -> Column:
+    """MinHash signature: for each (a, b), min over shingles of (a*h+b) % P.
+
+    ``params`` are engine constants (deterministic, shared with the oracle).
+    Empty shingle sets yield P (the max sentinel) so empty docs never
+    collide with real ones by accident.
+    """
+    parts = []
+    for a, b in params:
+        mh = F.array_min(
+            F.transform(
+                hashed_shingles,
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31),
+            )
+        )
+        parts.append(F.coalesce(mh, F.lit(MERSENNE31)).cast("long"))
+    return F.array(*parts)
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over token hashes.
+
+    bit b is set when sum over tokens of ±1 (by the token hash's bit b) is
+    positive; near-duplicates differ in few bits (hamming via bit_count).
+    """
+    hs = token_hashes(text)
+
+    def bit_vote(b: int) -> Column:
+        # closure capture keeps the merge lambda binary (pyspark binds
+        # higher-order-function variables by arity)
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    # unrolled per-bit (shiftright needs a literal bit count)
+    for b in range(32):
+        out = out + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def fingerprint(text: Column, prime: int = FP_PRIME) -> Column:
+    """Order-sensitive rolling document fingerprint:
+    fold((acc * 31 + h_token) % P) over token hashes."""
+    hs = token_hashes(text, modulus=prime)
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(prime),
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Stopword-list language-ID scores (n-gram-free heuristic)."""
+    toks = tokens(text)
+    return {
+        "en": _stopword_hits(toks, STOPWORDS_EN),
+        "es": _stopword_hits(toks, STOPWORDS_ES),
+        "de": _stopword_hits(toks, STOPWORDS_DE),
+    }
+
+
+def language_id(text: Column) -> Column:
+    """argmax of language_scores with deterministic tie order en > es > de;
+    'und' (undetermined) when no stopword hits at all."""
+    s = language_scores(text)
+    best = F.greatest(s["en"], s["es"], s["de"])
+    return (
+        F.when(best == 0, "und")
+        .when(s["en"] == best, "en")
+        .when(s["es"] == best, "es")
+        .otherwise("de")
+    )
+
+
+def quality_stats(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: lengths, word stats, alpha/stopword ratios.
+
+    Ratios are double-typed per-row arithmetic (IEEE-identical across
+    engines).
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    stop_all = (
+        _stopword_hits(toks, STOPWORDS_EN)
+        + _stopword_hits(toks, STOPWORDS_ES)
+        + _stopword_hits(toks, STOPWORDS_DE)
+    )
+    return {
+        "n_chars": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "avg_token_len": (
+            (n_char - (n_tok - 1)).cast("double") / n_tok.cast("double")
+        ),
+        "alpha_ratio": alpha_chars.cast("double") / n_char.cast("double"),
+        "stopword_ratio": stop_all.cast("double") / n_tok.cast("double"),
+    }
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """LLM-token estimate: count of word pieces after splitting on
+    whitespace and breaking words into runs of <=4 chars (a BPE-ish regex
+    proxy: ceil(len/4) per word)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )

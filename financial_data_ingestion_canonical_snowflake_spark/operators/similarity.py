@@ -1,0 +1,118 @@
+"""Similarity-search operators over embedding columns (north-star ops).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast, the
+  corpus streams partition-parallel; correct baseline at any scale where
+  |queries| is small.
+- ``lsh_topk``: random-hyperplane LSH variant — queries only meet corpus
+  vectors in their own bucket. This is the 100 TB path: the bucket equi-join
+  shuffle-partitions cleanly and the per-bucket work is |bucket|^2 instead
+  of |corpus|^2. Recall < 1 by construction (multi-probe/band-OR would raise
+  it; kept single-probe for oracle checkability).
+- ``cosine_near_dup_pairs``: near-duplicate detection by cosine threshold
+  within LSH buckets (or exhaustively for small inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors
+
+
+def _with_cosine(joined: DataFrame) -> DataFrame:
+    return joined.withColumn(
+        "cosine_sim", vectors.cosine(F.col("q_vec"), F.col("c_vec"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, cosine_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = _with_cosine(F.broadcast(q).crossJoin(c)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the hyperplane-sign
+    bucket; ranking inside the bucket is exact cosine."""
+    planes = vectors.hyperplanes(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = _with_cosine(F.broadcast(q).join(c, "bucket")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 6,
+    dim: int = 64,
+    bucketed: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    ``bucketed=True`` generates candidates within LSH buckets (the scale
+    path); ``False`` compares all pairs (exact, quadratic)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("c_vec"))
+    if bucketed:
+        planes = vectors.hyperplanes(num_planes, dim)
+        a = a.withColumn("bucket", vectors.lsh_bucket(F.col("q_vec"), planes))
+        b = b.withColumn("bucket", vectors.lsh_bucket(F.col("c_vec"), planes))
+        joined = a.join(b, "bucket")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        _with_cosine(joined)
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("cosine_sim") >= threshold))
+        .select("id_a", "id_b", "cosine_sim")
+    )

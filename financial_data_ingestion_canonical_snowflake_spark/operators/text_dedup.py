@@ -1,0 +1,197 @@
+"""Document-deduplication operators for LLM-data pipelines.
+
+Four strategies, cheapest to most semantic:
+
+- exact           sha-256 content hash groupBy (one shuffle)
+- minhash_lsh     shingle MinHash signatures banded into LSH buckets;
+                  candidate pairs only within a bucket (no O(n^2) pass)
+- simhash         32-bit SimHash + hamming distance; prefix-bucketed
+- ngram_jaccard   exact Jaccard over word shingles via shared-shingle join
+
+Scale posture: every strategy avoids the quadratic cross join — candidates
+come from equi-joins on bucket/shingle keys, which shuffle-partition cleanly
+at 100 TB. Skewed buckets (a shingle appearing in millions of docs) should
+be guarded with a frequency cap (``max_shingle_freq``) — stop-shingles are
+dropped like stop-words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import scalars, text
+
+# Deterministic MinHash parameters, shared verbatim with the DuckDB oracle
+# (generated from a fixed linear recurrence; no RNG at import time).
+def minhash_params(k: int = 16) -> list[tuple[int, int]]:
+    params = []
+    a, b = 1_103_515_245, 12_345
+    for _ in range(k):
+        params.append((a % text.MERSENNE31, b % text.MERSENNE31))
+        a = (a * 1_664_525 + 1_013_904_223) % text.MERSENNE31
+        b = (b * 22_695_477 + 1) % text.MERSENNE31
+    return [(max(p_a, 1), p_b) for p_a, p_b in params]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: one row per distinct text hash with the survivor
+    (min id — deterministic) and the duplicate count."""
+    h = scalars.sha256_hex(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_len: int = 3
+) -> DataFrame:
+    sig = text.minhash_signature(
+        text.shingle_hashes(F.col(text_col), n=shingle_len),
+        minhash_params(num_hashes),
+    )
+    return df.withColumn("minhash_sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_matching: int = 8,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Two docs land in the same bucket when one band (num_hashes/bands
+    consecutive signature slots) agrees exactly; pairs are then scored by
+    full-signature agreement and filtered to ``min_matching``/num_hashes.
+    Returns (id_a, id_b, matching_minhashes) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = with_minhash_signature(df, text_col, num_hashes, shingle_len).select(
+        F.col(id_col).alias("doc"), "minhash_sig"
+    )
+    banded = sigs.select(
+        "doc",
+        "minhash_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.slice(F.col("minhash_sig"), b * rows_per_band + 1, rows_per_band),
+                        "-",
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select(
+        F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col("doc").alias("id_b"), F.col("minhash_sig").alias("sig_b"), "band", "band_key"
+    )
+    pairs = (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matching = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        pairs.select("id_a", "id_b", matching.cast("long").alias("matching_minhashes"))
+        .filter(F.col("matching_minhashes") >= min_matching)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs bucketed by the signature's top bits.
+
+    Candidates share the ``prefix_bits`` high bits (an LSH on hamming
+    locality: near-identical docs rarely differ in the high bits); exact
+    hamming distance (bit_count of xor) filters within the bucket. Set
+    ``prefix_bits=0`` for the exhaustive variant.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("doc"), text.simhash32(F.col(text_col)).alias("simhash")
+    )
+    bucket = F.shiftright(F.col("simhash"), 32 - prefix_bits) if prefix_bits else F.lit(0)
+    sigs = sigs.withColumn("bucket", bucket)
+    a = sigs.select(
+        F.col("doc").alias("id_a"), F.col("simhash").alias("sim_a"), "bucket"
+    )
+    b = sigs.select(
+        F.col("doc").alias("id_b"), F.col("simhash").alias("sim_b"), "bucket"
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    min_jaccard: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT shingles.
+    Only pairs sharing >= 1 shingle are ever materialized. At 100 TB scale,
+    pass ``max_shingle_freq`` to drop degenerate stop-shingles whose
+    posting lists would dominate the join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(text.shingles(F.col(text_col), shingle_len))).alias(
+            "shingle"
+        ),
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    common = (
+        sh.select(F.col("doc").alias("id_a"), "shingle")
+        .join(sh.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "id_a", "id_b", "n_common", "jaccard"
+    )

@@ -1,0 +1,253 @@
+"""North-star text-operator parity queries (dedup + text analysis).
+
+Each query pairs the engine operator (operators/text_dedup.py,
+functions/text.py) with a DuckDB oracle built on the SAME primitives:
+md5-prefix integer hashes, whitespace tokens, word-shingles, and fixed
+MinHash/LSH parameters inlined into both sides. Documents get synthetic
+near-duplicates appended in-query (the driver's corpus has none) so the
+dedup operators produce non-trivial matches that the oracle must agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import text_dedup as td
+from .registry import parity, table
+
+P31 = tx.MERSENNE31
+FP_P = tx.FP_PRIME
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_PARAMS = td.minhash_params(NUM_HASHES)
+
+
+def _md5h(expr: str, p: int) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {p})"
+
+
+_TOKS = "string_split(lower(text), ' ')"
+# word 3-gram shingles (matches functions.text.shingles semantics)
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+_SIG_ELEMS = ", ".join(
+    f"COALESCE(list_min(list_transform(hs, h -> ({a} * h + {b}) % {P31})), {P31})"
+    for a, b in MINHASH_PARAMS
+)
+
+# documents + synthetic near-duplicates (id + 100000, two tokens appended)
+_DOCS2 = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text || ' zz yy' FROM documents WHERE doc_id < 50"
+)
+
+
+def _docs2(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "ns_dedup_exact",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2})
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS survivor_id,
+           COUNT(*) AS dup_cnt
+    FROM docs2 GROUP BY 1
+    """,
+)
+def ns_dedup_exact(spark, sf_dir):
+    """Exact content-hash dedup (groupBy sha-256; one shuffle)."""
+    return td.exact_dedup(_docs2(spark, sf_dir), "doc_id", "text")
+
+
+@parity(
+    "ns_dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    hashed AS (
+        SELECT doc_id,
+               list_transform({_SHINGLES}, s -> {_md5h('s', P31)}) AS hs
+        FROM toks
+    ),
+    sigs AS (SELECT doc_id AS doc, [{_SIG_ELEMS}] AS sig FROM hashed),
+    banded AS (
+        SELECT doc, sig, b.band,
+               array_to_string(sig[b.band * {ROWS_PER_BAND} + 1 : b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}], '-') AS band_key
+        FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b USING (band, band_key)
+        WHERE a.doc < b.doc
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(list_sum(list_transform(generate_series(1, {NUM_HASHES}),
+                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS matching_minhashes
+        FROM pairs
+    )
+    SELECT * FROM scored WHERE matching_minhashes >= 8
+    """,
+)
+def ns_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->bucket
+    equi-join; no quadratic pass)."""
+    return td.minhash_lsh_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        num_hashes=NUM_HASHES, bands=BANDS, min_matching=8,
+    )
+
+
+@parity(
+    "ns_dedup_simhash",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    hashed AS (
+        SELECT doc_id AS doc,
+               list_transform({_TOKS}, t -> {_md5h('t', P31)}) AS hs
+        FROM docs2
+    ),
+    sims AS (
+        SELECT doc,
+               CAST(list_sum(list_transform(generate_series(0, 31), b ->
+                    CASE WHEN list_sum(list_transform(hs,
+                         h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM hashed
+    ),
+    bucketed AS (SELECT doc, simhash, simhash >> 24 AS bucket FROM sims)
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bucketed a JOIN bucketed b USING (bucket)
+    WHERE a.doc < b.doc AND bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def ns_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, prefix-bucketed, hamming <= 6."""
+    return td.simhash_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text", max_hamming=6, prefix_bits=8
+    )
+
+
+@parity(
+    "ns_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, UNNEST({_SHINGLES}) AS shingle FROM toks
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def ns_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs via shared-shingle equi-join."""
+    return td.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text", shingle_len=3, min_jaccard=0.6
+    )
+
+
+# --------------------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN)
+_STOP_ES = ", ".join(f"'{w}'" for w in tx.STOPWORDS_ES)
+_STOP_DE = ", ".join(f"'{w}'" for w in tx.STOPWORDS_DE)
+
+
+@parity(
+    "ns_text_quality_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(toks, t -> t IN ({_STOP_EN})))
+              + len(list_filter(toks, t -> t IN ({_STOP_ES})))
+              + len(list_filter(toks, t -> t IN ({_STOP_DE}))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, t -> {_md5h('t', FP_P)})),
+                       (acc, h) -> (acc * 31 + h) % {FP_P}) AS fingerprint,
+           CAST(list_sum(list_transform(toks,
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_ish_tokens
+    FROM toks
+    """,
+)
+def ns_text_quality_stats(spark, sf_dir):
+    """Per-document quality signals + rolling fingerprint + token estimate."""
+    d = table(spark, sf_dir, "documents")
+    stats = tx.quality_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["n_distinct_tokens"].alias("n_distinct_tokens"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["alpha_ratio"].alias("alpha_ratio"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@parity(
+    "ns_text_language_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS s_en,
+               len(list_filter(toks, t -> t IN ({_STOP_ES}))) AS s_es,
+               len(list_filter(toks, t -> t IN ({_STOP_DE}))) AS s_de
+        FROM toks
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           COUNT(*) AS doc_cnt
+    FROM scores GROUP BY 1, 2
+    """,
+)
+def ns_text_language_id(spark, sf_dir):
+    """Stopword-heuristic language ID vs. the labeled lang column."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", tx.language_id(F.col("text")).alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).alias("doc_cnt"))

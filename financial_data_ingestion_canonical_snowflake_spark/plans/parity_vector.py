@@ -1,0 +1,121 @@
+"""North-star vector-similarity parity queries.
+
+The DuckDB oracles fold dot products in the SAME sequential order as the
+Spark expressions (``list_reduce`` vs ``F.aggregate``), so cosine doubles
+are bit-identical and ranks/thresholds agree exactly. LSH hyperplane
+constants are md5-derived in Python (functions/vectors.py:hyperplane) and
+inlined verbatim into both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+from ..operators import similarity as sim
+from .registry import parity, table
+
+DIM = 64
+NUM_PLANES = 6
+PLANES = vectors.hyperplanes(NUM_PLANES, DIM)
+
+
+def _sql_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+# dot(a, b) as a sequential left fold (matches functions.vectors.dot order)
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_SQL_COS = (
+    f"({_sql_dot('q_vec', 'c_vec')}) / "
+    f"(sqrt({_sql_dot('q_vec', 'q_vec')}) * sqrt({_sql_dot('c_vec', 'c_vec')}))"
+)
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_dot('embedding', _sql_list(PLANES[j]))} >= 0 "
+    f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+    for j in range(NUM_PLANES)
+)
+
+
+@parity(
+    "ns_sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank,
+           cosine_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ns_sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-10 for query vectors vec_id < 5 (broadcast queries,
+    partition-parallel corpus scan)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@parity(
+    "ns_sim_lsh_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM b),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+        FROM q JOIN c USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank,
+           cosine_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ns_sim_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH buckets (the scale path:
+    per-bucket candidates instead of a quadratic cross join)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, num_planes=NUM_PLANES, dim=DIM
+    )
+
+
+@parity(
+    "ns_vector_near_dup",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+    a AS (SELECT vec_id AS id_a, embedding AS q_vec, bucket FROM b),
+    c AS (SELECT vec_id AS id_b, embedding AS c_vec, bucket FROM b),
+    scored AS (
+        SELECT id_a, id_b, {_SQL_COS} AS cosine_sim
+        FROM a JOIN c USING (bucket)
+        WHERE id_a < id_b
+    )
+    SELECT * FROM scored WHERE cosine_sim >= 0.9
+    """,
+)
+def ns_vector_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine >= 0.9) within LSH buckets."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(
+        emb, threshold=0.9, num_planes=NUM_PLANES, dim=DIM, bucketed=True
+    )
