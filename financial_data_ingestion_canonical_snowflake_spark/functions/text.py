@@ -64,17 +64,27 @@ def minhash_signature(hashed_shingles: Column, params: list[tuple[int, int]]) ->
     ``params`` are engine constants (deterministic, shared with the oracle).
     Empty shingle sets yield P (the max sentinel) so empty docs never
     collide with real ones by accident.
+
+    Single ``F.aggregate`` fold: one pass over the shingle array computes all
+    k slots at once. The naive per-slot ``array_min(transform(...))`` form
+    inlines the whole shingle+md5 subtree k times (Catalyst does not CSE
+    across higher-order functions) and was ~25x slower.
     """
-    parts = []
-    for a, b in params:
-        mh = F.array_min(
-            F.transform(
-                hashed_shingles,
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31),
-            )
-        )
-        parts.append(F.coalesce(mh, F.lit(MERSENNE31)).cast("long"))
-    return F.array(*parts)
+    init = F.array(*[F.lit(MERSENNE31).cast("long") for _ in params])
+    return F.aggregate(
+        hashed_shingles,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+                    for a, b in params
+                ]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def simhash32(text: Column) -> Column:
@@ -84,24 +94,35 @@ def simhash32(text: Column) -> Column:
     positive; near-duplicates differ in few bits (hamming via bit_count).
     """
     hs = token_hashes(text)
-
-    def bit_vote(b: int) -> Column:
-        # closure capture keeps the merge lambda binary (pyspark binds
-        # higher-order-function variables by arity)
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    # unrolled per-bit (shiftright needs a literal bit count)
-    for b in range(32):
-        out = out + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    # Single fold: acc is a 32-slot vote vector; finish packs positive votes
+    # into the signature bits. (32 separate per-bit aggregates re-inlined the
+    # token-hash subtree 32x — same trap as minhash_signature.)
+    votes = F.aggregate(
+        hs,
+        F.array(*[F.lit(0).cast("long") for _ in range(32)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(32)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        F.array(*[F.lit(1 << b).cast("long") for b in range(32)]),
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def fingerprint(text: Column, prime: int = FP_PRIME) -> Column:

@@ -78,6 +78,11 @@ def minhash_lsh_pairs(
     sigs = with_minhash_signature(df, text_col, num_hashes, shingle_len).select(
         F.col(id_col).alias("doc"), "minhash_sig"
     )
+    # Signatures feed BOTH sides of the bucket self-join; without a persist
+    # the shingle+md5+fold pipeline (the dominant cost) runs twice. At real
+    # scale this step is a materialized signature table — persist() is the
+    # in-session equivalent (MEMORY_AND_DISK, LRU-evicted).
+    sigs = sigs.persist()
     banded = sigs.select(
         "doc",
         "minhash_sig",
@@ -133,7 +138,7 @@ def simhash_pairs(
     """
     sigs = df.select(
         F.col(id_col).alias("doc"), text.simhash32(F.col(text_col)).alias("simhash")
-    )
+    ).persist()  # both sides of the bucket self-join — see minhash_lsh_pairs
     bucket = F.shiftright(F.col("simhash"), 32 - prefix_bits) if prefix_bits else F.lit(0)
     sigs = sigs.withColumn("bucket", bucket)
     a = sigs.select(
@@ -175,6 +180,8 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
+    # consumed 3x (sizes + both join sides) — persist like the LSH signatures
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     common = (
         sh.select(F.col("doc").alias("id_a"), "shingle")

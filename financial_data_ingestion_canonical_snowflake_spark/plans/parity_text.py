@@ -49,7 +49,14 @@ _DOCS2 = (
 
 
 def _docs2(spark, sf_dir):
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The docs parquet is one small file -> 1-2 input splits; the hash-heavy
+    # dedup operators are CPU-bound, so spread rows across all cores first
+    # (at real scale the input arrives already well-partitioned).
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dups = (
         d.filter(F.col("doc_id") < 50)
         .select(
