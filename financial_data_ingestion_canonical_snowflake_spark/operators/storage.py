@@ -76,3 +76,6 @@ class ParquetTable:
         os.rename(tmp, self.path)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+        # drop Spark's cached file listing for the path — readers planned
+        # after the swap must see the new file set, not stale part files
+        df.sparkSession.catalog.refreshByPath(self.path)

@@ -1,0 +1,135 @@
+"""Structured-Streaming tests: file-source ingestion, watermarked windows,
+streaming dedupe, and the foreachBatch merge sink (SURVEY.md §2.12).
+
+Each test streams a fixture directory with ``availableNow`` (drain-and-stop)
+and checks the result against the equivalent batch computation — streaming
+and batch must agree on the same inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.storage import ParquetTable
+from financial_data_ingestion_canonical_snowflake_spark.plans.registry import table
+from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
+    MergeSink,
+    file_stream,
+    start_merge_stream,
+    streaming_dedupe,
+    watermarked_window_agg,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events rewritten as multiple proper-timestamp parquet files (the
+    driver's file is TIMESTAMP(NANOS), unreadable by a streaming scan)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(stream_df, tmp_path, mode="append"):
+    name = f"mem_{abs(hash(tmp_path)) % 10**8}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(name)
+
+
+def test_file_stream_reads_all_rows(spark, events_dir, tmp_path):
+    stream = file_stream(spark, events_dir, max_files_per_trigger=2)
+    got = _drain(stream, tmp_path).count()
+    want = spark.read.parquet(events_dir).count()
+    assert got == want
+
+
+def test_watermarked_window_agg_matches_batch(spark, events_dir, tmp_path):
+    stream = file_stream(spark, events_dir)
+    agg = watermarked_window_agg(
+        stream,
+        "ts",
+        window="1 hour",
+        watermark="1 hour",
+        group_cols=("event_type",),
+        aggs={"event_cnt": F.count(F.lit(1)), "total_value": F.sum("value")},
+    )
+    # complete mode emits every window regardless of watermark progress, so
+    # the drained result is directly comparable to batch
+    got = _drain(agg, tmp_path, mode="complete")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, batch.collect()))
+    assert got_rows == want_rows
+
+
+def test_streaming_dedupe_one_survivor_per_key(spark, events_dir, tmp_path):
+    base = spark.read.parquet(events_dir)
+    dup_dir = f"{tmp_path}/dup_events"
+    base.unionByName(base).repartition(3).write.parquet(dup_dir)  # every row twice
+
+    stream = file_stream(spark, dup_dir)
+    deduped = streaming_dedupe(stream, keys=["event_id"], ts_col="ts", watermark="1 hour")
+    got = _drain(stream_df=deduped, tmp_path=f"{tmp_path}/d")
+    n_keys = base.select("event_id").distinct().count()
+    assert got.count() == n_keys
+    assert got.select("event_id").distinct().count() == n_keys
+
+
+def test_foreach_batch_merge_upserts_incrementally(spark, events_dir, tmp_path):
+    """Two micro-batches touching the same keys -> merged table equals the
+    latest-state batch answer, and reruns are idempotent."""
+    src = spark.read.parquet(events_dir).select("event_id", "event_type", "value", "ts")
+
+    # batch 1: all rows; batch 2: re-deliver half with updated value
+    b1_dir, b2_dir = f"{tmp_path}/in/b1", f"{tmp_path}/in/b2"
+    src.write.parquet(b1_dir)
+    updated = src.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    updated.write.parquet(b2_dir)
+
+    target = ParquetTable(f"{tmp_path}/tbl", schema=src.schema)
+    sink = MergeSink(target, keys=["event_id"], dedupe_order=[F.col("ts").desc()])
+    stream = file_stream(
+        spark, f"{tmp_path}/in/*", schema=src.schema, max_files_per_trigger=1
+    )
+    q = start_merge_stream(stream, sink, f"{tmp_path}/ckpt", available_now=True)
+    q.awaitTermination(180)
+
+    result = target.read(spark)
+    assert result.count() == src.count()
+    # every even key carries the updated value, odd keys the original
+    merged = result.alias("r").join(updated.alias("u"), "event_id").filter(
+        F.col("r.value") != F.col("u.value")
+    )
+    assert merged.count() == 0
+
+    # idempotency: re-merging batch 2 changes nothing (snapshot rows first —
+    # the swap invalidates DataFrames planned against the old file set)
+    before = sorted(map(tuple, result.collect()))
+    sink(spark.read.parquet(b2_dir), batch_id=99)
+    after = sorted(map(tuple, target.read(spark).collect()))
+    assert after == before
