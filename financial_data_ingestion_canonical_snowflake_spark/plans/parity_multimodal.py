@@ -1,0 +1,108 @@
+"""Multimodal-operator parity queries.
+
+The media table is synthesized deterministically from ``documents`` (content
+= utf-8 bytes of the text), so the DuckDB oracle can reason about byte
+lengths arithmetically (``octet_length(encode(text))``) even though it never
+runs the Python kernels. The decode-feature query is rows-only (its
+histogram math lives in numpy inside mapInPandas — exact values are covered
+by tests/test_multimodal.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as mm
+from .registry import parity, table
+
+_KIND = "(['image','audio','video'])[(doc_id % 3) + 1]"
+_NBYTES = "octet_length(encode(text))"
+
+
+def _media(spark, sf_dir):
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return mm.synthesize_media(docs, "doc_id", "text")
+
+
+@parity(
+    "ns_mm_metadata_stats",
+    oracle=f"""
+    SELECT {_KIND} AS kind, COUNT(*) AS media_cnt,
+           SUM({_NBYTES}) AS total_bytes,
+           CAST(SUM(CASE WHEN {_KIND} = 'image'
+                THEN CAST(ceil(sqrt(CAST({_NBYTES} AS DOUBLE))) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS total_width,
+           CAST(SUM(CASE WHEN {_KIND} = 'video' THEN {_NBYTES} * 40 ELSE 0 END)
+                AS BIGINT) AS total_duration_ms
+    FROM documents GROUP BY 1
+    """,
+)
+def ns_mm_metadata_stats(spark, sf_dir):
+    """Typed-metadata rollup over the binary media table (metadata stays a
+    struct column; content is never touched — scan prunes to metadata)."""
+    m = _media(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("media_cnt"),
+        F.sum("metadata.n_bytes").alias("total_bytes"),
+        F.sum(F.coalesce(F.col("metadata.width").cast("long"), F.lit(0))).alias(
+            "total_width"
+        ),
+        F.sum(F.coalesce(F.col("metadata.duration_ms"), F.lit(0))).alias(
+            "total_duration_ms"
+        ),
+    )
+
+
+@parity(
+    "ns_mm_frame_sample",
+    oracle=f"""
+    WITH m AS (SELECT doc_id AS media_id, {_NBYTES} AS n FROM documents
+               WHERE {_KIND} = 'video'),
+    fr AS (SELECT media_id, CAST(ceil(n / 64.0) AS BIGINT) AS n_frames FROM m)
+    SELECT media_id,
+           CAST(ceil(n_frames / 2.0) AS BIGINT) AS sampled_frames,
+           CAST((CAST(ceil(n_frames / 2.0) AS BIGINT) - 1) * 2 AS BIGINT) AS last_frame_index
+    FROM fr
+    """,
+)
+def ns_mm_frame_sample(spark, sf_dir):
+    """Video frame sampling (mapInPandas row fan-out), checked arithmetically:
+    ceil(bytes/64) frames, every 2nd sampled."""
+    videos = _media(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = mm.frame_sample(videos, frame_bytes=64, every_n=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("sampled_frames"),
+        F.max("frame_index").alias("last_frame_index"),
+    )
+
+
+@parity(
+    "ns_mm_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(ceil({_NBYTES} / 4.0) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def ns_mm_resize(spark, sf_dir):
+    """Binary-in/binary-out downsample; oracle checks the output sizes."""
+    resized = mm.resize_media(_media(spark, sf_dir), factor=4)
+    return resized.select("media_id", "n_bytes")
+
+
+@parity("ns_mm_decode_features")  # rows-only: numpy histogram, not SQL-expressible
+def ns_mm_decode_features(spark, sf_dir):
+    """Decode + histogram feature extraction (Arrow-batched mapInPandas);
+    exact-value assertions live in tests/test_multimodal.py."""
+    feats = mm.decode_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_samples",
+        "mean_level",
+        F.size("features").alias("feature_dim"),
+    )
