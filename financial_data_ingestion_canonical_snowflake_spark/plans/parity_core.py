@@ -708,3 +708,267 @@ def stream_tumbling_window_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M2/M3: composite-key and NULL-safe-key merges (sql/05:32-53, sql/06:30-50)
+# --------------------------------------------------------------------------
+
+_M2_ORACLE = """
+    WITH target AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(18,6)) AS quantity, 'orig' AS version
+        FROM lineitem WHERE l_orderkey % 4 != 3
+    ), src_raw AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity * 2 AS DECIMAL(18,6)) AS quantity, 'new' AS version,
+               row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                  ORDER BY l_quantity DESC, l_orderkey) AS rn
+        FROM lineitem WHERE l_orderkey % 2 = 1
+    ), source AS (SELECT l_orderkey, l_linenumber, quantity, version FROM src_raw WHERE rn = 1)
+    SELECT COALESCE(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+           COALESCE(t.l_linenumber, s.l_linenumber) AS l_linenumber,
+           CASE WHEN s.l_orderkey IS NOT NULL THEN s.quantity ELSE t.quantity END AS quantity,
+           CASE WHEN s.l_orderkey IS NOT NULL THEN s.version ELSE t.version END AS version
+    FROM target t FULL OUTER JOIN source s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+"""
+
+
+@parity("m2_merge_composite_key", oracle=_M2_ORACLE)
+def m2_merge_composite_key(spark, sf_dir):
+    """M2: line-grain MERGE on (canonical_txn_id, line_number) composite key
+    with source pre-dedupe (sql/05_merge_canonical.sql:32-53; duplicate
+    source keys would make Snowflake MERGE nondeterministic, SURVEY.md M2)."""
+    li = table(spark, sf_dir, "lineitem")
+    target = li.filter(F.col("l_orderkey") % 4 != 3).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast(DEC18).alias("quantity"),
+        F.lit("orig").alias("version"),
+    )
+    source = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_quantity") * 2).cast(DEC18).alias("quantity"),
+        F.lit("new").alias("version"),
+    )
+    return merge_upsert(
+        target, source,
+        keys=["l_orderkey", "l_linenumber"],
+        dedupe_order=[F.col("quantity").desc(), F.col("l_orderkey")],
+    )
+
+
+_M3_ORACLE = """
+    WITH target AS (
+        SELECT o_orderkey AS txn_id, 'NEGATIVE_QTY' AS anomaly_code,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 7 END AS line_number,
+               'seen' AS status
+        FROM orders WHERE o_orderkey % 5 < 3
+    ), source AS (
+        SELECT o_orderkey AS txn_id, 'NEGATIVE_QTY' AS anomaly_code,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 7 END AS line_number,
+               'fresh' AS status
+        FROM orders WHERE o_orderkey % 5 BETWEEN 1 AND 3
+    )
+    SELECT COALESCE(t.txn_id, s.txn_id) AS txn_id,
+           COALESCE(t.anomaly_code, s.anomaly_code) AS anomaly_code,
+           CASE WHEN s.txn_id IS NOT NULL THEN s.line_number ELSE t.line_number END AS line_number,
+           CASE WHEN s.txn_id IS NOT NULL THEN s.status ELSE t.status END AS status
+    FROM target t FULL OUTER JOIN source s
+      ON t.txn_id = s.txn_id AND t.anomaly_code = s.anomaly_code
+     AND COALESCE(t.line_number, -1) = COALESCE(s.line_number, -1)
+"""
+
+
+@parity("m3_merge_nullsafe_key", oracle=_M3_ORACLE)
+def m3_merge_nullsafe_key(spark, sf_dir):
+    """M3: anomaly MERGE whose key includes a nullable line_number — NULLs
+    must match each other (eqNullSafe; the reference spells it
+    COALESCE(line_number, -1), sql/06_anomaly_detection.sql:36-39)."""
+    o = table(spark, sf_dir, "orders")
+    line_no = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long")).otherwise(
+        F.col("o_orderkey") % 7
+    )
+    target = o.filter(F.col("o_orderkey") % 5 < 3).select(
+        F.col("o_orderkey").alias("txn_id"),
+        F.lit("NEGATIVE_QTY").alias("anomaly_code"),
+        line_no.alias("line_number"),
+        F.lit("seen").alias("status"),
+    )
+    source = o.filter((F.col("o_orderkey") % 5 >= 1) & (F.col("o_orderkey") % 5 <= 3)).select(
+        F.col("o_orderkey").alias("txn_id"),
+        F.lit("NEGATIVE_QTY").alias("anomaly_code"),
+        line_no.alias("line_number"),
+        F.lit("fresh").alias("status"),
+    )
+    return merge_upsert(
+        target, source, keys=["txn_id", "anomaly_code", "line_number"]
+    )
+
+
+# --------------------------------------------------------------------------
+# O-group: ordered probes (sql/08_smoke_tests.sql:12-14)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "o1_o3_ordered_probes",
+    oracle="""
+    WITH counts AS (
+        SELECT n_name, r_name, COUNT(*) AS cust_cnt,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT row_number() OVER (ORDER BY cust_cnt DESC, n_name, r_name) AS probe_rank,
+           n_name, r_name, cust_cnt, total_bal
+    FROM counts
+    """,
+)
+def o1_o3_ordered_probes(spark, sf_dir):
+    """O1-O3 multi-column ORDER BY with DESC (sql/08_smoke_tests.sql:12-14);
+    probe_rank materializes the ordering so the order-insensitive hash still
+    certifies it."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            F.sum(_dec(F.col("c_acctbal"))).cast(DEC38).alias("total_bal"),
+        )
+    )
+    w = Window.orderBy(F.desc("cust_cnt"), "n_name", "r_name")
+    return counts.select(
+        F.row_number().over(w).alias("probe_rank"),
+        "n_name", "r_name", "cust_cnt", "total_bal",
+    ).orderBy("probe_rank")
+
+
+# --------------------------------------------------------------------------
+# V8: inner explode of anomaly-code arrays (sql/06_anomaly_detection.sql:14)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "v8_explode_inner",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_orderkey,
+               list_filter([
+                   CASE WHEN o_totalprice > 200000 THEN 'HIGH_VALUE' END,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT' END,
+                   CASE WHEN o_orderstatus = 'F' THEN 'FINISHED' END
+               ], x -> x IS NOT NULL) AS codes
+        FROM orders
+    )
+    SELECT code, COUNT(*) AS txn_cnt
+    FROM flagged, UNNEST(codes) AS u(code)
+    GROUP BY 1
+    """,
+)
+def v8_explode_inner(spark, sf_dir):
+    """V8 non-OUTER FLATTEN: inner explode drops empty arrays — rows with no
+    codes contribute nothing (sql/06_anomaly_detection.sql:13-16)."""
+    o = table(spark, sf_dir, "orders")
+    codes = scalars.array_compact_of(
+        F.when(F.col("o_totalprice") > 200000, "HIGH_VALUE"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "URGENT"),
+        F.when(F.col("o_orderstatus") == "F", "FINISHED"),
+    )
+    return (
+        o.select(F.explode(codes).alias("code"))
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("txn_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.11 anomaly rule set over defect-injected data
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "anomaly_rules_header_line",
+    oracle="""
+    WITH hdr AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS total_amount,
+               COUNT(*) OVER (PARTITION BY o_custkey % 500) AS dup_cnt
+        FROM orders
+    ), hdr_flags AS (
+        SELECT o_orderkey,
+               list_filter([
+                   CASE WHEN dup_cnt > 1 THEN 'DUPLICATE_TXN' END,
+                   CASE WHEN total_amount IS NULL THEN 'MISSING_REQUIRED' END,
+                   CASE WHEN total_amount < 0 THEN 'NEGATIVE_AMOUNT' END
+               ], x -> x IS NOT NULL) AS codes
+        FROM hdr
+    ), hdr_anom AS (
+        SELECT o_orderkey AS txn_id, code, CAST(NULL AS BIGINT) AS line_number
+        FROM hdr_flags, UNNEST(codes) AS u(code)
+    ), line_anom AS (
+        SELECT l_orderkey AS txn_id,
+               CASE WHEN l_quantity - 26 < 0 THEN 'NEGATIVE_QTY'
+                    ELSE 'NEGATIVE_AMOUNT_LINE' END AS code,
+               CAST(l_linenumber AS BIGINT) AS line_number
+        FROM lineitem
+        WHERE l_quantity - 26 < 0 OR l_extendedprice - 40000 < 0
+    )
+    SELECT code, COUNT(*) AS anomaly_cnt,
+           COUNT(DISTINCT txn_id) AS txn_cnt,
+           SUM(CASE WHEN line_number IS NULL THEN 1 ELSE 0 END) AS header_grain_cnt
+    FROM (SELECT * FROM hdr_anom UNION ALL SELECT * FROM line_anom)
+    GROUP BY 1
+    """,
+)
+def anomaly_rules_header_line(spark, sf_dir):
+    """The five §2.11 anomaly rules over defect-injected TPC-H rows: header
+    rules (DUPLICATE_TXN / MISSING_REQUIRED / NEGATIVE_AMOUNT,
+    sql/03_transform_headers.sql:98-102) union'd with line rules where a row
+    with BOTH negatives yields only NEGATIVE_QTY
+    (sql/06_anomaly_detection.sql:19,24 — one code per row, faithfully)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    w = Window.partitionBy(F.col("o_custkey") % 500)
+    amt = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast(DEC18)).otherwise(
+        F.col("o_totalprice").cast(DEC18)
+    )
+    hdr = o.select(
+        "o_orderkey", amt.alias("total_amount"), F.count(F.lit(1)).over(w).alias("dup_cnt")
+    )
+    hdr_codes = scalars.array_compact_of(
+        F.when(F.col("dup_cnt") > 1, "DUPLICATE_TXN"),
+        F.when(F.col("total_amount").isNull(), "MISSING_REQUIRED"),
+        F.when(F.col("total_amount") < 0, "NEGATIVE_AMOUNT"),
+    )
+    hdr_anom = hdr.select(
+        F.col("o_orderkey").alias("txn_id"),
+        F.explode(hdr_codes).alias("code"),
+        F.lit(None).cast("long").alias("line_number"),
+    )
+
+    qty, amt_l = F.col("l_quantity") - 26, F.col("l_extendedprice") - 40000
+    line_anom = li.filter((qty < 0) | (amt_l < 0)).select(
+        F.col("l_orderkey").alias("txn_id"),
+        scalars.iff(qty < 0, F.lit("NEGATIVE_QTY"), F.lit("NEGATIVE_AMOUNT_LINE")).alias("code"),
+        F.col("l_linenumber").cast("long").alias("line_number"),
+    )
+
+    return (
+        hdr_anom.unionByName(line_anom)
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("anomaly_cnt"),
+            F.countDistinct("txn_id").alias("txn_cnt"),
+            F.sum(F.when(F.col("line_number").isNull(), 1).otherwise(0)).alias(
+                "header_grain_cnt"
+            ),
+        )
+    )
