@@ -27,7 +27,10 @@ HEADLINE = [
     "v5_json_path_agg",
     "v7_posexplode_outer_lines",
     "m1_merge_upsert",
+    "m2_merge_composite_key",
+    "anomaly_rules_header_line",
     "stream_tumbling_window_agg",
+    "stream_live_windowed_agg",
     "s7_s8_lineage_rownum",
 ]
 

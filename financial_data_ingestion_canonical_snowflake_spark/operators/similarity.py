@@ -116,3 +116,62 @@ def cosine_near_dup_pairs(
         .filter((F.col("id_a") < F.col("id_b")) & (F.col("cosine_sim") >= threshold))
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Classic two-level ANN: a small coarse-quantizer centroid set partitions
+    the corpus into inverted lists (each vector assigned to its nearest
+    centroid); a query probes only its ``n_probe`` nearest lists. At 100 TB
+    the corpus shuffle is one hash-partition by centroid_id, the centroid
+    set broadcasts everywhere, and per-query work drops to the probed lists
+    — the standard trade of recall for a |corpus|/|lists| fan-in reduction.
+
+    ``centroids`` defaults to the ``n_centroids`` lowest-id corpus vectors —
+    deterministic (no RNG, no training loop) so the DuckDB oracle can derive
+    the identical quantizer. A k-means-trained centroid table plugs into the
+    same argument.
+    """
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, n_keep: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .crossJoin(cents)
+            .withColumn("cent_sim", vectors.cosine(F.col(out_vec), F.col("cent_vec")))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(out_id, out_vec, "centroid_id")
+        )
+
+    inv_lists = assign(corpus, "neighbor_id", "c_vec", 1)
+    probes = assign(queries, "query_id", "q_vec", n_probe)
+
+    scored = _with_cosine(probes.join(inv_lists, "centroid_id")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

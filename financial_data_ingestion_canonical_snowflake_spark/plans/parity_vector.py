@@ -119,3 +119,67 @@ def ns_vector_near_dup(spark, sf_dir):
     return sim.cosine_near_dup_pairs(
         emb, threshold=0.9, num_planes=NUM_PLANES, dim=DIM, bucketed=True
     )
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)}) / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+@parity(
+    "ns_sim_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    inv AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id
+        FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {_sql_cos('e.embedding', 'cent_vec')} DESC, centroid_id) AS crank
+            FROM embeddings e CROSS JOIN cents
+        ) WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+        FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {_sql_cos('e.embedding', 'cent_vec')} DESC, centroid_id) AS crank
+            FROM embeddings e CROSS JOIN cents
+            WHERE e.vec_id < 20
+        ) WHERE crank <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+        FROM probes JOIN inv USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank,
+           cosine_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ns_sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: corpus sharded into inverted lists by nearest
+    centroid (deterministic quantizer = lowest-id vectors), queries probe
+    their 2 nearest lists."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        centroids=emb.filter(F.col("vec_id") < N_CENTROIDS),
+        k=5,
+        n_probe=N_PROBE,
+    )
