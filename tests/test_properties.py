@@ -1,0 +1,179 @@
+"""Property-based tests (hypothesis) for the engine's core invariants
+(SURVEY.md §5 test plan item 3).
+
+Hypothesis drives randomized row sets through the real Spark operators; a
+shared session-scoped SparkSession keeps example turnaround fast (each
+example is a small createDataFrame, not a file read). ``deadline=None``
+because Spark job latency is environment-noise, not a property failure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_canonical_snowflake_spark.functions import scalars, text
+from financial_data_ingestion_canonical_snowflake_spark.operators.dedupe import (
+    latest_by_key,
+    rank_duplicates,
+)
+from financial_data_ingestion_canonical_snowflake_spark.operators.merge import merge_upsert
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.one_of(st.none(), st.integers(min_value=0, max_value=5).map(str))
+_row = st.tuples(
+    _key,  # business key (None models NULL source_txn_id)
+    st.integers(min_value=0, max_value=10**6),  # ingest order
+    st.text(min_size=0, max_size=12),  # payload
+)
+
+
+@SETTINGS
+@given(rows=st.lists(_row, min_size=1, max_size=40))
+def test_dedupe_exactly_one_survivor_per_key(spark, rows):
+    """W1 invariant: rank_duplicates yields exactly one rn=1 per key
+    partition (NULL keys form ONE partition, reference semantics), and the
+    survivor is the latest by ingest order with deterministic tiebreak."""
+    df = spark.createDataFrame(
+        [(k, i, p) for k, i, p in rows], "key string, ingest_seq long, payload string"
+    )
+    ranked = rank_duplicates(
+        df, keys=["key"], order_by=[F.col("ingest_seq").desc(), F.col("payload")]
+    )
+    survivors = ranked.filter("rn = 1")
+    n_keys = df.select("key").distinct().count()
+    assert survivors.count() == n_keys
+
+    # survivor carries the max ingest_seq of its partition
+    mx = df.groupBy("key").agg(F.max("ingest_seq").alias("mx"))
+    bad = survivors.join(mx, ["key"], "left").filter(F.col("ingest_seq") != F.col("mx"))
+    assert bad.count() == 0
+
+    # dup_cnt matches the real partition sizes everywhere
+    sizes = df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    mism = ranked.join(sizes, ["key"]).filter(F.col("dup_cnt") != F.col("n"))
+    assert mism.count() == 0
+
+
+@SETTINGS
+@given(rows=st.lists(_row, min_size=1, max_size=30))
+def test_latest_by_key_equals_manual_argmax(spark, rows):
+    df = spark.createDataFrame(
+        [(k, i, p) for k, i, p in rows], "key string, ingest_seq long, payload string"
+    )
+    got = latest_by_key(
+        df, keys=["key"], order_by=[F.col("ingest_seq").desc(), F.col("payload")]
+    )
+    by_key: dict = {}
+    for k, i, p in rows:  # Spark asc ordering: NULL sorts first
+        sk = lambda r: (-r[1], r[2] is not None, r[2] or "")
+        cur = by_key.get(k)
+        if cur is None or sk((k, i, p)) < sk(cur):
+            by_key[k] = (k, i, p)
+    want = sorted(by_key.values(), key=lambda r: (r[0] or "",))
+    assert sorted(map(tuple, got.collect()), key=lambda r: (r[0] or "",)) == want
+
+
+@SETTINGS
+@given(
+    strs=st.lists(
+        st.one_of(
+            st.text(max_size=10),
+            st.integers(-10**12, 10**12).map(str),
+            st.floats(allow_nan=False, allow_infinity=False).map(str),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_try_casts_never_throw(spark, strs):
+    """F3/F4: try_to_number / try_to_timestamp return NULL or a value, never
+    raise — on arbitrary junk input."""
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    out = df.select(
+        scalars.try_to_number(F.col("s")).alias("n"),
+        scalars.try_to_timestamp(F.col("s")).alias("ts"),
+    )
+    # evaluate engine-side only: some valid Spark timestamps (year -1000)
+    # aren't representable as Python datetimes, so don't collect them raw
+    flags = out.select(F.isnull("n").alias("n_null"), F.isnull("ts").alias("t_null"))
+    rows = flags.collect()  # the property IS "this does not raise"
+    assert len(rows) == len(strs)
+
+
+@SETTINGS
+@given(
+    tgt=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=15),
+    src=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=15),
+)
+def test_merge_upsert_key_algebra(spark, tgt, src):
+    """M1 invariants: result keys = target ∪ source keys; source wins on
+    matched keys; merge is idempotent (re-merging the same source is a
+    no-op)."""
+    tgt = list({k: v for k, v in tgt}.items())
+    src = list({k: v for k, v in src}.items())
+    target = spark.createDataFrame(tgt or [(999, 0)], "k long, v long")
+    source = spark.createDataFrame(src or [(998, 0)], "k long, v long")
+    merged = merge_upsert(target, source, keys=["k"])
+
+    got = {r.k: r.v for r in merged.collect()}
+    want = dict(tgt or [(999, 0)])
+    want.update(dict(src or [(998, 0)]))
+    assert got == want
+
+    again = merge_upsert(merged, source, keys=["k"])
+    assert {r.k: r.v for r in again.collect()} == want
+
+
+@SETTINGS
+@given(s=st.text(alphabet=st.characters(codec="utf-8"), max_size=60))
+def test_text_primitives_total(spark, s):
+    """Text primitives are total: shingles of short texts are empty (never
+    negative-length), token counts are consistent, quality ratios finite."""
+    df = spark.createDataFrame([(s,)], "text string")
+    row = df.select(
+        text.shingles(F.col("text"), 3).alias("sh"),
+        F.size(text.tokens(F.col("text"))).alias("n_tok"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    n_tok = row.n_tok
+    assert len(row.sh) == max(0, n_tok - 2)
+    assert row.bpe >= 0
+    assert 0 <= row.fp < text.FP_PRIME
+
+
+@SETTINGS
+@given(
+    amts=st.lists(
+        st.one_of(st.none(), st.decimals(min_value=-1000, max_value=1000, places=2)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_anomaly_codes_match_predicates(spark, amts):
+    """§2.11: the anomaly-code array contains MISSING_REQUIRED iff amount is
+    NULL, NEGATIVE_AMOUNT iff amount < 0 — and is_valid == (array empty)."""
+    df = spark.createDataFrame([(a,) for a in amts], "amt decimal(18,6)")
+    codes = scalars.array_compact_of(
+        F.when(F.col("amt").isNull(), "MISSING_REQUIRED"),
+        F.when(F.col("amt") < 0, "NEGATIVE_AMOUNT"),
+    )
+    out = df.select("amt", codes.alias("codes"), (F.size(codes) == 0).alias("is_valid"))
+    for r in out.collect():
+        want = []
+        if r.amt is None:
+            want.append("MISSING_REQUIRED")
+        if r.amt is not None and r.amt < 0:
+            want.append("NEGATIVE_AMOUNT")
+        assert list(r.codes) == want
+        assert r.is_valid == (not want)
