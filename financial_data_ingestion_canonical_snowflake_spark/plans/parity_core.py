@@ -972,3 +972,35 @@ def anomaly_rules_header_line(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigation: salted join equivalence (scale posture, SURVEY.md §4)
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS line_cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted join == plain join, proved against a plain-join oracle: the
+    lineitem side is salted 16 ways, the orders side replicated, results
+    identical (operators/skew.py; salting is the manual fallback where AQE
+    skew-splitting can't rebalance a single hot build key)."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), on=["l_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_cnt"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast(DEC38).alias("total_price"),
+    )
