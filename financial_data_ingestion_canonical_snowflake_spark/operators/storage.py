@@ -79,3 +79,38 @@ class ParquetTable:
         # drop Spark's cached file listing for the path — readers planned
         # after the swap must see the new file set, not stale part files
         df.sparkSession.catalog.refreshByPath(self.path)
+
+
+class BucketedTable:
+    """Catalog-backed parquet table bucketed (and sorted) by join/merge keys.
+
+    Bucketing pre-shuffles data at write time: a join or aggregation on the
+    bucket keys between two tables with compatible bucket counts runs with
+    ZERO exchanges (verified in tests/test_bucketing.py via explain). This is
+    the 100 TB seam for the canonical tables: CAN_TXN bucketed by
+    canonical_txn_id makes every incremental MERGE scan-side shuffle-free —
+    only the (small) source batch shuffles.
+
+    Uses the session catalog (``saveAsTable``) because bucket metadata lives
+    in the catalog, not in parquet files; plain-path tables can't carry it.
+    """
+
+    def __init__(self, name: str, bucket_cols: Sequence[str], num_buckets: int = 16):
+        self.name = name
+        self.bucket_cols = list(bucket_cols)
+        self.num_buckets = num_buckets
+
+    def exists(self, spark: SparkSession) -> bool:
+        return spark.catalog.tableExists(self.name)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.name)
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(self.num_buckets, *self.bucket_cols)
+            .sortBy(*self.bucket_cols)
+            .saveAsTable(self.name)
+        )
