@@ -168,3 +168,94 @@ def start_merge_stream(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def with_observed_metrics(df: DataFrame, name: str = "load_audit") -> DataFrame:
+    """Attach S11-style load telemetry to a streaming DataFrame.
+
+    ``df.observe`` computes the aggregates inside the running query (no
+    second scan — the streaming analog of RESULT_SCAN's "telemetry for the
+    statement that just ran"); pair with :class:`AuditListener` to land one
+    audit row per micro-batch.
+    """
+    err = (
+        F.col("_load_error")
+        if "_load_error" in df.columns
+        else F.lit(None).cast("string")
+    )
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_parsed"),
+        F.sum(F.when(err.isNull(), 1).otherwise(0)).alias("rows_loaded"),
+        F.sum(F.when(err.isNotNull(), 1).otherwise(0)).alias("errors_seen"),
+    )
+
+
+class AuditListener:
+    """StreamingQueryListener that appends observed per-batch metrics to a
+    durable audit table (streaming RAW_LOAD_AUDIT,
+    reference sql/01_raw_ingestion.sql:74-86).
+
+    Listener callbacks run on the driver after each micro-batch commits, so
+    the append can't race the batch itself; `observation_name` selects which
+    observe() node feeds the audit.
+    """
+
+    def __init__(self, spark, audit_table: ParquetTable, observation_name: str = "load_audit"):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                metrics = event.progress.observedMetrics.get(outer.obs_name)
+                if metrics is None:
+                    return
+                rows_parsed = metrics["rows_parsed"] or 0
+                rows_loaded = metrics["rows_loaded"] or 0
+                errors_seen = metrics["errors_seen"] or 0
+                if rows_parsed == 0:
+                    return  # empty trigger; the reference audits only real COPYs
+                status = (
+                    "LOADED"
+                    if errors_seen == 0
+                    else ("PARTIALLY_LOADED" if rows_loaded > 0 else "LOAD_FAILED")
+                )
+                row = [(
+                    f"stream_batch_{event.progress.batchId}",
+                    outer.file_type,
+                    status,
+                    int(rows_parsed),
+                    int(rows_loaded),
+                    int(errors_seen),
+                    None,
+                )]
+                df = outer.spark.createDataFrame(
+                    row,
+                    "src_file string, file_type string, load_status string, "
+                    "rows_parsed long, rows_loaded long, errors_seen long, "
+                    "first_error string",
+                ).withColumn("load_ts", F.current_timestamp())
+                outer.table.append(df)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.spark = spark
+        self.table = audit_table
+        self.obs_name = observation_name
+        self.file_type = "STREAM"
+        self._listener = _L()
+
+    def register(self) -> "AuditListener":
+        self.spark.streams.addListener(self._listener)
+        return self
+
+    def unregister(self) -> None:
+        self.spark.streams.removeListener(self._listener)

@@ -214,3 +214,43 @@ def test_stream_raw_to_canonical_matches_batch(spark, tmp_path):
     want_stable = [r for r in want if r[0] not in dup_ids]
     assert stable == want_stable
     assert len(dup_ids) > 0  # the fixtures do exercise the divergence
+
+
+def test_observed_audit_lands_per_batch(spark, events_dir, tmp_path):
+    """S11 streaming variant: df.observe metrics + listener append one audit
+    row per non-empty micro-batch, totals matching the input row count."""
+    import time
+
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
+        AuditListener,
+        with_observed_metrics,
+    )
+
+    audit = ParquetTable(f"{tmp_path}/audit")
+    listener = AuditListener(spark, audit).register()
+    try:
+        stream = with_observed_metrics(
+            file_stream(spark, events_dir, max_files_per_trigger=2)
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async; wait for the appends to land
+        deadline = time.time() + 30
+        want = spark.read.parquet(events_dir).count()
+        while time.time() < deadline:
+            if audit.exists():
+                rows = spark.read.parquet(audit.path).collect()
+                if sum(r.rows_parsed for r in rows) >= want:
+                    break
+            time.sleep(1)
+        rows = spark.read.parquet(audit.path).collect()
+        assert sum(r.rows_parsed for r in rows) == want
+        assert all(r.load_status == "LOADED" for r in rows)
+        assert len(rows) >= 2  # maxFilesPerTrigger=2 over 4 files
+    finally:
+        listener.unregister()
