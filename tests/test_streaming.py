@@ -239,16 +239,20 @@ def test_observed_audit_lands_per_batch(spark, events_dir, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        # listener callbacks are async; wait for the appends to land
-        deadline = time.time() + 30
+        # listener callbacks are async; poll until the appends land (reads
+        # can transiently race an in-flight append -> retry, don't fail)
+        deadline = time.time() + 60
         want = spark.read.parquet(events_dir).count()
+        rows = []
         while time.time() < deadline:
-            if audit.exists():
-                rows = spark.read.parquet(audit.path).collect()
-                if sum(r.rows_parsed for r in rows) >= want:
-                    break
+            try:
+                if audit.exists():
+                    rows = spark.read.parquet(audit.path).collect()
+                    if sum(r.rows_parsed for r in rows) >= want:
+                        break
+            except Exception:
+                pass
             time.sleep(1)
-        rows = spark.read.parquet(audit.path).collect()
         assert sum(r.rows_parsed for r in rows) == want
         assert all(r.load_status == "LOADED" for r in rows)
         assert len(rows) >= 2  # maxFilesPerTrigger=2 over 4 files
