@@ -70,3 +70,52 @@ def stream_live_windowed_agg(spark, sf_dir):
         "event_cnt",
         "total_value",
     )
+
+
+@parity(
+    "ns_sessionize_batch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               CAST(value AS DECIMAL(18,6)) AS val
+        FROM events
+    ),
+    lagged AS (
+        SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM e
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(val) AS DECIMAL(38,6)) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def ns_sessionize_batch(spark, sf_dir):
+    """Gap-based (30 min) sessionization per user — lag-mark + running-sum
+    session ids + rollup, one shuffle total (operators/sessionize.py). The
+    streaming twin (applyInPandasWithState) is verified against this plan in
+    tests/test_sessionize.py."""
+    from ..operators.sessionize import sessionize_batch
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "val", F.col("value").cast(_DEC18)
+    )
+    out = sessionize_batch(e, gap_minutes=30, value_col="val")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.col("total_value").cast(_DEC38).alias("total_value"),
+    )
