@@ -32,6 +32,8 @@ HEADLINE = [
     "stream_tumbling_window_agg",
     "stream_live_windowed_agg",
     "s7_s8_lineage_rownum",
+    "v5b_variant_typed_access",
+    "pipeline_e2e_canonical_txn",
 ]
 
 

@@ -1004,3 +1004,31 @@ def skew_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("line_cnt"),
         F.sum(_dec(F.col("l_extendedprice"))).cast(DEC38).alias("total_price"),
     )
+
+
+@parity(
+    "v5b_variant_typed_access",
+    oracle="""
+    SELECT event_type,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)
+               AS null_path_cnt,
+           COUNT(*) AS event_cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def v5b_variant_typed_access(spark, sf_dir):
+    """V5 via true VARIANT (PySpark 4): parse_json payload + try_variant_get
+    typed path access — NULL on missing path, never an error (the
+    drift-tolerance contract, functions/variant.py; the pipeline readers
+    produce VARIANT payloads natively)."""
+    from ..functions.variant import vget
+
+    e = table(spark, sf_dir, "events").withColumn("vp", F.parse_json("props"))
+    k = vget(F.col("vp"), "k", "long")
+    missing = vget(F.col("vp"), "missing", "string")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("null_path_cnt"),
+        F.count(F.lit(1)).alias("event_cnt"),
+    )
