@@ -25,7 +25,16 @@ from .registry import parity
 _BATCH_TS = dt.datetime(2026, 2, 1, 0, 0, 0)
 
 
+_PIPELINE_CACHE: dict[int, Pipeline] = {}
+
+
 def _run_pipeline(spark: SparkSession) -> Pipeline:
+    """Run the fixture pipeline once per session — both e2e parity queries
+    (and repeated driver calls) read the same warehouse; the run is
+    deterministic (pinned fixtures + batch_ts), so reuse is sound."""
+    key = id(spark._jsparkSession)
+    if key in _PIPELINE_CACHE:
+        return _PIPELINE_CACHE[key]
     base = tempfile.mkdtemp(prefix="fincan_pipeline_")
     ingest_root = write_fixtures(os.path.join(base, "ingest"))
     cfg = PipelineConfig(
@@ -35,6 +44,7 @@ def _run_pipeline(spark: SparkSession) -> Pipeline:
     )
     pipe = Pipeline(spark, cfg)
     pipe.run_batch()
+    _PIPELINE_CACHE[key] = pipe
     return pipe
 
 

@@ -110,13 +110,19 @@ class Pipeline:
             if loaded_files:
                 raw = raw.filter(~F.col("src_file").isin(*loaded_files))
             raw = raw.cache()
-            audit = build_load_audit(raw, spec.file_type, self._ts())
-            good = raw.filter(F.col("_load_error").isNull()).drop("_load_error")
-            if good.isEmpty():
+            # The audit is per-file stats — always driver-small. Collect it
+            # once: it answers "anything loaded?" (saves the isEmpty action)
+            # and re-lands as a single-partition append instead of a
+            # shuffle-width write.
+            audit_rows = build_load_audit(raw, spec.file_type, self._ts()).collect()
+            if not audit_rows or sum(r.rows_loaded for r in audit_rows) == 0:
                 raw.unpersist()
                 continue
+            good = raw.filter(F.col("_load_error").isNull()).drop("_load_error")
             self.raw_tables[spec.file_type].append(good)
-            self.raw_load_audit.append(audit)
+            self.raw_load_audit.append(
+                self.spark.createDataFrame(audit_rows, schemas.RAW_LOAD_AUDIT)
+            )
             raw.unpersist()
         return {k: t.read(self.spark) if t.exists() else None for k, t in self.raw_tables.items()}
 
