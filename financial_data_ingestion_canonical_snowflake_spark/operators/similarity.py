@@ -175,3 +175,53 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes every bucket at hamming
+    distance 1 from its own (one hyperplane sign flipped).
+
+    Classic recall/cost trade: candidates grow ~(1 + num_planes)x but recall
+    approaches exact for vectors near a hyperplane boundary — the standard
+    production middle ground between single-probe LSH and brute force. The
+    corpus stays single-bucket (the index is unchanged); only the query side
+    fans out, so the big side's shuffle is identical to single-probe.
+    """
+    planes = vectors.hyperplanes(num_planes, dim)
+    base = vectors.lsh_bucket(F.col(vec_col), planes)
+    probe_buckets = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(num_planes)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    # a (query, neighbor) pair can match through several probes — dedupe
+    # before scoring so ranks are well-defined
+    cand = (
+        F.broadcast(q).join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    scored = _with_cosine(cand)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -114,3 +114,28 @@ class BucketedTable:
             .sortBy(*self.bucket_cols)
             .saveAsTable(self.name)
         )
+
+
+def compact(
+    table: ParquetTable,
+    spark: SparkSession,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite an append-maintained table into right-sized files.
+
+    Streaming/incremental appends (raw tables, load audit) accumulate one
+    small file per micro-batch; scans then pay one task + one open per file.
+    Compaction reads the table once and atomically rewrites it into
+    ``ceil(rows / target_rows_per_file)`` files. Returns the new file count.
+
+    At 100 TB this is the scheduled-maintenance analog of Delta OPTIMIZE;
+    partitioned tables compact within partitions (repartition keeps the
+    partition columns so partitionBy on rewrite preserves layout).
+    """
+    df = table.read(spark)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    cols = [c for c in table.partition_by] or None
+    out = df.repartition(n_files, *cols) if cols else df.repartition(n_files)
+    table.overwrite_atomic(out)
+    return n_files

@@ -183,3 +183,39 @@ def ns_sim_ivf_topk(spark, sf_dir):
         k=5,
         n_probe=N_PROBE,
     )
+
+
+_SQL_PROBES = "list_prepend(bucket, list_transform(generate_series(0, %d), j -> xor(bucket, CAST(1 AS BIGINT) << j)))" % (NUM_PLANES - 1)
+
+
+@parity(
+    "ns_sim_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, UNNEST({_SQL_PROBES}) AS bucket
+        FROM b WHERE vec_id < 20
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM b),
+    cand AS (
+        SELECT DISTINCT query_id, q_vec, neighbor_id, c_vec
+        FROM q JOIN c USING (bucket)
+        WHERE query_id <> neighbor_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim FROM cand)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank,
+           cosine_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ns_sim_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH top-5: queries probe their own bucket plus every
+    1-bit-flip neighbor bucket (recall near exact at ~(1+planes)x candidate
+    cost; corpus-side shuffle unchanged)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.lsh_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, num_planes=NUM_PLANES, dim=DIM
+    )

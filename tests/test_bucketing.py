@@ -78,3 +78,27 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed):
         assert _exchanges(agg) == 0, "groupBy on bucket key must not shuffle"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many per-batch appends -> one compaction pass -> few files, same rows."""
+    import glob
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.storage import (
+        ParquetTable,
+        compact,
+    )
+
+    t = ParquetTable(f"{tmp_path}/appendy")
+    src = table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    for i in range(6):  # six micro-batch appends -> many small files
+        t.append(src.filter(F.col("event_id") % 6 == i).repartition(4))
+    before_files = len(glob.glob(f"{t.path}/*.parquet"))
+    before_rows = t.read(spark).count()
+
+    n_files = compact(t, spark, target_rows_per_file=10_000)
+
+    after_files = len(glob.glob(f"{t.path}/*.parquet"))
+    assert before_files >= 20
+    assert after_files == n_files < before_files
+    assert t.read(spark).count() == before_rows
