@@ -258,3 +258,41 @@ def ns_text_language_id(spark, sf_dir):
     return d.groupBy(
         "lang", tx.language_id(F.col("text")).alias("predicted_lang")
     ).agg(F.count(F.lit(1)).alias("doc_cnt"))
+
+
+@parity(
+    "ns_dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    sh_all AS (
+        SELECT DISTINCT doc_id AS doc, UNNEST({_SHINGLES}) AS shingle FROM toks
+    ),
+    keep AS (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= 5
+    ),
+    sh AS (SELECT doc, shingle FROM sh_all JOIN keep USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def ns_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The stop-shingle skew guard (``max_shingle_freq``): shingles appearing
+    in > 5 docs are dropped before the posting-list join — the knob that caps
+    degenerate bucket blowup at 100 TB. Jaccard then runs over the SURVIVING
+    shingle sets (both engines agree on the capped universe)."""
+    return td.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        shingle_len=3, min_jaccard=0.6, max_shingle_freq=5,
+    )
