@@ -296,3 +296,51 @@ def ns_dedup_ngram_jaccard_capped(spark, sf_dir):
         _docs2(spark, sf_dir), "doc_id", "text",
         shingle_len=3, min_jaccard=0.6, max_shingle_freq=5,
     )
+
+
+@parity(
+    "ns_text_topk_quality_by_lang",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                   AS distinct_ratio,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        FROM toks
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               distinct_ratio * alpha_ratio AS quality,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY distinct_ratio * alpha_ratio DESC, doc_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT lang, rank, doc_id, quality FROM ranked WHERE rank <= 10
+    """,
+)
+def ns_text_topk_quality_by_lang(spark, sf_dir):
+    """Top-10 documents per language by composite quality score — the
+    select-best-per-group filter of a training-data pipeline. Window top-k
+    per group = one shuffle on the group key; at 100 TB prefer a partial
+    top-k per partition first (AQE handles the skew), but the plain window
+    is the correctness baseline."""
+    d = table(spark, sf_dir, "documents")
+    stats = tx.quality_stats(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            (stats["n_distinct_tokens"].cast("double") / stats["n_tokens"].cast("double"))
+            * stats["alpha_ratio"]
+        ).alias("quality"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "doc_id", "quality")
+    )
