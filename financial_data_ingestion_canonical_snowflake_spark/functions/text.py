@@ -200,3 +200,32 @@ def bpe_ish_token_count(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleaning: lowercase, strip non-alphanumerics (keep
+    spaces), collapse whitespace runs, trim. The standard pre-tokenization
+    normalizer of a training-data pipeline; pure JVM regexp ops."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def scrub_pii_ish(text: Column) -> Column:
+    """Redact email-shaped and long-digit-run substrings (credit-card/phone
+    shaped) with typed placeholders — the lexical first pass of a PII scrub.
+    A real pipeline adds NER-based passes downstream; this layer is the
+    cheap, deterministic, regex-only stage that runs on every byte."""
+    t = F.regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    t = F.regexp_replace(t, "[0-9][0-9 -]{11,}[0-9]", "<NUMBER>")
+    return t
+
+
+def sample_bucket(key: Column, modulus: int = 100) -> Column:
+    """Deterministic sampling bucket in [0, modulus): md5-derived, so the
+    same row lands in the same bucket in every engine and every run —
+    reproducible train/eval splits without RNG state."""
+    from .scalars import md5_long
+
+    return md5_long(key.cast("string"), modulus=modulus)

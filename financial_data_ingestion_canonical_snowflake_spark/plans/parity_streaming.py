@@ -12,6 +12,8 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+_EVENTS_DIR_CACHE: dict[tuple[int, str], str] = {}
+
 from pyspark.sql import functions as F
 
 from ..streaming.ingest import file_stream, watermarked_window_agg
@@ -38,9 +40,13 @@ def stream_live_windowed_agg(spark, sf_dir):
     parquet dir; the streaming query then treats that dir as an arriving
     file feed.
     """
-    work = tempfile.mkdtemp(prefix="fincan_stream_")
-    src_dir, ckpt = f"{work}/events", f"{work}/ckpt"
-    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src_dir)
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _EVENTS_DIR_CACHE:
+        src = tempfile.mkdtemp(prefix="fincan_stream_") + "/events"
+        table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+        _EVENTS_DIR_CACHE[key] = src
+    src_dir = _EVENTS_DIR_CACHE[key]
+    ckpt = tempfile.mkdtemp(prefix="fincan_stream_ckpt_")
 
     stream = file_stream(spark, src_dir, max_files_per_trigger=2)
     agg = watermarked_window_agg(

@@ -344,3 +344,62 @@ def ns_text_topk_quality_by_lang(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("lang", "rank", "doc_id", "quality")
     )
+
+
+@parity(
+    "ns_text_normalize_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '[0-9][0-9 -]{{11,}}[0-9]', '<NUMBER>', 'g')),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+           CAST(length(text) AS BIGINT) AS raw_len
+    FROM documents
+    """,
+)
+def ns_text_normalize_scrub(spark, sf_dir):
+    """PII-ish scrub (emails, long digit runs) then canonical normalization
+    (lowercase, strip punctuation, collapse whitespace) — the deterministic
+    lexical cleaning stage of a training-data pipeline, all JVM regexp."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.normalize_text(tx.scrub_pii_ish(F.col("text"))).alias("clean_text"),
+        F.length("text").cast("long").alias("raw_len"),
+    )
+
+
+@parity(
+    "ns_sample_stratified",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT lang, doc_id, {_md5h('CAST(doc_id AS VARCHAR)', 100)} AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS sampled_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM bucketed
+    WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    GROUP BY 1
+    """,
+)
+def ns_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: per-language rates (50% en, 20%
+    others) via md5 bucket — reproducible across engines/runs/cluster sizes,
+    no RNG; the train/eval-split primitive."""
+    d = table(spark, sf_dir, "documents")
+    bucket = tx.sample_bucket(F.col("doc_id"))
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
