@@ -149,3 +149,30 @@ def pipeline_e2e_ops_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return canon.unionByName(anom)
+
+
+_E2E_AUDIT_ORACLE = """
+    SELECT * FROM (VALUES
+        ('CSV', 'LOADED', CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00'),
+        ('JSON', 'LOADED', CAST(6 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00'),
+        ('JSON', 'LOAD_FAILED', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), '2026-02-01 00:00:00'),
+        ('XML', 'LOADED', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00')
+    ) AS t(file_type, load_status, file_cnt, rows_parsed, rows_loaded, errors_seen, latest_load_ts)
+"""
+
+
+@parity("pipeline_e2e_audit_summary", oracle=_E2E_AUDIT_ORACLE)
+def pipeline_e2e_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VW_LOAD_AUDIT_SUMMARY (reference sql/07_ops_views.sql:6-14) over the
+    fixture pipeline: per (file_type, load_status) file/row/error rollup of
+    the RESULT_SCAN-emulated audit — including the LOAD_FAILED row from the
+    intentionally-malformed JSON fixture (ON_ERROR='CONTINUE' semantics)."""
+    pipe = _run_pipeline(spark)
+    audit = pipe.raw_load_audit.read(spark)
+    return audit.groupBy("file_type", "load_status").agg(
+        F.count(F.lit(1)).alias("file_cnt"),
+        F.sum("rows_parsed").alias("rows_parsed"),
+        F.sum("rows_loaded").alias("rows_loaded"),
+        F.sum("errors_seen").alias("errors_seen"),
+        F.date_format(F.max("load_ts"), "yyyy-MM-dd HH:mm:ss").alias("latest_load_ts"),
+    )

@@ -258,3 +258,47 @@ def test_observed_audit_lands_per_batch(spark, events_dir, tmp_path):
         assert len(rows) >= 2  # maxFilesPerTrigger=2 over 4 files
     finally:
         listener.unregister()
+
+
+def test_stream_raw_csv_to_canonical_matches_batch(spark, tmp_path):
+    """Same incremental canonicalization check for the CSV raw table —
+    positional array payloads flow through the streaming transform too."""
+    import datetime as dt
+    import os
+
+    from financial_data_ingestion_canonical_snowflake_spark import schemas
+    from financial_data_ingestion_canonical_snowflake_spark.examples import write_fixtures
+    from financial_data_ingestion_canonical_snowflake_spark.plans.pipeline import (
+        Pipeline,
+        PipelineConfig,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.pipeline_stream import (
+        stream_raw_to_canonical,
+    )
+
+    batch_ts = dt.datetime(2026, 2, 1)
+    root = write_fixtures(os.path.join(tmp_path, "ingest"))
+    pipe = Pipeline(
+        spark,
+        PipelineConfig(root, os.path.join(tmp_path, "wh"), batch_ts=batch_ts),
+    )
+    pipe.run_batch()
+    want = sorted(
+        map(
+            tuple,
+            pipe.can_txn.read(spark).filter(F.col("source_system") == "CSV").collect(),
+        )
+    )
+
+    target = ParquetTable(f"{tmp_path}/stream_csv", schema=schemas.CAN_TXN)
+    q = stream_raw_to_canonical(
+        spark,
+        pipe.raw_tables["CSV"].path,
+        target,
+        checkpoint_dir=f"{tmp_path}/ckpt_csv",
+        source_system="CSV",
+        batch_ts=batch_ts,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, target.read(spark).collect()))
+    assert got == want and len(got) > 0
