@@ -1,0 +1,93 @@
+"""Distributed as-of (point-in-time) join.
+
+For every probe row, attach the most recent build row with the same key
+whose timestamp is <= (or <, with ``allow_exact_matches=False``) the probe
+timestamp — the temporal-join primitive behind feature lookups ("state of
+the account when the txn arrived"), slowly-changing-dimension reads, and
+event attribution. The reference engine has no native ASOF; its pipeline
+approximates it with latest-wins MERGE snapshots
+(sql/05_merge_canonical.sql:22-29) — this operator is the query-time
+generalization.
+
+Spark-first plan: instead of a range join (O(probe x build) within key) the
+two sides are UNIONed with a side marker and sorted once per key; a
+``last(build_payload, ignorenulls=True)`` running window carries the most
+recent build row forward onto each probe row. ONE shuffle on the key, no
+join at all — the sort-merge pattern that scales linearly per partition at
+100 TB. Skewed keys behave like any windowed agg (salt upstream if one key
+dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    probe_ts: str,
+    build_ts: str,
+    build_cols: list[str],
+    build_order: str | None = None,
+    tolerance: Column | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Left as-of join: probe rows + latest matching build columns.
+
+    Parameters
+    ----------
+    on          equality keys present on both sides.
+    probe_ts / build_ts   event-time columns (same orderable type).
+    build_cols  build-side columns to attach (NULL when no match).
+    build_order extra build-side tiebreak for equal timestamps — the row
+                with the LARGEST ``(build_ts, build_order)`` wins,
+                deterministically. Defaults to the first of ``build_cols``.
+    tolerance   max probe_ts - build_ts as a Column interval (e.g.
+                ``F.expr("INTERVAL 1 HOUR")``); older matches are nulled.
+    allow_exact_matches   include build rows at exactly probe_ts.
+    """
+    order = build_order or build_cols[0]
+    b = build.select(
+        *on,
+        F.col(build_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in dict.fromkeys([*build_cols, build_ts, order])]).alias(
+            _PAYLOAD
+        ),
+    )
+    p = probe.select(
+        *probe.columns,
+        F.col(probe_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(b.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    # Equal timestamps: build sorts before probe when exact matches count,
+    # after it when they don't; among equal-ts build rows the largest
+    # ``build_order`` sorts last and therefore wins the running ``last()``.
+    side = F.col(_SIDE) if allow_exact_matches else -F.col(_SIDE)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS), side, F.col(_PAYLOAD)[order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    if tolerance is not None:
+        matched = F.when(
+            matched[build_ts] >= F.col(_TS) - tolerance, matched
+        ).otherwise(F.lit(None))
+    out = (
+        b.unionByName(p, allowMissingColumns=True)
+        .withColumn(_PAYLOAD, matched)
+        .filter(F.col(_SIDE) == 1)
+    )
+    keep = [c for c in probe.columns]
+    return out.select(
+        *keep, *[F.col(_PAYLOAD)[c].alias(c) for c in build_cols]
+    )

@@ -1,0 +1,101 @@
+"""As-of join semantics on crafted frames (operators/asof.py): exact-match
+inclusion/exclusion, equal-timestamp tiebreak, tolerance nulling, no-match
+nulls, and multi-column keys. The sf-scale oracle parity lives in
+plans/parity_asof.py; these pin the corner cases the synthetic events
+table never hits."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    probe = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(5)), (2, 102, _ts(10)), (3, 103, _ts(10))],
+        "k long, pid long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, 900, 1.0, _ts(10)),  # exact tie with probe 100
+            (1, 901, 2.0, _ts(10)),  # same ts — larger bid must win
+            (1, 902, 3.0, _ts(1)),
+            (2, 903, 4.0, _ts(3)),
+        ],
+        "k long, bid long, bval double, bts timestamp",
+    )
+    return probe, build
+
+
+def _run(spark, **kw):
+    probe, build = _frames(spark)
+    out = asof_join(
+        probe,
+        build,
+        on=["k"],
+        probe_ts="pts",
+        build_ts="bts",
+        build_cols=["bid", "bval"],
+        build_order="bid",
+        **kw,
+    )
+    return {r.pid: (r.bid, r.bval) for r in out.collect()}
+
+def test_asof_exact_match_tiebreak_and_nulls(spark):
+    got = _run(spark)
+    assert got == {
+        100: (901, 2.0),  # equal-ts build included; largest bid wins the tie
+        101: (902, 3.0),
+        102: (903, 4.0),
+        103: (None, None),  # key never seen on build side
+    }
+
+
+def test_asof_exclude_exact_matches(spark):
+    got = _run(spark, allow_exact_matches=False)
+    assert got[100] == (902, 3.0)  # equal-ts builds skipped, falls back to t=1
+    assert got[101] == (902, 3.0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    got = _run(spark, tolerance=F.expr("INTERVAL 5 SECONDS"))
+    assert got == {
+        100: (901, 2.0),   # age 0 — kept
+        101: (902, 3.0),   # age 4s <= 5s — kept
+        102: (None, None), # age 7s > 5s — nulled
+        103: (None, None),
+    }
+
+
+def test_asof_composite_key(spark):
+    probe = spark.createDataFrame(
+        [(1, "a", 10, _ts(9)), (1, "b", 11, _ts(9))],
+        "k1 long, k2 string, pid long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, "a", 90, _ts(2)), (1, "b", 91, _ts(3)), (2, "a", 92, _ts(1))],
+        "k1 long, k2 string, bid long, bts timestamp",
+    )
+    out = asof_join(
+        probe, build, on=["k1", "k2"], probe_ts="pts", build_ts="bts", build_cols=["bid"]
+    )
+    assert {r.pid: r.bid for r in out.collect()} == {10: 90, 11: 91}
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole as-of join is ONE exchange (on the key) — no join operator,
+    no second shuffle; that's the property that makes it linear at scale."""
+    probe, build = _frames(spark)
+    out = asof_join(
+        probe, build, on=["k"], probe_ts="pts", build_ts="bts", build_cols=["bid"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
