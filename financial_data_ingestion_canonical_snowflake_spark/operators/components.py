@@ -1,0 +1,112 @@
+"""Connected components over a pair list — dedup-group closure.
+
+Near-duplicate detectors (operators/text_dedup.py) emit PAIRS; dedup
+survivorship needs GROUPS (a~b and b~c must collapse a,b,c to one
+canonical doc even when a~c was never scored). That closure is connected
+components on the pair graph.
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+two groupBy+join passes that strictly shrink tree heights, converging in
+O(log n) rounds even on path graphs, vs O(diameter) for naive label
+propagation. Every round is plain shuffles on node ids — no driver-side
+state, no collect — and the loop truncates lineage with
+``localCheckpoint`` so the plan stays flat at 100 TB. The reference
+engine has no graph operator at all; its exact-dup survivorship
+(sql/03_transform_headers.sql:70-80) is the single-edge special case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected pair set, oriented (larger -> smaller), self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # xor-fold, not sum: order-insensitive and cannot overflow under ANSI
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor to min(N(u) + {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every SMALLER-or-self neighbor to min(N(u))."""
+    o = _canon(edges)
+    m = o.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = (
+        o.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return moved.unionByName(m.select("src", F.col("m").alias("dst")))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label (= min node id in the component) per node.
+
+    ``edges``: columns (src, dst), undirected, any orientation/dups.
+    ``nodes``: optional (node) frame; nodes absent from every edge come
+    back as singleton components of themselves.
+    Returns (node, component).
+    """
+    cur = _canon(edges).localCheckpoint(eager=True)
+    sig = _signature(cur)
+    for _ in range(max_iter):
+        nxt = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # At the fixpoint the edge set is a star forest: (member -> component min).
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    assign = (
+        members.unionByName(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    if nodes is None:
+        return assign
+    return (
+        nodes.select("node")
+        .distinct()
+        .join(assign, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

@@ -1,0 +1,70 @@
+"""connected_components (operators/components.py) vs a driver-side
+union-find oracle on adversarial graph shapes: seeded random graphs, a
+long path (worst case for naive propagation), duplicate/reversed edges,
+and singleton handling."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+    connected_components,
+)
+
+
+def _union_find(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    label = {}
+    for v in range(n_nodes):
+        r = find(v)
+        label[r] = min(label.get(r, r), v)
+    return {v: label[find(v)] for v in range(n_nodes)}
+
+
+def _spark_cc(spark, n_nodes, pairs):
+    edges = spark.createDataFrame(pairs or [(0, 0)], "src long, dst long")
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    out = connected_components(edges, nodes=nodes)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    for seed, n, m in [(1, 40, 30), (2, 60, 80), (3, 25, 12)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        assert _spark_cc(spark, n, pairs) == _union_find(n, pairs), f"seed={seed}"
+
+
+def test_cc_long_path_converges_logarithmically(spark):
+    # A 64-node path: naive min-propagation needs 63 rounds; star-contraction
+    # must finish within the operator's max_iter=25 (O(log n)).
+    pairs = [(i, i + 1) for i in range(63)]
+    got = _spark_cc(spark, 64, pairs)
+    assert got == {v: 0 for v in range(64)}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    pairs = [(5, 3), (3, 5), (5, 3), (3, 3), (8, 9)]
+    got = _spark_cc(spark, 10, pairs)
+    assert got[3] == got[5] == 3 and got[8] == got[9] == 8
+    assert got[0] == 0 and got[7] == 7  # untouched singletons
+
+
+def test_cc_without_nodes_frame_only_edge_nodes(spark):
+    edges = spark.createDataFrame([(2, 1), (3, 2), (7, 9)], "src long, dst long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
