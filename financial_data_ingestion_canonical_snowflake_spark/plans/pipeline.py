@@ -19,6 +19,7 @@ hand-off inside one SparkSession; ``stg_header`` is cached because stages
 from __future__ import annotations
 
 import datetime as dt
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,7 +105,10 @@ class Pipeline:
                 .distinct()
                 .collect()
             }
-        for spec in self.cfg.copy_specs:
+        # The three COPYs are independent until the shared audit append —
+        # run them phase-wise on a thread pool (Spark schedules concurrent
+        # jobs fine; a real warehouse runs concurrent COPYs the same way).
+        def prepare(spec: CopySpec):
             resolved = self._resolve(spec)
             raw = read_raw(self.spark, resolved, self.cfg.ingest_root, self._ts())
             if loaded_files:
@@ -115,15 +119,29 @@ class Pipeline:
             # and re-lands as a single-partition append instead of a
             # shuffle-width write.
             audit_rows = build_load_audit(raw, spec.file_type, self._ts()).collect()
-            if not audit_rows or sum(r.rows_loaded for r in audit_rows) == 0:
-                raw.unpersist()
-                continue
+            return spec, raw, audit_rows
+
+        def land(item) -> None:
+            spec, raw, _ = item
             good = raw.filter(F.col("_load_error").isNull()).drop("_load_error")
             self.raw_tables[spec.file_type].append(good)
-            self.raw_load_audit.append(
-                self.spark.createDataFrame(audit_rows, schemas.RAW_LOAD_AUDIT)
-            )
             raw.unpersist()
+
+        with ThreadPoolExecutor(max_workers=len(self.cfg.copy_specs)) as ex:
+            prepared = list(ex.map(prepare, self.cfg.copy_specs))
+            active, skipped = [], []
+            for item in prepared:
+                has_rows = item[2] and sum(r.rows_loaded for r in item[2]) > 0
+                (active if has_rows else skipped).append(item)
+            for _, raw, _ in skipped:
+                raw.unpersist()
+            list(ex.map(land, active))
+        all_audit = [row for _, _, rows in active for row in rows]
+        if all_audit:
+            # ONE append for every spec's audit — single small file per batch.
+            self.raw_load_audit.append(
+                self.spark.createDataFrame(all_audit, schemas.RAW_LOAD_AUDIT)
+            )
         return {k: t.read(self.spark) if t.exists() else None for k, t in self.raw_tables.items()}
 
     # ------------------------------------------------------------------
