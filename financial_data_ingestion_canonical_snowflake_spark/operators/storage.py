@@ -81,6 +81,25 @@ class ParquetTable:
         df.sparkSession.catalog.refreshByPath(self.path)
 
 
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic-partition overwrite: replace ONLY the hive partitions
+        present in ``df``; all other partitions are untouched.
+
+        This is the incremental-refresh primitive for date/client-partitioned
+        tables at scale — a daily rerun rewrites one day's directory instead
+        of 100 TB, and readers keep pruning on the partition columns.
+        """
+        if not self.partition_by:
+            raise ValueError(f"{self.path}: overwrite_partitions needs partition_by")
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_by)
+            .parquet(self.path)
+        )
+        df.sparkSession.catalog.refreshByPath(self.path)
+
+
 class BucketedTable:
     """Catalog-backed parquet table bucketed (and sorted) by join/merge keys.
 
