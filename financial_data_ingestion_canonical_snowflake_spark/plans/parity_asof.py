@@ -95,3 +95,73 @@ def ns_asof_last_click_1h(spark, sf_dir):
             tolerance=F.expr("INTERVAL 1 HOUR"),
         )
     )
+
+
+@parity(
+    "ns_interval_join_sessions",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'click'
+    ),
+    lagged AS (
+        SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM c
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev IS NULL OR us - prev > 86400000000 THEN 1 ELSE 0 END AS new_s
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT e.user_id, e.event_id, epoch_us(e.ts) AS err_us,
+           epoch_us(s.session_start) AS s_start_us,
+           epoch_us(s.session_end) AS s_end_us,
+           s.n_events
+    FROM events e
+    JOIN sessions s
+      ON s.user_id = e.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    WHERE e.event_type = 'error'
+    """,
+)
+def ns_interval_join_sessions(spark, sf_dir):
+    """Binned interval join (operators/interval_join.py): every error event
+    matched into the click-session window (operators/sessionize.py, 1-day
+    gap) that contains it — the equi-bin rewrite of a BETWEEN range join,
+    checked against the oracle's literal inequality join."""
+    from ..operators.interval_join import interval_join
+    from ..operators.sessionize import sessionize_batch
+
+    ev = table(spark, sf_dir, "events")
+    sessions = sessionize_batch(
+        ev.filter(F.col("event_type") == "click"), gap_minutes=1440
+    ).select("user_id", "session_start", "session_end", "n_events")
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    out = interval_join(
+        probe,
+        sessions,
+        on=["user_id"],
+        probe_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bin_seconds=86400,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("err_us"),
+        F.unix_micros("session_start").alias("s_start_us"),
+        F.unix_micros("session_end").alias("s_end_us"),
+        "n_events",
+    )

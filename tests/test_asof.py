@@ -99,3 +99,33 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    """Binned rewrite == naive BETWEEN join, with a hash join (no
+    BroadcastNestedLoop/Cartesian) in the plan."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, i, _ts(i)) for i in range(0, 50, 3)], "k long, pid long, pts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, 10, _ts(2), _ts(11)), (1, 11, _ts(11), _ts(30)), (2, 12, _ts(0), _ts(59))],
+        "k long, ivid long, s timestamp, e timestamp",
+    )
+    out = interval_join(probe, iv, on=["k"], probe_ts="pts", start_col="s", end_col="e",
+                        bin_seconds=5)
+    got = sorted((r.pid, r.ivid) for r in out.collect())
+    want = sorted(
+        (r.pid, r.ivid)
+        for r in probe.join(iv, "k")
+        .filter((F.col("pts") >= F.col("s")) & (F.col("pts") <= F.col("e")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # pre-window probe excluded; end-boundary probe (pts == e) included
+    assert (0, 10) not in got and (30, 11) in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
