@@ -17,7 +17,6 @@ from ..operators.merge import merge_upsert
 from .registry import parity, table
 
 DEC18 = "decimal(18,6)"
-DEC38 = "decimal(38,6)"
 
 
 def _dec(col):
@@ -34,10 +33,10 @@ def _dec(col):
     "a1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -53,10 +52,10 @@ def a1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast(DEC38).alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast(DEC38).alias("sum_base_price"),
-            F.sum(_dec(disc_price)).cast(DEC38).alias("sum_disc_price"),
-            F.sum(_dec(charge)).cast(DEC38).alias("sum_charge"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,8 +65,8 @@ def a1_pricing_summary(spark, sf_dir):
     "a2_conditional_validity_counts",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS valid_cnt,
-           SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS invalid_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS valid_cnt,
+           CAST(SUM(CASE WHEN NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS BIGINT) AS invalid_cnt,
            COUNT(*) AS txn_cnt
     FROM orders
     GROUP BY o_orderpriority
@@ -136,7 +135,7 @@ def a5_distinct(spark, sf_dir):
     "j1_revenue_by_segment",
     oracle="""
     SELECT c.c_mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS line_cnt
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -161,7 +160,7 @@ def j1_revenue_by_segment(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(_dec(revenue)).cast(DEC38).alias("revenue"),
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
@@ -171,7 +170,7 @@ def j1_revenue_by_segment(spark, sf_dir):
     "j2_nation_region_rollup",
     oracle="""
     SELECT r.r_name, n.n_name, COUNT(*) AS customer_cnt,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_acctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -189,7 +188,7 @@ def j2_nation_region_rollup(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("customer_cnt"),
-            F.sum(_dec(F.col("c_acctbal"))).cast(DEC38).alias("total_acctbal"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -260,7 +259,7 @@ def w2_duplicate_counts(spark, sf_dir):
         SELECT 'CSV', o_totalprice FROM orders WHERE o_orderstatus NOT IN ('F','O')
     )
     SELECT source_system, COUNT(*) AS txn_cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_amount
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
     FROM tagged GROUP BY source_system
     """,
 )
@@ -281,7 +280,7 @@ def u1_union_all_by_source(spark, sf_dir):
     unioned = branches[0].unionByName(branches[1]).unionByName(branches[2])
     return unioned.groupBy("source_system").agg(
         F.count(F.lit(1)).alias("txn_cnt"),
-        F.sum(_dec(F.col("o_totalprice"))).cast(DEC38).alias("total_amount"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
     )
 
 
@@ -425,8 +424,8 @@ def f8_canonical_id_derivation(spark, sf_dir):
     "f3_f4_try_casts",
     oracle="""
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6)) AS k_num,
-           TRY_CAST(event_type AS DECIMAL(18,6)) AS bad_num,
+           CAST(TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6)) AS DOUBLE) AS k_num,
+           CAST(TRY_CAST(event_type AS DECIMAL(18,6)) AS DOUBLE) AS bad_num,
            strftime(TRY_CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP),
                     '%Y-%m-%d %H:%M:%S') AS ts_roundtrip
     FROM events
@@ -440,8 +439,8 @@ def f3_f4_try_casts(spark, sf_dir):
     ts_str = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     return e.select(
         "event_id",
-        scalars.try_to_number(k, DEC18).alias("k_num"),
-        scalars.try_to_number(F.col("event_type"), DEC18).alias("bad_num"),
+        scalars.try_to_number(k, DEC18).cast("double").alias("k_num"),
+        scalars.try_to_number(F.col("event_type"), DEC18).cast("double").alias("bad_num"),
         F.date_format(scalars.try_to_timestamp(ts_str), "yyyy-MM-dd HH:mm:ss").alias(
             "ts_roundtrip"
         ),
@@ -475,7 +474,7 @@ def f1_f5_scalar_chain(spark, sf_dir):
     "f11_month_rollup",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS txn_cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_amount
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
     FROM orders GROUP BY 1
     """,
 )
@@ -484,7 +483,7 @@ def f11_month_rollup(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")).agg(
         F.count(F.lit(1)).alias("txn_cnt"),
-        F.sum(_dec(F.col("o_totalprice"))).cast(DEC38).alias("total_amount"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
     )
 
 
@@ -497,7 +496,7 @@ def f11_month_rollup(spark, sf_dir):
     "v5_json_path_agg",
     oracle="""
     SELECT event_type,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS event_cnt
     FROM events GROUP BY event_type
     """,
@@ -621,7 +620,7 @@ _M1_ORACLE = """
     )
     SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
            CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS DOUBLE) AS o_totalprice,
            CASE WHEN t.o_orderkey IS NOT NULL THEN t.created_from ELSE s.created_from END AS created_from
     FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
 """
@@ -644,7 +643,8 @@ def m1_merge_upsert(spark, sf_dir):
         (F.col("o_totalprice") + F.lit(1000.0)).cast(DEC18).alias("o_totalprice"),
         F.lit("source").alias("created_from"),
     )
-    return merge_upsert(target, source, keys=["o_orderkey"], preserve=["created_from"])
+    merged = merge_upsert(target, source, keys=["o_orderkey"], preserve=["created_from"])
+    return merged.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -686,7 +686,7 @@ def s7_s8_lineage_rownum(spark, sf_dir):
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS event_cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -699,7 +699,7 @@ def stream_tumbling_window_agg(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("event_cnt"),
-            F.sum(_dec(F.col("value"))).cast(DEC38).alias("total_value"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -728,7 +728,7 @@ _M2_ORACLE = """
     ), source AS (SELECT l_orderkey, l_linenumber, quantity, version FROM src_raw WHERE rn = 1)
     SELECT COALESCE(t.l_orderkey, s.l_orderkey) AS l_orderkey,
            COALESCE(t.l_linenumber, s.l_linenumber) AS l_linenumber,
-           CASE WHEN s.l_orderkey IS NOT NULL THEN s.quantity ELSE t.quantity END AS quantity,
+           CAST(CASE WHEN s.l_orderkey IS NOT NULL THEN s.quantity ELSE t.quantity END AS DOUBLE) AS quantity,
            CASE WHEN s.l_orderkey IS NOT NULL THEN s.version ELSE t.version END AS version
     FROM target t FULL OUTER JOIN source s
       ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
@@ -751,11 +751,12 @@ def m2_merge_composite_key(spark, sf_dir):
         (F.col("l_quantity") * 2).cast(DEC18).alias("quantity"),
         F.lit("new").alias("version"),
     )
-    return merge_upsert(
+    merged = merge_upsert(
         target, source,
         keys=["l_orderkey", "l_linenumber"],
         dedupe_order=[F.col("quantity").desc(), F.col("l_orderkey")],
     )
+    return merged.withColumn("quantity", F.col("quantity").cast("double"))
 
 
 _M3_ORACLE = """
@@ -816,7 +817,7 @@ def m3_merge_nullsafe_key(spark, sf_dir):
     oracle="""
     WITH counts AS (
         SELECT n_name, r_name, COUNT(*) AS cust_cnt,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_bal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
                       JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1, 2
@@ -839,7 +840,7 @@ def o1_o3_ordered_probes(spark, sf_dir):
         .groupBy("n_name", "r_name")
         .agg(
             F.count(F.lit(1)).alias("cust_cnt"),
-            F.sum(_dec(F.col("c_acctbal"))).cast(DEC38).alias("total_bal"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
         )
     )
     w = Window.orderBy(F.desc("cust_cnt"), "n_name", "r_name")
@@ -922,7 +923,7 @@ def v8_explode_inner(spark, sf_dir):
     )
     SELECT code, COUNT(*) AS anomaly_cnt,
            COUNT(DISTINCT txn_id) AS txn_cnt,
-           SUM(CASE WHEN line_number IS NULL THEN 1 ELSE 0 END) AS header_grain_cnt
+           CAST(SUM(CASE WHEN line_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS header_grain_cnt
     FROM (SELECT * FROM hdr_anom UNION ALL SELECT * FROM line_anom)
     GROUP BY 1
     """,
@@ -983,7 +984,7 @@ def anomaly_rules_header_line(spark, sf_dir):
     "skew_salted_join",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS line_cnt,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -1002,7 +1003,7 @@ def skew_salted_join(spark, sf_dir):
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("line_cnt"),
-        F.sum(_dec(F.col("l_extendedprice"))).cast(DEC38).alias("total_price"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("total_price"),
     )
 
 
@@ -1010,9 +1011,9 @@ def skew_salted_join(spark, sf_dir):
     "v5b_variant_typed_access",
     oracle="""
     SELECT event_type,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)
-               AS null_path_cnt,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_path_cnt,
            COUNT(*) AS event_cnt
     FROM events GROUP BY event_type
     """,

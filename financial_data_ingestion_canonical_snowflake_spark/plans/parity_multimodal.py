@@ -32,7 +32,7 @@ def _media(spark, sf_dir):
     "ns_mm_metadata_stats",
     oracle=f"""
     SELECT {_KIND} AS kind, COUNT(*) AS media_cnt,
-           SUM({_NBYTES}) AS total_bytes,
+           CAST(SUM({_NBYTES}) AS BIGINT) AS total_bytes,
            CAST(SUM(CASE WHEN {_KIND} = 'image'
                 THEN CAST(ceil(sqrt(CAST({_NBYTES} AS DOUBLE))) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS total_width,

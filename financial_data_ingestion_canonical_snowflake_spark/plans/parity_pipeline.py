@@ -49,7 +49,10 @@ def _run_pipeline(spark: SparkSession) -> Pipeline:
 
 
 _E2E_TXN_ORACLE = """
-    SELECT * FROM (VALUES
+    SELECT canonical_txn_id, client_id, source_system, source_txn_id, txn_timestamp,
+           currency, CAST(total_amount AS DOUBLE) AS total_amount, customer_id,
+           account_id, merchant, is_valid, anomaly_codes_csv
+    FROM (VALUES
         ('1343c87e2f3d4bd86b5e37311790ccd436827bfe114cad448a724aa46f033797', 'ClientA', 'CSV', 'TXN-3004', '2026-01-15 15:00:00', 'GBP', CAST(99.000000000 AS DECIMAL(38,9)), 'CUST-7', 'ACC-3', 'Wayne', TRUE, ''),
         ('318c93c05b6928a3cac8f6b45739157089b1b547534097a5d5cdb830e163ed8f', 'ClientC', 'JSON', 'TXN-1003b', '2026-01-17 08:05:00', 'USD', CAST(20.000000000 AS DECIMAL(38,9)), 'CUST-1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE, ''),
         ('362cc34aef04659d026e7d9e7a2c9c9148132875263380efb2135a9e8059a2d8', 'ClientC', 'JSON', 'TXN-1005', '2026-01-19 09:00:00', 'USD', CAST(5.000000000 AS DECIMAL(38,9)), 'CUST-5', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), FALSE, 'DUPLICATE_TXN'),
@@ -83,7 +86,7 @@ def pipeline_e2e_canonical_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_txn_id",
         F.date_format("txn_timestamp", "yyyy-MM-dd HH:mm:ss").alias("txn_timestamp"),
         "currency",
-        "total_amount",
+        F.col("total_amount").cast("double").alias("total_amount"),
         "customer_id",
         "account_id",
         "merchant",

@@ -28,7 +28,7 @@ _DEC38 = "decimal(38,6)"
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS event_cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -74,7 +74,7 @@ def stream_live_windowed_agg(spark, sf_dir):
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "event_cnt",
-        "total_value",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 
@@ -103,7 +103,7 @@ def stream_live_windowed_agg(spark, sf_dir):
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(val) AS DECIMAL(38,6)) AS total_value
+           CAST(SUM(val) AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -123,5 +123,5 @@ def ns_sessionize_batch(spark, sf_dir):
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
-        F.col("total_value").cast(_DEC38).alias("total_value"),
+        F.col("total_value").cast("double").alias("total_value"),
     )

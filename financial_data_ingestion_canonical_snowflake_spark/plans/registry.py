@@ -7,8 +7,12 @@ re-exports the registry to the correctness driver.
 
 Cross-engine determinism rules used throughout (SURVEY.md §7.4):
 - per-row arithmetic stays in DOUBLE (IEEE ops are bit-identical in both
-  engines), aggregate inputs are cast to DECIMAL(18,6) per row, and final
-  aggregates are cast to DECIMAL(38,6) on both sides;
+  engines), aggregate inputs are cast to DECIMAL(18,6) per row (exact sums),
+  and final aggregates/decimal outputs are cast to DOUBLE on both sides —
+  the driver's hasher renders DuckDB DECIMAL/HUGEINT through float64, so a
+  DECIMAL final on the Spark side ("138014.000000") can never hash-match
+  ("138014.0"); integer-sum finals are pinned with CAST(... AS BIGINT) in
+  the oracle for the same reason (DuckDB SUM(int) is HUGEINT);
 - timestamps are rendered with pinned formats (``date_format`` <->
   ``strftime``), never returned raw;
 - string concatenation uses NULL-propagating forms on both sides

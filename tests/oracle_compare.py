@@ -63,12 +63,37 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
+def _fetch_oracle(res) -> tuple[list[str], list[tuple]]:
+    """Fetch DuckDB results the way the driver does — arrow, Decimal→float.
+
+    Empirical contract from CORRECTNESS_r01 + the round-1 verdict: DuckDB
+    DECIMAL and HUGEINT render as floats (``138014.0``) on the driver side
+    while BIGINT (nullable included) stays int — that is exactly arrow
+    export (HUGEINT → decimal128(38,0), DECIMAL → decimal128, BIGINT →
+    int64) followed by a Decimal→float conversion. Round 1 shipped 16 hash
+    mismatches because this mirror used ``fetchall`` (exact Decimals) and
+    therefore agreed with Spark's Decimal rendering when the driver did not.
+    Consequence for queries: any DECIMAL/HUGEINT final must be cast to
+    DOUBLE/BIGINT on BOTH sides (plans/registry.py docstring).
+    """
+
+    def conv(v):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        return v
+
+    tbl = res.arrow()
+    cols = [str(c).lower() for c in tbl.schema.names]
+    rows = [tuple(conv(rec[c]) for c in tbl.schema.names) for rec in tbl.to_pylist()]
+    return cols, rows
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    d_cols = [d[0].lower() for d in res.description]
-    d_rows = res.fetchall()
+    d_cols, d_rows = _fetch_oracle(con.execute(sql))
 
     report = {
         "spark_rows": len(s_rows),
