@@ -23,11 +23,21 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _T_PRESENT = "__merge_t_present"
 _S_PRESENT = "__merge_s_present"
+
+#: hidden hash-bucket partition column for partition-scoped merges
+PART_COL = "txn_part"
+
+
+def part_expr(key: str, n_buckets: int) -> F.Column:
+    """Deterministic key -> partition bucket. Derived from the merge key
+    itself, so a key always lands in the same hive partition; NULL keys hash
+    to the seed (one fixed bucket)."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
 
 def dedupe_source(df: DataFrame, keys: Sequence[str], order_cols: Sequence) -> DataFrame:
@@ -103,3 +113,62 @@ def merge_upsert(
             base = F.when(inserted, set_on_insert[c]).otherwise(base)
         projections.append(base.alias(c))
     return joined.select(*projections)
+
+
+def merge_upsert_scoped(
+    spark: SparkSession,
+    table,
+    source: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int | None = None,
+    preserve: Sequence[str] = (),
+    dedupe_order: Sequence | None = None,
+    set_on_update: dict | None = None,
+    set_on_insert: dict | None = None,
+) -> list[str]:
+    """Partition-scoped MERGE into a hash-bucketed ``ParquetTable``.
+
+    Reference MERGE's I/O is proportional to the delta
+    (sql/05_merge_canonical.sql:6-53); a full-outer-join + whole-table rewrite
+    is O(table) per batch. This variant makes the emulation delta-proportional:
+
+    1. bucket the source on ``part_expr(keys[0])`` — same function the table
+       is laid out with, so matches can only live in the source's buckets;
+    2. read ONLY those buckets from the target (hive partition pruning — the
+       ``isin`` filter prunes directories, verified in tests);
+    3. ``merge_upsert`` within the touched buckets;
+    4. swap just those partition directories (``replace_partitions``).
+
+    A batch touching k of N buckets reads and rewrites k/N of the table. At
+    100 TB with e.g. 4096 buckets, an incremental batch costs GBs, not TBs.
+    ``table`` must have ``partition_by=[PART_COL]``. Returns the replaced
+    partition rel-paths.
+    """
+    keys = list(keys)
+    if n_buckets is None:
+        n_buckets = table.n_buckets
+    src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
+    # bounded by n_buckets -> driver-small collect
+    parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
+    if table.exists():
+        data_cols = [f.name for f in table.schema.fields]
+        tgt = (
+            spark.read.parquet(table.path)
+            .filter(F.col(PART_COL).isin(parts))
+            .select(*data_cols, PART_COL)
+        )
+        merged = merge_upsert(
+            tgt, src, keys, preserve, dedupe_order, set_on_update, set_on_insert
+        )
+    else:
+        # first batch: MERGE into empty = dedupe + insert-only projection —
+        # skip the full-outer join against nothing
+        merged = src
+        if dedupe_order is not None:
+            merged = dedupe_source(merged, keys, dedupe_order)
+        for c, expr in (set_on_insert or {}).items():
+            merged = merged.withColumn(c, expr)
+    # one write task per touched bucket -> one right-sized file per partition
+    # dir instead of (shuffle-width x buckets) small files
+    merged = merged.repartition(max(len(parts), 1), F.col(PART_COL))
+    return table.replace_partitions(merged)

@@ -29,16 +29,27 @@ class ParquetTable:
         path: str,
         schema: T.StructType | None = None,
         partition_by: Sequence[str] = (),
+        n_buckets: int = 16,
     ):
         self.path = path
         self.schema = schema
         self.partition_by = list(partition_by)
+        # hash-bucket count for partition-scoped merges; must stay constant
+        # for the life of the table (keys map to buckets by this modulus)
+        self.n_buckets = n_buckets
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" or not f.startswith(".")
-            for f in os.listdir(self.path)
-        )
+        """True only when at least one parquet DATA file is present
+        (recursively — partitioned layouts nest files under key=value dirs).
+        A directory holding only ``_SUCCESS``/stray files is NOT a table:
+        reading it would fail instead of using the declared-schema
+        empty-table path in ``read``."""
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the table; an absent table reads as empty when a schema is
@@ -80,6 +91,54 @@ class ParquetTable:
         # after the swap must see the new file set, not stale part files
         df.sparkSession.catalog.refreshByPath(self.path)
 
+
+    def replace_partitions(self, df: DataFrame) -> list[str]:
+        """Replace ONLY the hive partitions present in ``df`` via per-partition
+        directory swap; every other partition's files are untouched bytes.
+
+        Unlike ``overwrite_partitions`` (dynamic partitionOverwriteMode), this
+        works when ``df``'s plan READS this same table (the merge case — Spark
+        refuses ``mode("overwrite")`` into a path the plan scans): the new
+        partitions are materialized to a tmp dir first, then each leaf
+        partition directory is swapped in with a rename. Crash mid-loop leaves
+        each partition either fully old or fully new. Returns the replaced
+        partition rel-paths (e.g. ``['txn_part=3', 'txn_part=7']``).
+
+        This is the delta-proportional write primitive for the merge path —
+        cost scales with the partitions a batch touches, matching reference
+        MERGE (sql/05_merge_canonical.sql:6-53), not with table size.
+        """
+        if not self.partition_by:
+            raise ValueError(f"{self.path}: replace_partitions needs partition_by")
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(tmp)
+        depth = len(self.partition_by)
+        replaced: list[str] = []
+        # leaf partition dirs sit exactly `depth` levels under tmp
+        def leaves(base: str, level: int) -> list[str]:
+            if level == 0:
+                return [""]
+            out = []
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if os.path.isdir(full) and "=" in d:
+                    out.extend(os.path.join(d, s) if s else d for s in leaves(full, level - 1))
+            return out
+
+        os.makedirs(self.path, exist_ok=True)
+        for rel in leaves(tmp, depth):
+            src = os.path.join(tmp, rel)
+            dst = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+            replaced.append(rel)
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.sparkSession.catalog.refreshByPath(self.path)
+        return replaced
 
     def overwrite_partitions(self, df: DataFrame) -> None:
         """Dynamic-partition overwrite: replace ONLY the hive partitions

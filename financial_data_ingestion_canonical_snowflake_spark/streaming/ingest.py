@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import PART_COL, merge_upsert, merge_upsert_scoped
 from ..operators.storage import ParquetTable
 
 
@@ -134,6 +134,19 @@ class MergeSink:
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         spark = batch_df.sparkSession
+        if self.table.partition_by == [PART_COL]:
+            # hash-bucketed canonical table: rewrite only touched buckets —
+            # micro-batches are small deltas, exactly the case the
+            # partition-scoped merge exists for
+            merge_upsert_scoped(
+                spark,
+                self.table,
+                batch_df,
+                keys=self.keys,
+                preserve=self.preserve,
+                dedupe_order=self.dedupe_order,
+            )
+            return
         target = self.table.read(spark)
         merged = merge_upsert(
             target,
