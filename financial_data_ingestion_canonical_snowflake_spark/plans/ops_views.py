@@ -56,6 +56,46 @@ def register_views(
     return views
 
 
+def register_durable_views(
+    spark, audit_path: str, can_txn_path: str, anomaly_path: str
+) -> None:
+    """CREATE OR REPLACE VIEW — catalog-durable twins of ``register_views``
+    (reference ``sql/07_ops_views.sql:6,16,24`` creates durable view
+    OBJECTS, not session temp views).
+
+    Each view is a permanent catalog object over the parquet table path, so
+    it re-reads current table state on every query. Durability across
+    restarts equals the catalog's (a Hive metastore persists them; the
+    default in-memory catalog lives with the process) — a deployment seam,
+    not an engine property.
+    """
+    spark.sql(
+        f"""CREATE OR REPLACE VIEW vw_load_audit_summary AS
+        SELECT file_type, load_status, COUNT(1) AS batch_count,
+               SUM(rows_parsed) AS total_rows_parsed,
+               SUM(rows_loaded) AS total_rows_loaded,
+               SUM(errors_seen) AS total_errors_seen,
+               MAX(load_ts) AS latest_load_ts
+        FROM parquet.`{audit_path}`
+        GROUP BY file_type, load_status"""
+    )
+    spark.sql(
+        f"""CREATE OR REPLACE VIEW vw_canon_counts AS
+        SELECT client_id, source_system, COUNT(1) AS txn_count,
+               SUM(IF(is_valid, 1, 0)) AS valid_txn_count,
+               SUM(IF(NOT is_valid, 1, 0)) AS invalid_txn_count
+        FROM parquet.`{can_txn_path}`
+        GROUP BY client_id, source_system"""
+    )
+    spark.sql(
+        f"""CREATE OR REPLACE VIEW vw_anomaly_counts AS
+        SELECT client_id, source_system, anomaly_code,
+               COUNT(1) AS anomaly_count
+        FROM parquet.`{anomaly_path}`
+        GROUP BY client_id, source_system, anomaly_code"""
+    )
+
+
 def smoke_counts(
     can_txn: DataFrame, can_txn_line: DataFrame, can_txn_anomaly: DataFrame
 ) -> DataFrame:

@@ -26,13 +26,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..operators.merge import merge_upsert
+from ..operators.merge import PART_COL, merge_upsert_scoped
 from ..operators.storage import ParquetTable
 from ..session import apply_runtime_confs
 from ..sources.audit import build_load_audit
 from ..sources.readers import CopySpec, read_raw
 from .anomaly import anomaly_merge_source, stage_anomalies
-from .ops_views import register_views, smoke_counts, smoke_probes
+from .ops_views import (
+    register_durable_views,
+    register_views,
+    smoke_counts,
+    smoke_probes,
+)
 from .transform_headers import transform_headers
 from .transform_lines import transform_lines
 
@@ -61,6 +66,12 @@ class PipelineConfig:
     join_mode: str = "faithful"  # 'faithful' (file-granular J1) | 'row'
     batch_ts: dt.datetime | None = None  # pin for deterministic tests
     skip_loaded_files: bool = True  # COPY load-history emulation
+    # hash-bucket count for partition-scoped canonical merges; a batch
+    # touching k buckets rewrites k/N of the table (thousands at 100 TB)
+    merge_buckets: int = 16
+    # also register the OPS views as durable catalog objects (reference
+    # sql/07_ops_views.sql creates durable views, not session temp views)
+    durable_views: bool = False
 
 
 class Pipeline:
@@ -74,10 +85,17 @@ class Pipeline:
             "CSV": ParquetTable(f"{w}/raw/raw_csv_generic"),
         }
         self.raw_load_audit = ParquetTable(f"{w}/raw/raw_load_audit", schemas.RAW_LOAD_AUDIT)
-        self.can_txn = ParquetTable(f"{w}/canon/can_txn", schemas.CAN_TXN)
-        self.can_txn_line = ParquetTable(f"{w}/canon/can_txn_line", schemas.CAN_TXN_LINE)
+        # canonical tables are hash-bucket partitioned on the merge key so
+        # incremental merges rewrite only touched buckets (delta-proportional,
+        # like reference MERGE); PART_COL never leaves storage — read()
+        # projects the declared schema only
+        part, nb = [PART_COL], cfg.merge_buckets
+        self.can_txn = ParquetTable(f"{w}/canon/can_txn", schemas.CAN_TXN, part, nb)
+        self.can_txn_line = ParquetTable(
+            f"{w}/canon/can_txn_line", schemas.CAN_TXN_LINE, part, nb
+        )
         self.can_txn_anomaly = ParquetTable(
-            f"{w}/canon/can_txn_anomaly", schemas.CAN_TXN_ANOMALY
+            f"{w}/canon/can_txn_anomaly", schemas.CAN_TXN_ANOMALY, part, nb
         )
 
     # ------------------------------------------------------------------
@@ -136,7 +154,13 @@ class Pipeline:
             for _, raw, _ in skipped:
                 raw.unpersist()
             list(ex.map(land, active))
-        all_audit = [row for _, _, rows in active for row in rows]
+        # audit rows land for EVERY spec that saw files — including fully
+        # failed loads (rows_loaded=0 -> LOAD_FAILED rows must reach
+        # RAW_LOAD_AUDIT like the reference's post-COPY RESULT_SCAN insert,
+        # sql/01_raw_ingestion.sql:74-86); only the raw-table append is
+        # gated on rows_loaded>0. This also stops failed files from being
+        # silently re-read every run (they're now in the load history).
+        all_audit = [row for _, _, rows in prepared for row in rows]
         if all_audit:
             # ONE append for every spec's audit — single small file per batch.
             self.raw_load_audit.append(
@@ -172,14 +196,14 @@ class Pipeline:
             .withColumn("updated_ts", ts)
             .select(*CAN_TXN_COLS)
         )
-        can_txn_new = merge_upsert(
-            self.can_txn.read(self.spark),
+        merge_upsert_scoped(
+            self.spark,
+            self.can_txn,
             hdr_source,
             keys=["canonical_txn_id"],
             preserve=["created_ts"],
             dedupe_order=[F.col("ingest_ts").desc(), F.col("src_file")],
         )
-        self.can_txn.overwrite_atomic(can_txn_new)
 
         # Stage 05b: CAN_TXN_LINE merge (:32-53) with the M2 source-dedupe
         # guard (duplicate (id, line_number) keys -> latest ingest wins).
@@ -188,31 +212,38 @@ class Pipeline:
             .withColumn("updated_ts", ts)
             .select(*CAN_LINE_COLS)
         )
-        can_line_new = merge_upsert(
-            self.can_txn_line.read(self.spark),
+        merge_upsert_scoped(
+            self.spark,
+            self.can_txn_line,
             line_source,
             keys=["canonical_txn_id", "line_number"],
             preserve=["created_ts"],
             dedupe_order=[F.col("ingest_ts").desc(), F.col("attributes")],
         )
-        self.can_txn_line.overwrite_atomic(can_line_new)
 
         # Stage 06: anomalies join the POST-merge CAN_TXN (ordering constraint
         # noted at SURVEY §3 entry point 3).
         can_txn_df = self.can_txn.read(self.spark)
         stg_anomaly = stage_anomalies(stg_header, stg_line, can_txn_df)
-        anomaly_new = merge_upsert(
-            self.can_txn_anomaly.read(self.spark),
+        merge_upsert_scoped(
+            self.spark,
+            self.can_txn_anomaly,
             anomaly_merge_source(stg_anomaly, ts).select(*CAN_ANOMALY_COLS),
             keys=["canonical_txn_id", "anomaly_code", "line_number", "anomaly_detail"],
         )
-        self.can_txn_anomaly.overwrite_atomic(anomaly_new)
 
         # Stages 07-08
         can_line_df = self.can_txn_line.read(self.spark)
         anomaly_df = self.can_txn_anomaly.read(self.spark)
         audit_df = self.raw_load_audit.read(self.spark)
         views = register_views(self.spark, audit_df, can_txn_df, anomaly_df)
+        if self.cfg.durable_views:
+            register_durable_views(
+                self.spark,
+                self.raw_load_audit.path,
+                self.can_txn.path,
+                self.can_txn_anomaly.path,
+            )
         result = {
             "smoke_counts": smoke_counts(can_txn_df, can_line_df, anomaly_df),
             "views": views,

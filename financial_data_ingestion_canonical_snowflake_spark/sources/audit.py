@@ -26,7 +26,15 @@ def build_load_audit(
         F.count(F.lit(1)).alias("rows_parsed"),
         F.sum(F.when(err.isNull(), 1).otherwise(0)).alias("rows_loaded"),
         F.sum(F.when(err.isNotNull(), 1).otherwise(0)).alias("errors_seen"),
-        F.min_by(err, F.col("src_row_number")).alias("first_error"),
+        # first error = error text at the LOWEST erroring row number; MIN of
+        # a (row_number, error) struct skips NULL (clean) rows entirely —
+        # min_by over all rows would return NULL whenever row 1 was clean
+        F.min(
+            F.when(
+                err.isNotNull(),
+                F.struct(F.col("src_row_number").alias("rn"), err.alias("e")),
+            )
+        )["e"].alias("first_error"),
     )
     status = (
         F.when(F.col("errors_seen") == 0, "LOADED")

@@ -29,7 +29,6 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 @dataclass(frozen=True)
@@ -221,30 +220,61 @@ def read_raw_csv(
     ingest_root: str,
     ingest_ts: Column | None = None,
 ) -> DataFrame:
-    """CSV COPY port (reference :43-46, :116-131).
+    """CSV COPY port (reference :43-46, :116-131) with ON_ERROR='CONTINUE'.
 
-    SKIP_HEADER=1 -> ``header=True``; FIELD_OPTIONALLY_ENCLOSED_BY='"' ->
-    ``quote='"'``; the whole row becomes ``payload ARRAY<STRING>`` exactly
-    like ``ARRAY_CONSTRUCT(*)`` (positional access downstream). Ragged rows
-    are padded with NULLs (PERMISSIVE), matching Snowflake's NULL-on-missing
-    subscript behavior.
+    SKIP_HEADER=1 -> the first physical line of each file is dropped;
+    FIELD_OPTIONALLY_ENCLOSED_BY='"' -> ``quote='"'``; the row becomes
+    ``payload ARRAY<STRING>`` exactly like ``ARRAY_CONSTRUCT(*)`` (positional
+    access downstream; empty fields NULL, matching the csv reader's default
+    nullValue and Snowflake's NULL-on-missing subscript).
+
+    Error capture (reference ``ON_ERROR='CONTINUE'``, sql/01_raw_ingestion.sql:131):
+    Snowflake rejects CSV rows whose token count mismatches the header
+    (ERROR_ON_COLUMN_COUNT_MISMATCH default TRUE) and unparsable rows; both
+    now set ``_load_error`` so the audit reports PARTIALLY_LOADED /
+    LOAD_FAILED for CSV like the other formats. Detection: ``from_csv``
+    against an exact-arity all-STRING schema + corrupt-record column —
+    PERMISSIVE marks a row corrupt exactly when its token count differs from
+    the schema arity (verified both directions; empty tokens count), which is
+    the Snowflake rule.
+
+    Files are read wholetext and split on newlines, which makes
+    ``src_row_number`` the TRUE physical line ordinal — stable across reruns
+    and split layouts (the prior row_number-over-read-order was only stable
+    for single-split files). Tradeoff, same as the JSON reader's whole-file
+    mode: one task per file, no intra-file splitting, no embedded newlines in
+    quoted fields; financial txn drops are many-small-files, where per-file
+    parallelism is the right axis.
     """
     paths = list(spec.files) if spec.files else [spec.path]
-    df = (
-        spark.read.option("header", True)
-        .option("quote", '"')
-        .option("inferSchema", False)
-        .option("mode", "PERMISSIVE")
-        .csv(paths)
+    # header arity: reads just the first lines, driver-side
+    n = len(spark.read.option("header", True).option("quote", '"').csv(paths).columns)
+    schema_ddl = ", ".join(f"_c{i} STRING" for i in range(n)) + ", _corrupt STRING"
+    opts = {"quote": '"', "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+
+    txt = spark.read.text(paths, wholetext=True).select(
+        F.col("value"), _src_file().alias("src_file")
     )
-    data_cols = [c for c in df.columns]
-    raw = df.select(
-        _src_file().alias("src_file"),
-        F.array(*[F.col(c).cast("string") for c in data_cols]).alias("payload"),
-        F.lit(None).cast("string").alias("_load_error"),
+    lines = txt.select(
+        "src_file",
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("line_idx", "line"),
+    ).filter((F.col("line_idx") > 0) & (F.col("line") != ""))
+
+    parsed = lines.withColumn("_p", F.from_csv(F.col("line"), schema_ddl, opts))
+    err = F.when(
+        F.col("_p._corrupt").isNotNull(),
+        F.concat(
+            F.format_string("column count mismatch (expected %d) or malformed: ", F.lit(n)),
+            F.substring("line", 1, 200),
+        ),
     )
-    w = Window.partitionBy("src_file").orderBy(F.monotonically_increasing_id())
-    raw = raw.withColumn("src_row_number", F.row_number().over(w).cast("long"))
+    payload = F.array(*[F.col(f"_p._c{i}") for i in range(n)])
+    raw = parsed.select(
+        "src_file",
+        F.col("line_idx").cast("long").alias("src_row_number"),
+        payload.alias("payload"),
+        err.alias("_load_error"),
+    )
     raw = _with_client(raw, spec, ingest_root)
     return raw.select(
         "client_id",
