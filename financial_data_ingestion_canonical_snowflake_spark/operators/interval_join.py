@@ -33,8 +33,22 @@ def interval_join(
     """Inner join of probe rows onto every interval containing them.
 
     ``on``: equality keys on both sides (may be empty). Output columns:
-    probe columns + interval columns (minus duplicated keys).
+    probe columns + interval columns (minus duplicated keys) — any OTHER
+    shared column name is rejected up front (the residual filter would hit
+    ambiguous-column resolution mid-plan otherwise; rename before joining).
+
+    Inverted intervals (``end < start``) match nothing under BETWEEN, so
+    they are filtered out before the bin explode — semantically exact, and
+    it keeps ``sequence(start_bin, end_bin)`` from silently generating a
+    descending bin range.
     """
+    dup = (set(probe.columns) & set(intervals.columns)) - set(on)
+    if dup:
+        raise ValueError(
+            f"interval_join: ambiguous non-key columns on both sides: {sorted(dup)}; "
+            "rename them on one side first"
+        )
+    intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
     w = bin_seconds * 1_000_000
     b = intervals.withColumn(
         _BIN,

@@ -211,14 +211,21 @@ def lsh_multiprobe_topk(
         vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     # a (query, neighbor) pair can match through several probes — dedupe
-    # before scoring so ranks are well-defined
+    # before ranking so ranks are well-defined. Score FIRST (map-side, on
+    # the broadcast join output), then MAX-aggregate per id pair: the
+    # dedupe shuffle carries (ids + one double) instead of two dim-wide
+    # vectors (~dim x fewer bytes than a distinct over vector rows), and
+    # partial aggregation collapses duplicates map-side.
     cand = (
         F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
-        .distinct()
     )
-    scored = _with_cosine(cand)
+    scored = (
+        _with_cosine(cand)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -162,14 +162,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_len: int = 3,
     min_jaccard: float = 0.6,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT shingles.
-    Only pairs sharing >= 1 shingle are ever materialized. At 100 TB scale,
-    pass ``max_shingle_freq`` to drop degenerate stop-shingles whose
-    posting lists would dominate the join.
+    Only pairs sharing >= 1 shingle are ever materialized.
+
+    ``max_shingle_freq`` drops degenerate stop-shingles ("the quick brown")
+    whose posting lists are quadratic in the self-join — at 100 TB a single
+    million-doc shingle would dominate the whole job. The cap is ON by
+    default (a shingle shared by >10k docs carries no near-dup signal:
+    any pair above ``min_jaccard`` shares many rarer shingles too, so the
+    pair survives through those); pass ``None`` to opt into the exact
+    uncapped join on bounded corpora.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
