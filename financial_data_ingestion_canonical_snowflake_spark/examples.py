@@ -176,6 +176,10 @@ def write_fixtures(root: str) -> str:
         "TXN-3001,2026-01-15T12:00:00,gbp,75.00,CUST-5,ACC-1,Initech,SKU-4,Gizmo,3,25.00,75.00,",
         # header-only row: 7/8/11 all empty -> no line emitted
         "TXN-3004,2026-01-15T15:00:00,gbp,99.00,CUST-7,ACC-3,Wayne,,,,,,",
+        # ragged row (3 of 13 tokens) -> ON_ERROR='CONTINUE' rejects it
+        # (Snowflake ERROR_ON_COLUMN_COUNT_MISMATCH): PARTIALLY_LOADED audit
+        # with errors_seen=1, row never reaches the raw table
+        "TXN-3099,2026-01-15T16:00:00,gbp",
     ]
     csv_c = [
         header,

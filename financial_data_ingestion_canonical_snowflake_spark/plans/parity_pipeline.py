@@ -156,7 +156,8 @@ def pipeline_e2e_ops_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E2E_AUDIT_ORACLE = """
     SELECT * FROM (VALUES
-        ('CSV', 'LOADED', CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00'),
+        ('CSV', 'LOADED', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00'),
+        ('CSV', 'PARTIALLY_LOADED', CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), '2026-02-01 00:00:00'),
         ('JSON', 'LOADED', CAST(6 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00'),
         ('JSON', 'LOAD_FAILED', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), '2026-02-01 00:00:00'),
         ('XML', 'LOADED', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), '2026-02-01 00:00:00')

@@ -224,7 +224,15 @@ def test_load_audit(spark, ran):
     assert rows[("XML", "LOADED")][0] == 5
     assert rows[("JSON", "LOADED")][0] == 6
     assert rows[("JSON", "LOAD_FAILED")] == (1, 1)
-    assert rows[("CSV", "LOADED")][0] == 2
+    # client_c CSV loads clean; client_a CSV carries the ragged fixture row
+    # -> ON_ERROR='CONTINUE' partial load with the error captured (S9)
+    assert rows[("CSV", "LOADED")][0] == 1
+    assert rows[("CSV", "PARTIALLY_LOADED")] == (1, 1)
+    partial = audit.filter(F.col("load_status") == "PARTIALLY_LOADED").collect()
+    assert len(partial) == 1
+    assert partial[0].src_file.endswith("client_a/csv/transactions.csv")
+    assert (partial[0].rows_parsed, partial[0].rows_loaded) == (6, 5)
+    assert "expected 13" in partial[0].first_error
     bad = audit.filter(F.col("load_status") == "LOAD_FAILED").collect()
     assert len(bad) == 1
     assert bad[0].src_file.endswith("txn_bad.json")
