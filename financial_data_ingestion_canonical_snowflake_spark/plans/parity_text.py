@@ -467,3 +467,138 @@ def ns_dedup_components(spark, sf_dir):
         .cast("long")
         .alias("component_size"),
     )
+
+
+@parity(
+    "ns_doc_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKS} AS toks,
+               trim(regexp_replace(regexp_replace(lower(
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       '[0-9][0-9 -]{{11,}}[0-9]', '<NUMBER>', 'g')),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, clean_text, toks,
+               len(toks) AS n_tokens,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+               len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS s_en,
+               len(list_filter(toks, t -> t IN ({_STOP_ES}))) AS s_es,
+               len(list_filter(toks, t -> t IN ({_STOP_DE}))) AS s_de,
+               {_md5h('CAST(doc_id AS VARCHAR)', 100)} AS bucket
+        FROM base
+    ),
+    flagged AS (
+        SELECT doc_id, clean_text, toks, bucket,
+               CAST(distinct_ratio * alpha_ratio AS DECIMAL(18,6)) AS quality,
+               CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+                    ELSE 'de' END AS predicted_lang,
+               (n_tokens >= 20 AND alpha_ratio >= 0.5) AS q_pass
+        FROM scored
+    ),
+    pooled AS (
+        SELECT *,
+               q_pass AND predicted_lang IN ('en', 'es') AS pool,
+               MIN(CASE WHEN q_pass AND predicted_lang IN ('en', 'es')
+                        THEN doc_id END)
+                   OVER (PARTITION BY sha256(clean_text)) AS pool_survivor
+        FROM flagged
+    ),
+    final AS (
+        SELECT *,
+               pool AND doc_id = pool_survivor AS survives,
+               pool AND doc_id = pool_survivor
+                    AND bucket < CASE WHEN predicted_lang = 'en' THEN 50 ELSE 20 END
+                   AS sampled
+        FROM pooled
+    )
+    SELECT predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+           CAST(SUM(CASE WHEN pool THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+           CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT) AS after_dedupe,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+           CAST(COALESCE(SUM(CASE WHEN sampled THEN
+               list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+               END), 0) AS BIGINT) AS token_budget,
+           CAST(COALESCE(SUM(CASE WHEN sampled THEN quality END), 0) AS DOUBLE) AS quality_sum
+    FROM final
+    GROUP BY predicted_lang
+    """,
+)
+def ns_doc_curation_funnel(spark, sf_dir):
+    """The composed training-data curation pipeline in ONE query, with
+    per-stage funnel accounting per detected language: quality gate
+    (>=20 tokens, >=50% alpha) -> language gate (en/es) -> exact dedupe on
+    normalized+scrubbed text (min-doc_id survivor within the passing pool)
+    -> deterministic stratified sample (md5 bucket, 50% en / 20% es) ->
+    final token budget (BPE-ish estimate) + quality mass.
+
+    This is the report a data-curation run actually publishes: how many
+    documents each stage dropped and what the surviving token budget is.
+    Single pass over the corpus: the only shuffles are the dedupe-hash
+    window and the final groupBy; every gate is a map-side flag, so the
+    funnel costs the same as the most expensive single stage. Conditional
+    aggregation gives all stage counts without re-scanning (no per-stage
+    jobs); quality mass sums DECIMAL(18,6) per-row values (order-independent
+    exact) and renders DOUBLE per the oracle convention.
+    """
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    stats = tx.quality_stats(F.col("text"))
+    clean = tx.normalize_text(tx.scrub_pii_ish(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "text",
+        clean.alias("clean_text"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["alpha_ratio"].alias("alpha_ratio"),
+        (
+            (stats["n_distinct_tokens"].cast("double") / stats["n_tokens"].cast("double"))
+            * stats["alpha_ratio"]
+        )
+        .cast("decimal(18,6)")
+        .alias("quality"),
+        tx.language_id(F.col("text")).alias("predicted_lang"),
+        tx.sample_bucket(F.col("doc_id")).alias("bucket"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    q_pass = (F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.5)
+    pool = q_pass & F.col("predicted_lang").isin("en", "es")
+    w = Window.partitionBy(F.sha2(F.col("clean_text"), 256))
+    pooled = scored.select(
+        "*",
+        q_pass.alias("q_pass"),
+        pool.alias("pool"),
+        F.min(F.when(pool, F.col("doc_id"))).over(w).alias("pool_survivor"),
+    )
+    survives = F.col("pool") & (F.col("doc_id") == F.col("pool_survivor"))
+    rate = F.when(F.col("predicted_lang") == "en", 50).otherwise(20)
+    sampled = survives & (F.col("bucket") < rate)
+    return (
+        pooled.select("*", survives.alias("survives"), sampled.alias("sampled"))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_docs"),
+            F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).cast("long").alias("after_quality"),
+            F.sum(F.when(F.col("pool"), 1).otherwise(0)).cast("long").alias("after_lang"),
+            F.sum(F.when(F.col("survives"), 1).otherwise(0)).cast("long").alias("after_dedupe"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("long").alias("sampled_docs"),
+            F.coalesce(F.sum(F.when(F.col("sampled"), F.col("bpe_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("token_budget"),
+            F.coalesce(
+                F.sum(F.when(F.col("sampled"), F.col("quality"))), F.lit(0)
+            )
+            .cast("double")
+            .alias("quality_sum"),
+        )
+    )

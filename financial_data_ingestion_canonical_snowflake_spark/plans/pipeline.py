@@ -108,7 +108,9 @@ class Pipeline:
         root = self.cfg.ingest_root.rstrip("/")
         path = f"{root}/{spec.path}" if spec.path else root
         files = tuple(f"{root}/{f}" for f in spec.files) if spec.files else None
-        return CopySpec(spec.file_type, path, spec.client_id, files, spec.row_tag)
+        return CopySpec(
+            spec.file_type, path, spec.client_id, files, spec.row_tag, spec.splittable
+        )
 
     # ------------------------------------------------------------------
     def ingest(self) -> dict[str, DataFrame]:

@@ -45,6 +45,11 @@ class CopySpec:
     client_id: str | None = None
     files: tuple[str, ...] | None = None
     row_tag: str = "transaction"  # XML only
+    # CSV only: split giant files across tasks (100 TB path). Costs stable
+    # per-file row numbers — src_row_number becomes a read-order ordinal,
+    # deterministic only per (file, split layout); default keeps the
+    # wholetext reader's true line ordinals for the many-small-files shape.
+    splittable: bool = False
 
 
 def _src_file() -> Column:
@@ -252,13 +257,35 @@ def read_raw_csv(
     schema_ddl = ", ".join(f"_c{i} STRING" for i in range(n)) + ", _corrupt STRING"
     opts = {"quote": '"', "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
 
-    txt = spark.read.text(paths, wholetext=True).select(
-        F.col("value"), _src_file().alias("src_file")
-    )
-    lines = txt.select(
-        "src_file",
-        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("line_idx", "line"),
-    ).filter((F.col("line_idx") > 0) & (F.col("line") != ""))
+    if spec.splittable:
+        # 100 TB path: line-mode text source (splits WITHIN files across
+        # tasks). No line ordinals exist, so SKIP_HEADER drops the first
+        # line per file in read order and src_row_number is a read-order
+        # ordinal (see CopySpec.splittable caveat).
+        from pyspark.sql.window import Window
+
+        txt = spark.read.text(paths).select(
+            F.col("value").alias("line"),
+            _src_file().alias("src_file"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        wf = Window.partitionBy("src_file")
+        lines = (
+            txt.withColumn("_is_header", F.col("_mid") == F.min("_mid").over(wf))
+            .filter(~F.col("_is_header") & (F.col("line") != ""))
+            .withColumn(
+                "line_idx",
+                F.row_number().over(wf.orderBy("_mid")),
+            )
+        )
+    else:
+        txt = spark.read.text(paths, wholetext=True).select(
+            F.col("value"), _src_file().alias("src_file")
+        )
+        lines = txt.select(
+            "src_file",
+            F.posexplode(F.split(F.col("value"), "\r?\n")).alias("line_idx", "line"),
+        ).filter((F.col("line_idx") > 0) & (F.col("line") != ""))
 
     parsed = lines.withColumn("_p", F.from_csv(F.col("line"), schema_ddl, opts))
     err = F.when(

@@ -16,6 +16,7 @@ import datetime as dt
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from financial_data_ingestion_canonical_snowflake_spark.plans.pipeline import Pipeline, PipelineConfig
 from financial_data_ingestion_canonical_snowflake_spark.sources.readers import CopySpec, read_raw_csv
@@ -51,6 +52,31 @@ def test_csv_load_error_capture(spark, root):
     assert "expected 5" in rows[3]._load_error  # ragged-long
     # good rows parse positionally; line ordinal is the physical position
     assert rows[1].payload[0] == "TXN-1" and rows[4].payload[4] == "CUST-7"
+
+
+def test_csv_splittable_path_matches_wholetext(spark, root):
+    """The 100 TB CSV path (line-mode text source, splits within files) must
+    agree with the wholetext reader on payloads and error capture; only the
+    row-number provenance differs (read-order ordinal vs true line ordinal —
+    identical here because the files are single-split)."""
+    spec_w = CopySpec(file_type="CSV", path=f"{root}/client_a/csv/", client_id="ClientA")
+    spec_s = CopySpec(
+        file_type="CSV", path=f"{root}/client_a/csv/", client_id="ClientA", splittable=True
+    )
+    w = read_raw_csv(spark, spec_w, root)
+    s = read_raw_csv(spark, spec_s, root)
+
+    def canon(df):
+        return sorted(
+            (r.src_file, r.src_row_number, tuple(r.payload), r._load_error is None)
+            for r in df.collect()
+        )
+
+    assert canon(w) == canon(s)
+    # header rows were dropped on every file
+    assert s.filter(F.col("payload")[0] == "source_txn_id").count() == 0
+    # error rows flagged identically (2 in good_and_bad.csv + 2 in all_bad.csv)
+    assert s.filter(F.col("_load_error").isNotNull()).count() == 4
 
 
 def test_csv_partial_and_failed_audit(spark, root, tmp_path):
