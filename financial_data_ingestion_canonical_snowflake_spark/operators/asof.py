@@ -38,21 +38,30 @@ def asof_join(
     build_order: str | None = None,
     tolerance: Column | None = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: probe rows + latest matching build columns.
+    """Left as-of join: probe rows + matching build columns.
 
     Parameters
     ----------
     on          equality keys present on both sides.
     probe_ts / build_ts   event-time columns (same orderable type).
     build_cols  build-side columns to attach (NULL when no match).
-    build_order extra build-side tiebreak for equal timestamps — the row
-                with the LARGEST ``(build_ts, build_order)`` wins,
-                deterministically. Defaults to the first of ``build_cols``.
-    tolerance   max probe_ts - build_ts as a Column interval (e.g.
-                ``F.expr("INTERVAL 1 HOUR")``); older matches are nulled.
+    build_order extra build-side tiebreak for equal timestamps —
+                deterministic winner is the LARGEST ``(build_ts,
+                build_order)`` for backward, the SMALLEST for forward.
+                Defaults to the first of ``build_cols``.
+    tolerance   max |probe_ts - build_ts| as a Column interval (e.g.
+                ``F.expr("INTERVAL 1 HOUR")``); farther matches are nulled.
     allow_exact_matches   include build rows at exactly probe_ts.
+    direction   'backward' (latest build <= probe, the default), 'forward'
+                (earliest build >= probe), or 'nearest' (closer of the two,
+                backward winning distance ties) — pandas ``merge_asof``
+                parity. 'nearest' reuses the SAME exchange for both running
+                windows (one shuffle, two sorts), still no join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     order = build_order or build_cols[0]
     b = build.select(
         *on,
@@ -69,19 +78,47 @@ def asof_join(
         F.lit(None).cast(b.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
     )
     # Equal timestamps: build sorts before probe when exact matches count,
-    # after it when they don't; among equal-ts build rows the largest
-    # ``build_order`` sorts last and therefore wins the running ``last()``.
+    # after it when they don't (in BOTH traversal directions); among
+    # equal-ts build rows the one sorting immediately before the probe wins
+    # the running ``last()`` — largest ``build_order`` for backward
+    # (ascending traversal), smallest for forward (descending traversal).
     side = F.col(_SIDE) if allow_exact_matches else -F.col(_SIDE)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(_TS), side, F.col(_PAYLOAD)[order])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
-    if tolerance is not None:
-        matched = F.when(
-            matched[build_ts] >= F.col(_TS) - tolerance, matched
-        ).otherwise(F.lit(None))
+
+    def running(asc: bool) -> Column:
+        ts = F.col(_TS).asc() if asc else F.col(_TS).desc()
+        tie = F.col(_PAYLOAD)[order].asc() if asc else F.col(_PAYLOAD)[order].desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts, side, tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last(_PAYLOAD, ignorenulls=True).over(w)
+        if tolerance is not None:
+            in_range = (
+                m[build_ts] >= F.col(_TS) - tolerance
+                if asc
+                else m[build_ts] <= F.col(_TS) + tolerance
+            )
+            m = F.when(in_range, m).otherwise(F.lit(None))
+        return m
+
+    if direction == "backward":
+        matched = running(asc=True)
+    elif direction == "forward":
+        matched = running(asc=False)
+    else:
+        bwd, fwd = running(asc=True), running(asc=False)
+        # distances via double-cast (epoch seconds for timestamps, raw for
+        # numerics) — exact to ~2^52, far past microsecond epoch precision
+        here = F.col(_TS).cast("double")
+        d_b = here - bwd[build_ts].cast("double")
+        d_f = fwd[build_ts].cast("double") - here
+        matched = (
+            F.when(bwd.isNull(), fwd)
+            .when(fwd.isNull(), bwd)
+            .when(d_b <= d_f, bwd)  # ties -> backward (pandas semantics)
+            .otherwise(fwd)
+        )
     out = (
         b.unionByName(p, allowMissingColumns=True)
         .withColumn(_PAYLOAD, matched)

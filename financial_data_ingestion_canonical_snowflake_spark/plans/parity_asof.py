@@ -98,6 +98,88 @@ def ns_asof_last_click_1h(spark, sf_dir):
 
 
 @parity(
+    "ns_asof_next_click",
+    oracle=f"""
+    WITH probe AS ({_PROBE}), build AS ({_BUILD})
+    SELECT p.user_id, p.event_id, epoch_us(p.ts) AS err_us,
+           b.click_event_id, b.click_value,
+           epoch_us(b.click_ts) - epoch_us(p.ts) AS micros_until
+    FROM probe p LEFT JOIN LATERAL (
+        SELECT click_event_id, click_value, click_ts FROM build b
+        WHERE b.user_id = p.user_id AND b.click_ts >= p.ts
+        ORDER BY b.click_ts ASC, b.click_event_id ASC LIMIT 1
+    ) b ON true
+    """,
+)
+def ns_asof_next_click(spark, sf_dir):
+    """FORWARD as-of join: per error event, the EARLIEST subsequent click by
+    the same user (did the user recover after the error?). Same
+    single-shuffle union+window plan, traversed descending."""
+    probe, build = _asof_frames(spark, sf_dir)
+    joined = asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="click_ts",
+        build_cols=["click_event_id", "click_value", "click_ts"],
+        build_order="click_event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("err_us"),
+        "click_event_id",
+        "click_value",
+        (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("micros_until"),
+    )
+
+
+@parity(
+    "ns_asof_nearest_click",
+    oracle=f"""
+    WITH probe AS ({_PROBE}), build AS ({_BUILD})
+    SELECT p.user_id, p.event_id, epoch_us(p.ts) AS err_us,
+           b.click_event_id, b.click_value,
+           abs(epoch_us(b.click_ts) - epoch_us(p.ts)) AS micros_away
+    FROM probe p LEFT JOIN LATERAL (
+        SELECT click_event_id, click_value, click_ts FROM build b
+        WHERE b.user_id = p.user_id
+        ORDER BY abs(epoch_us(b.click_ts) - epoch_us(p.ts)) ASC,
+                 (b.click_ts <= p.ts) DESC,
+                 CASE WHEN b.click_ts <= p.ts THEN -b.click_event_id
+                      ELSE b.click_event_id END ASC
+        LIMIT 1
+    ) b ON true
+    """,
+)
+def ns_asof_nearest_click(spark, sf_dir):
+    """NEAREST as-of join: the click closest in time to each error, in
+    either direction, backward winning distance ties (pandas merge_asof
+    semantics). One shuffle feeds BOTH running windows (exchange reuse)."""
+    probe, build = _asof_frames(spark, sf_dir)
+    joined = asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="click_ts",
+        build_cols=["click_event_id", "click_value", "click_ts"],
+        build_order="click_event_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("err_us"),
+        "click_event_id",
+        "click_value",
+        F.abs(F.unix_micros("click_ts") - F.unix_micros("ts")).alias("micros_away"),
+    )
+
+
+@parity(
     "ns_interval_join_sessions",
     oracle="""
     WITH c AS (

@@ -129,3 +129,46 @@ def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
     assert (0, 10) not in got and (30, 11) in got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_forward_direction(spark):
+    """direction='forward': earliest build >= probe; equal-ts ties go to the
+    SMALLEST build_order; exact matches excludable."""
+    got = _run(spark, direction="forward")
+    # probe 100 @10: builds at 10 (bid 900, 901) -> smallest bid wins
+    assert got[100] == (900, 1.0)
+    # probe 101 @5: next build at 10 -> smallest bid at that ts
+    assert got[101] == (900, 1.0)
+    # probe 102 (k=2) @10: only build @3 is in the past -> no forward match
+    assert got[102] == (None, None)
+    # no exact matches: probe 100 skips ts=10 builds, nothing later
+    strict = _run(spark, direction="forward", allow_exact_matches=False)
+    assert strict[100] == (None, None)
+
+
+def test_asof_forward_tolerance(spark):
+    got = _run(spark, direction="forward", tolerance=F.expr("INTERVAL 2 SECONDS"))
+    # probe 101 @5 -> next build @10 is 5s away, outside 2s tolerance
+    assert got[101] == (None, None)
+    # probe 100 @10 -> build @10, 0s away, inside
+    assert got[100] == (900, 1.0)
+
+
+def test_asof_nearest_direction(spark):
+    """direction='nearest': closer side wins; distance ties -> backward."""
+    probe = spark.createDataFrame(
+        [(1, 200, _ts(6)), (1, 201, _ts(2)), (1, 202, _ts(30))],
+        "k long, pid long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, 910, 1.0, _ts(4)), (1, 911, 2.0, _ts(8))],
+        "k long, bid long, bval double, bts timestamp",
+    )
+    out = asof_join(
+        probe, build, on=["k"], probe_ts="pts", build_ts="bts",
+        build_cols=["bid", "bval"], build_order="bid", direction="nearest",
+    )
+    got = {r.pid: r.bid for r in out.collect()}
+    assert got[200] == 910  # equidistant (2s both ways) -> backward wins
+    assert got[201] == 910  # only forward... @4 is 2s forward; no backward -> forward
+    assert got[202] == 911  # far future probe -> nearest is latest backward

@@ -177,3 +177,52 @@ def test_anomaly_codes_match_predicates(spark, amts):
             want.append("NEGATIVE_AMOUNT")
         assert list(r.codes) == want
         assert r.is_valid == (not want)
+
+
+@SETTINGS
+@given(
+    base=st.lists(_row, min_size=0, max_size=25),
+    delta=st.lists(_row, min_size=1, max_size=15),
+)
+def test_scoped_merge_equals_full_merge_property(spark, tmp_path_factory, base, delta):
+    """merge_upsert_scoped over a hash-bucketed table must be extensionally
+    identical to the plain full-outer merge_upsert for ANY base/delta —
+    including NULL keys (one fixed bucket), duplicate source keys (dedupe
+    guard), and empty bases (first-batch short-circuit)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.merge import (
+        PART_COL,
+        dedupe_source,
+        merge_upsert_scoped,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.operators.storage import ParquetTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ingest_seq", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    tbl = ParquetTable(
+        str(tmp_path_factory.mktemp("scoped")) + "/t", schema, [PART_COL], n_buckets=4
+    )
+    order = [F.col("ingest_seq").desc(), F.col("payload")]
+    base_df = spark.createDataFrame([tuple(r) for r in base], schema)
+    delta_df = spark.createDataFrame([tuple(r) for r in delta], schema)
+    if base:
+        merge_upsert_scoped(spark, tbl, base_df, keys=["key"], dedupe_order=order)
+    merge_upsert_scoped(spark, tbl, delta_df, keys=["key"], dedupe_order=order)
+
+    expect = merge_upsert(
+        dedupe_source(base_df, ["key"], order) if base else base_df,
+        delta_df,
+        keys=["key"],
+        dedupe_order=order,
+    )
+    def canon(df):
+        # NULLs sort against strings fine via repr; content equality is all
+        # we assert
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    assert canon(tbl.read(spark)) == canon(expect)
