@@ -125,3 +125,70 @@ def ns_sessionize_batch(spark, sf_dir):
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@parity(
+    "stream_live_interval_join",
+    oracle="""
+    SELECT e.user_id, e.event_id AS err_id, epoch_us(e.ts) AS err_us,
+           c.event_id AS click_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS micros_before
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+)
+def stream_live_interval_join(spark, sf_dir):
+    """REAL stream-stream join: error and click file streams joined on
+    user_id within a 1-hour event-time band under watermarks, drained with
+    availableNow into a memory sink — and hash-matching the batch
+    inequality-join oracle. The band predicate on both event-time columns
+    is what bounds the join state (streaming/ingest.py
+    stream_stream_interval_join)."""
+    import uuid as _uuid
+
+    from ..streaming.ingest import stream_stream_interval_join
+
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _EVENTS_DIR_CACHE:
+        src = tempfile.mkdtemp(prefix="fincan_stream_") + "/events"
+        table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+        _EVENTS_DIR_CACHE[key] = src
+    src_dir = _EVENTS_DIR_CACHE[key]
+
+    ev = file_stream(spark, src_dir, max_files_per_trigger=4)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = stream_stream_interval_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="err_ts",
+        right_ts="click_ts",
+        lower="INTERVAL 1 HOUR",
+        upper="INTERVAL 0 SECONDS",
+        watermark="2 hours",
+    )
+    name = f"stream_ssij_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # the only mode stream-stream joins support
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fincan_ssij_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        "err_id",
+        F.unix_micros("err_ts").alias("err_us"),
+        "click_id",
+        (F.unix_micros("err_ts") - F.unix_micros("click_ts")).alias("micros_before"),
+    )

@@ -105,6 +105,55 @@ def streaming_dedupe(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL 1 HOUR",
+    upper: str = "INTERVAL 0 SECONDS",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join on equality keys + an event-time band:
+    ``left_ts - lower <= right_ts <= left_ts + upper``.
+
+    The time-band predicate on BOTH event-time columns is what lets Spark
+    bound the join state: each side buffers only rows inside
+    watermark + band, then drops them — without it a stream-stream join
+    buffers forever. State shards by the join keys across
+    ``spark.sql.shuffle.partitions`` (fix it before the first start).
+    The same plan runs on batch DataFrames (watermarks no-op), which is how
+    the test oracles it.
+
+    Column names must be disjoint apart from ``on`` (same rule as the batch
+    ``interval_join``); the right side's key columns are dropped from the
+    output.
+    """
+    from functools import reduce
+
+    dup = (set(left.columns) & set(right.columns)) - set(on)
+    if dup:
+        raise ValueError(
+            f"stream_stream_interval_join: ambiguous non-key columns: {sorted(dup)}; "
+            "rename them on one side first"
+        )
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on],
+        (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(lower))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(upper)),
+    )
+    joined = lw.join(rw, cond, how)
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in right.columns if c not in on],
+    )
+
+
 class MergeSink:
     """foreachBatch sink: MERGE each micro-batch into a ParquetTable.
 

@@ -302,3 +302,60 @@ def test_stream_raw_csv_to_canonical_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(map(tuple, target.read(spark).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Watermarked stream-stream join (errors <- clicks within the prior
+    hour) drains to exactly the rows the identical batch join produces —
+    the state-bounded attribution join of §2.12."""
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    def frames(reader):
+        ev = reader
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        return errors, clicks
+
+    kw = dict(
+        on=["user_id"],
+        left_ts="err_ts",
+        right_ts="click_ts",
+        lower="INTERVAL 1 HOUR",
+        upper="INTERVAL 0 SECONDS",
+        watermark="2 hours",
+    )
+    # batch oracle: same operator over batch frames (watermark no-ops)
+    b_err, b_click = frames(spark.read.parquet(events_dir))
+    want = sorted(
+        map(tuple, stream_stream_interval_join(b_err, b_click, **kw).collect())
+    )
+    assert len(want) > 0  # fixture must actually exercise the band
+
+    s_err, s_click = frames(file_stream(spark, events_dir, max_files_per_trigger=2))
+    got = sorted(
+        map(
+            tuple,
+            _drain(
+                stream_stream_interval_join(s_err, s_click, **kw), str(tmp_path)
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stream_stream_interval_join_rejects_ambiguity(spark, events_dir, tmp_path):
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    with pytest.raises(ValueError, match="ambiguous"):
+        stream_stream_interval_join(
+            ev, ev, on=["user_id"], left_ts="ts", right_ts="ts"
+        )
