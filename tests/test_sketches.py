@@ -1,0 +1,56 @@
+"""HLL sketch properties (operators/sketches.py): mergeability — THE sketch
+property that matters at scale — plus estimate sanity. Cross-engine value
+parity lives in plans/parity_sketches.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_ndv,
+    hll_state,
+)
+
+
+def _ids(spark, lo, hi, tag="g"):
+    return spark.range(lo, hi).select(
+        F.lit(tag).alias("g"), F.concat(F.lit("user-"), F.col("id")).alias("v")
+    )
+
+
+def test_hll_merge_equals_union_state(spark):
+    """merge(state(A), state(B)) must equal state(A ∪ B) register-for-
+    register — the distributed-rollup property (sketch partial states can
+    combine across partitions, days, or tiers without the raw data)."""
+    a = _ids(spark, 0, 600)
+    b = _ids(spark, 400, 1000)  # overlapping ranges
+    merged = hll_merge(
+        [hll_state(a, ["g"], "v"), hll_state(b, ["g"], "v")], ["g"]
+    )
+    direct = hll_state(a.unionByName(b), ["g"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # and therefore identical estimates
+    em = hll_estimate(merged, ["g"]).collect()[0].approx_ndv
+    ed = hll_estimate(direct, ["g"]).collect()[0].approx_ndv
+    assert em == ed
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=256 gives ~6.5% standard error; assert a loose 3-sigma band on a
+    known cardinality, and exactness-ish at tiny cardinality (linear
+    counting branch)."""
+    big = hll_ndv(_ids(spark, 0, 2000), ["g"], "v").collect()[0]
+    assert abs(big.approx_ndv - 2000) / 2000 < 0.20
+    small = hll_ndv(_ids(spark, 0, 10), ["g"], "v").collect()[0]
+    assert abs(small.approx_ndv - 10) <= 2  # linear counting is near-exact here
+
+
+def test_hll_nulls_ignored(spark):
+    df = _ids(spark, 0, 50).unionByName(
+        spark.range(5).select(F.lit("g").alias("g"), F.lit(None).cast("string").alias("v"))
+    )
+    out = hll_ndv(df, ["g"], "v").collect()[0]
+    ref = hll_ndv(_ids(spark, 0, 50), ["g"], "v").collect()[0]
+    assert out.approx_ndv == ref.approx_ndv
