@@ -133,3 +133,71 @@ def hll_ndv(
 ) -> DataFrame:
     """One-call HLL distinct count per group: state + estimate."""
     return hll_estimate(hll_state(df, group_cols, value_col, b), group_cols, b)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation / heavy hitters
+
+
+def cms_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch state per group: ``depth x width`` counters.
+
+    Row ``j``'s hash of v is the shared md5 hash of ``j || '|' || v`` mod
+    ``width`` — deterministic and DuckDB-reproducible like the HLL
+    registers. Output: ``group_cols..., j int, bucket int, cnt long`` (at
+    most depth*width rows per group, regardless of input size); built by
+    one map-side-combinable aggregation over an in-row depth explode.
+    Merge = unionByName + re-sum (counters are additive).
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("string").alias("__v"), j
+    )
+    bucket = md5_long(
+        F.concat_ws("|", F.col("j").cast("string"), F.col("__v")), modulus=width
+    ).cast("int")
+    return (
+        rows.select(*group_cols, "j", bucket.alias("bucket"))
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    state: DataFrame,
+    probes: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Estimated count for each probe value: min over the depth rows of the
+    counters its hashes land in (CMS never underestimates; collisions only
+    inflate). Missing counters read as 0. The join is an equi-join on
+    (group, j, bucket) — the probe side fans out depth ways, the state side
+    is already tiny."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    p = probes.select(
+        *group_cols, F.col(value_col).cast("string").alias("__v"), j
+    ).select(
+        *group_cols,
+        "__v",
+        "j",
+        md5_long(F.concat_ws("|", F.col("j").cast("string"), F.col("__v")), modulus=width)
+        .cast("int")
+        .alias("bucket"),
+    )
+    joined = p.join(state, [*group_cols, "j", "bucket"], "left").select(
+        *group_cols, "__v", "j", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return (
+        joined.groupBy(*group_cols, "__v")
+        .agg(F.min("cnt").cast("long").alias("cms_count"))
+        .withColumnRenamed("__v", value_col)
+    )

@@ -65,3 +65,69 @@ def ns_sketch_hll_users(spark, sf_dir):
     return exact.join(approx, "event_type").select(
         "event_type", "exact_ndv", "hll_buckets", "approx_ndv"
     )
+
+
+_CMS_ORACLE = """
+    WITH toks AS (
+        SELECT lang, UNNEST(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    counters AS (
+        SELECT lang, d.j,
+               ('0x' || substr(md5(CAST(d.j AS VARCHAR) || '|' || token), 1, 15))::BIGINT % 512
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM toks, (SELECT UNNEST([0, 1, 2, 3]) AS j) d
+        GROUP BY 1, 2, 3
+    ),
+    exact AS (
+        SELECT lang, token, COUNT(*) AS exact_cnt
+        FROM toks GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT lang, token, exact_cnt,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY exact_cnt DESC, token) AS BIGINT) AS rnk
+        FROM exact QUALIFY rnk <= 8
+    ),
+    probed AS (
+        SELECT t.lang, t.token, t.exact_cnt, t.rnk, d.j,
+               ('0x' || substr(md5(CAST(d.j AS VARCHAR) || '|' || t.token), 1, 15))::BIGINT % 512
+                   AS bucket
+        FROM top t, (SELECT UNNEST([0, 1, 2, 3]) AS j) d
+    )
+    SELECT p.lang, p.token, p.exact_cnt, p.rnk,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+    FROM probed p
+    LEFT JOIN counters c ON c.lang = p.lang AND c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@parity("ns_sketch_cms_tokens", oracle=_CMS_ORACLE)
+def ns_sketch_cms_tokens(spark, sf_dir):
+    """Heavy-hitter vocabulary per language: the exact top-8 tokens with
+    their count-min estimates. The oracle rebuilds the identical 4x512
+    counter matrix, so CMS's overestimate-only guarantee is value-checked,
+    not just asserted. CMS state is additive (union + re-sum merges),
+    bounded (depth*width counters per group), and built map-side — the
+    frequency twin of the HLL registers."""
+    from pyspark.sql.window import Window
+
+    from ..functions import text as tx
+    from ..operators.sketches import cms_lookup, cms_state
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    state = cms_state(toks, ["lang"], "token")
+    w = Window.partitionBy("lang").orderBy(F.desc("exact_cnt"), F.asc("token"))
+    top = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 8)
+    )
+    est = cms_lookup(state, top.select("lang", "token"), ["lang"], "token")
+    return top.join(est, ["lang", "token"]).select(
+        "lang", "token", "exact_cnt", "rnk", "cms_count"
+    )

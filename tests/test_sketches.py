@@ -54,3 +54,33 @@ def test_hll_nulls_ignored(spark):
     out = hll_ndv(df, ["g"], "v").collect()[0]
     ref = hll_ndv(_ids(spark, 0, 50), ["g"], "v").collect()[0]
     assert out.approx_ndv == ref.approx_ndv
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.sketches import (
+        cms_lookup,
+        cms_state,
+    )
+
+    # skewed frequencies: value-i appears i+1 times
+    rows = [("g", f"tok-{i}") for i in range(60) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    state = cms_state(df, ["g"], "v")
+    probes = df.select("g", "v").distinct()
+    est = {r.v: r.cms_count for r in cms_lookup(state, probes, ["g"], "v").collect()}
+    for i in range(60):
+        assert est[f"tok-{i}"] >= i + 1  # CMS overestimates only
+    # with width=512 and 60 values, most estimates are exact
+    exact_hits = sum(1 for i in range(60) if est[f"tok-{i}"] == i + 1)
+    assert exact_hits >= 50
+
+    # additive merge: state(A) + state(B) == state(A ∪ B)
+    a, b = df.filter("v < 'tok-3'"), df.filter("v >= 'tok-3'")
+    merged = (
+        cms_state(a, ["g"], "v")
+        .unionByName(cms_state(b, ["g"], "v"))
+        .groupBy("g", "j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    direct = cms_state(df, ["g"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
