@@ -179,9 +179,14 @@ def ns_dedup_simhash(spark, sf_dir):
     """,
 )
 def ns_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard pairs via shared-shingle equi-join."""
+    """Exact word-3-gram Jaccard pairs via shared-shingle equi-join.
+
+    ``max_shingle_freq=None`` opts out of the (default-on) stop-shingle cap
+    because THIS oracle is the uncapped exact join; the capped twin is
+    ``ns_dedup_ngram_jaccard_capped``."""
     return td.ngram_jaccard_pairs(
-        _docs2(spark, sf_dir), "doc_id", "text", shingle_len=3, min_jaccard=0.6
+        _docs2(spark, sf_dir), "doc_id", "text", shingle_len=3, min_jaccard=0.6,
+        max_shingle_freq=None,
     )
 
 
@@ -452,8 +457,10 @@ def ns_dedup_components(spark, sf_dir):
     from ..operators.components import connected_components
 
     docs = _docs2(spark, sf_dir)
+    # uncapped to match the recursive-walk oracle's exact pair set
     pairs = td.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6
+        docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6,
+        max_shingle_freq=None,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
