@@ -201,3 +201,87 @@ def cms_lookup(
         .agg(F.min("cnt").cast("long").alias("cms_count"))
         .withColumnRenamed("__v", value_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcast semi-join reduction
+
+#: bits per bitmap word — 63, not 64: Spark's shiftleft(1L, 63) wraps to the
+#: sign bit (Java semantics) while DuckDB raises on 1::BIGINT << 63; capping
+#: shifts at 62 keeps the words positive and cross-engine identical
+BLOOM_WORD_BITS = 63
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, n_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``value_col`` as ``(word, bits)``
+    rows — ``ceil(n_bits / 63)`` BIGINT words, ~driver-free (one bit_or
+    aggregation), broadcastable.
+
+    Hash j of v = shared md5 hash of ``j || '|' || v`` mod n_bits, same
+    derivation DuckDB reproduces exactly. The bitmap is the Spark-native
+    runtime-filter pattern made explicit: build over the small (dimension /
+    filtered) side, broadcast, and pre-filter the big probe side BEFORE its
+    shuffle — at 100 TB the shuffle-volume reduction is the whole game, and
+    false positives are removed by the real join afterwards, so results are
+    exact.
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    pos = md5_long(
+        F.concat_ws("|", F.col("j").cast("string"), F.col(value_col).cast("string")),
+        modulus=n_bits,
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col), j)
+        .select(
+            (pos / BLOOM_WORD_BITS).cast("int").alias("word"),
+            (pos % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        # SQL shiftleft accepts a column shift amount (the pyspark wrapper
+        # doesn't), hence F.expr
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def bloom_compile(bloom: DataFrame) -> dict[int, int]:
+    """Collect a built bitmap (<= ceil(n_bits/63) rows) to a plain dict —
+    the driver-small 'ship the filter to the tasks' step every runtime
+    filter performs; at n_bits=4096 this is 65 longs."""
+    return {r.word: r.bits for r in bloom.collect()}
+
+
+def bloom_might_contain(
+    bitmap: dict[int, int], col_name: str, n_bits: int = 4096, k: int = 3
+) -> Column:
+    """Pure map-side membership test against a compiled bitmap: TRUE when
+    all k bits are set (a guaranteed superset of true members;
+    false-positive rate ~(1 - e^{-kn/m})^k).
+
+    The bitmap embeds as a literal map in the expression, so filtering a
+    100 TB probe side costs ZERO shuffle and no join — rows that can't
+    match never leave the scan stage; the real join afterwards removes the
+    few false positives, keeping results exact. Built as one SQL expression
+    (column-amount shifts aren't exposed by the pyspark wrappers).
+    """
+    if bitmap:
+        entries = ", ".join(
+            f"{w}, CAST({b} AS BIGINT)" for w, b in sorted(bitmap.items())
+        )
+        map_sql = f"map({entries})"
+    else:
+        map_sql = "map()"
+    conds = []
+    for j in range(k):
+        h = (
+            f"CAST(conv(substring(md5(concat('{j}', '|', "
+            f"CAST({col_name} AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n_bits}"
+        )
+        conds.append(
+            f"((shiftright(coalesce(element_at({map_sql}, "
+            f"CAST(({h}) div {BLOOM_WORD_BITS} AS INT)), CAST(0 AS BIGINT)), "
+            f"CAST(({h}) % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(conds))

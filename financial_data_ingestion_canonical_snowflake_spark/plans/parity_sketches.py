@@ -131,3 +131,77 @@ def ns_sketch_cms_tokens(spark, sf_dir):
     return top.join(est, ["lang", "token"]).select(
         "lang", "token", "exact_cnt", "rnk", "cms_count"
     )
+
+
+_BLOOM_ORACLE = """
+    WITH sel AS (
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000
+    ),
+    jd AS (SELECT UNNEST([0, 1, 2]) AS j),
+    bpos AS (
+        SELECT ('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS p
+        FROM sel, jd
+    ),
+    words AS (
+        SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)) AS bits
+        FROM bpos GROUP BY 1
+    ),
+    okeys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    checks AS (
+        SELECT o.l_orderkey, jd.j,
+               ('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|' || CAST(o.l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS p
+        FROM okeys o, jd
+    ),
+    hit AS (
+        SELECT l_orderkey,
+               MIN(CASE WHEN ((COALESCE(w.bits, 0) >> (p % 63)) & 1) = 1
+                        THEN 1 ELSE 0 END) AS might
+        FROM checks LEFT JOIN words w ON w.word = p // 63
+        GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS probe_rows,
+           CAST(SUM(h.might) AS BIGINT) AS bloom_pass,
+           CAST(SUM(CASE WHEN s.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_rows
+    FROM lineitem l
+    JOIN hit h ON h.l_orderkey = l.l_orderkey
+    LEFT JOIN sel s ON s.o_orderkey = l.l_orderkey
+    GROUP BY 1
+"""
+
+
+@parity("ns_sketch_bloom_semijoin", oracle=_BLOOM_ORACLE)
+def ns_sketch_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join reduction, the explicit runtime-filter
+    pattern: a 4096-bit bitmap built over high-value orders, compiled into
+    a literal map-side predicate, pre-filters the (big) lineitem probe with
+    ZERO shuffle; per return flag the funnel reports probe rows, bloom
+    passes, and true matches — the gap is the measured false-positive
+    cost. The oracle rebuilds the identical bitmap, so the filter's exact
+    behavior (not a bound) is verified."""
+    from ..operators.sketches import bloom_build, bloom_compile, bloom_might_contain
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sel = (
+        orders.filter(F.col("o_totalprice") > 480000)
+        .select("o_orderkey")
+        .distinct()
+    )
+    bitmap = bloom_compile(bloom_build(sel, "o_orderkey"))
+    flagged = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        bloom_might_contain(bitmap, "l_orderkey").cast("int").alias("might"),
+    )
+    exact = flagged.join(
+        F.broadcast(sel.withColumn("__in", F.lit(1))),
+        flagged.l_orderkey == sel.o_orderkey,
+        "left",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("probe_rows"),
+        F.sum("might").cast("long").alias("bloom_pass"),
+        F.sum(F.coalesce(F.col("__in"), F.lit(0))).cast("long").alias("exact_rows"),
+    )

@@ -84,3 +84,26 @@ def test_cms_never_underestimates_and_merges(spark):
     )
     direct = cms_state(df, ["g"], "v")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bloom_superset_and_fp_rate(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.sketches import (
+        bloom_build,
+        bloom_compile,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 300).select(F.concat(F.lit("m-"), F.col("id")).alias("v"))
+    bitmap = bloom_compile(bloom_build(members, "v"))
+    probe = spark.range(0, 3000).select(
+        F.when(F.col("id") < 300, F.concat(F.lit("m-"), F.col("id")))
+        .otherwise(F.concat(F.lit("x-"), F.col("id")))
+        .alias("v")
+    )
+    flagged = probe.withColumn("might", bloom_might_contain(bitmap, "v"))
+    rows = flagged.collect()
+    # no false negatives: every member passes
+    assert all(r.might for r in rows if r.v.startswith("m-"))
+    # false positives are rare (expected ~0.8% at n=300, m=4096, k=3)
+    fps = sum(1 for r in rows if r.might and r.v.startswith("x-"))
+    assert fps < 2700 * 0.05
