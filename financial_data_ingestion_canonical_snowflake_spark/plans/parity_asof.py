@@ -59,7 +59,7 @@ def _oracle(extra_pred: str = "") -> str:
     """
 
 
-@parity("ns_asof_last_click", oracle=_oracle())
+@parity("ns_asof_last_click", driver=False, oracle=_oracle())
 def ns_asof_last_click(spark, sf_dir):
     """Per error event: latest prior click by the same user (as-of join)."""
     probe, build = _asof_frames(spark, sf_dir)
@@ -78,6 +78,7 @@ def ns_asof_last_click(spark, sf_dir):
 
 @parity(
     "ns_asof_last_click_1h",
+    driver=False,
     oracle=_oracle("AND b.click_ts >= p.ts - INTERVAL 1 HOUR"),
 )
 def ns_asof_last_click_1h(spark, sf_dir):
@@ -97,9 +98,7 @@ def ns_asof_last_click_1h(spark, sf_dir):
     )
 
 
-@parity(
-    "ns_asof_next_click",
-    oracle=f"""
+_FWD_ORACLE = f"""
     WITH probe AS ({_PROBE}), build AS ({_BUILD})
     SELECT p.user_id, p.event_id, epoch_us(p.ts) AS err_us,
            b.click_event_id, b.click_value,
@@ -109,8 +108,10 @@ def ns_asof_last_click_1h(spark, sf_dir):
         WHERE b.user_id = p.user_id AND b.click_ts >= p.ts
         ORDER BY b.click_ts ASC, b.click_event_id ASC LIMIT 1
     ) b ON true
-    """,
-)
+    """
+
+
+@parity("ns_asof_next_click", driver=False, oracle=_FWD_ORACLE)
 def ns_asof_next_click(spark, sf_dir):
     """FORWARD as-of join: per error event, the EARLIEST subsequent click by
     the same user (did the user recover after the error?). Same
@@ -136,9 +137,7 @@ def ns_asof_next_click(spark, sf_dir):
     )
 
 
-@parity(
-    "ns_asof_nearest_click",
-    oracle=f"""
+_NEAREST_ORACLE = f"""
     WITH probe AS ({_PROBE}), build AS ({_BUILD})
     SELECT p.user_id, p.event_id, epoch_us(p.ts) AS err_us,
            b.click_event_id, b.click_value,
@@ -152,8 +151,10 @@ def ns_asof_next_click(spark, sf_dir):
                       ELSE b.click_event_id END ASC
         LIMIT 1
     ) b ON true
-    """,
-)
+    """
+
+
+@parity("ns_asof_nearest_click", driver=False, oracle=_NEAREST_ORACLE)
 def ns_asof_nearest_click(spark, sf_dir):
     """NEAREST as-of join: the click closest in time to each error, in
     either direction, backward winning distance ties (pandas merge_asof
@@ -247,3 +248,54 @@ def ns_interval_join_sessions(spark, sf_dir):
         F.unix_micros("session_end").alias("s_end_us"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-slot composite: all four as-of directions in ONE oracle-paired
+# query (the individual queries above stay benchable/testable but would
+# overflow the driver's 50-entry verification window, SURVEY.md §8).
+# --------------------------------------------------------------------------
+
+_DIRECTIONS = [
+    ("backward", "ns_asof_last_click", "micros_since", _oracle()),
+    (
+        "backward_1h",
+        "ns_asof_last_click_1h",
+        "micros_since",
+        _oracle("AND b.click_ts >= p.ts - INTERVAL 1 HOUR"),
+    ),
+    ("forward", "ns_asof_next_click", "micros_until", _FWD_ORACLE),
+    ("nearest", "ns_asof_nearest_click", "micros_away", _NEAREST_ORACLE),
+]
+
+_ALL_DIR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{variant}' AS variant, user_id, event_id, err_us, "
+    f"click_event_id, click_value, {delta} AS delta_us FROM ({sql}) __{variant}"
+    for variant, _name, delta, sql in _DIRECTIONS
+)
+
+
+@parity("ns_asof_directions", oracle=_ALL_DIR_ORACLE)
+def ns_asof_directions(spark, sf_dir):
+    """Backward / backward+1h-tolerance / forward / nearest as-of joins
+    unioned with a direction label — one driver slot certifies all four
+    traversals of operators/asof.py against their LATERAL-top-1 oracles."""
+    from .registry import ALL_QUERIES
+
+    out = None
+    for variant, name, delta, _sql in _DIRECTIONS:
+        d = (
+            ALL_QUERIES[name](spark, sf_dir)
+            .withColumnRenamed(delta, "delta_us")
+            .select(
+                F.lit(variant).alias("variant"),
+                "user_id",
+                "event_id",
+                "err_us",
+                "click_event_id",
+                "click_value",
+                "delta_us",
+            )
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

@@ -14,7 +14,14 @@ from pyspark.sql.window import Window
 from ..functions import scalars
 from ..operators.dedupe import latest_by_key, rank_duplicates
 from ..operators.merge import merge_upsert
-from .registry import parity, table
+from .registry import (
+    ALL_ORACLE_SQL,
+    ALL_QUERIES,
+    digest_frame,
+    digest_sql,
+    parity,
+    table,
+)
 
 DEC18 = "decimal(18,6)"
 
@@ -85,6 +92,7 @@ def a2_conditional_validity_counts(spark, sf_dir):
 
 @parity(
     "a3_grouped_counts",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT event_type, user_id % 7 AS user_bucket, COUNT(*) AS anomaly_count
     FROM events GROUP BY event_type, user_id % 7
@@ -100,6 +108,7 @@ def a3_grouped_counts(spark, sf_dir):
 
 @parity(
     "a4_smoke_counts",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT 'customer' AS table_name, COUNT(*) AS row_cnt FROM customer
     UNION ALL SELECT 'orders', COUNT(*) FROM orders
@@ -119,6 +128,7 @@ def a4_smoke_counts(spark, sf_dir):
 
 @parity(
     "a5_distinct",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
 def a5_distinct(spark, sf_dir):
@@ -228,6 +238,7 @@ def w1_survivor_dedupe(spark, sf_dir):
 
 @parity(
     "w2_duplicate_counts",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT DISTINCT o_custkey, COUNT(*) OVER (PARTITION BY o_custkey) AS dup_cnt
     FROM orders
@@ -250,6 +261,7 @@ def w2_duplicate_counts(spark, sf_dir):
 
 @parity(
     "u1_union_all_by_source",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     WITH tagged AS (
         SELECT 'JSON' AS source_system, o_totalprice FROM orders WHERE o_orderstatus = 'F'
@@ -291,6 +303,7 @@ def u1_union_all_by_source(spark, sf_dir):
 
 @parity(
     "p6_ilike_client_mapping",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT CASE WHEN source || '/' || lang ILIKE 'SRC1/%' THEN 'client_a'
                 WHEN source || '/' || lang ILIKE 'SRC2/%' THEN 'client_b'
@@ -314,6 +327,7 @@ def p6_ilike_client_mapping(spark, sf_dir):
 
 @parity(
     "p7_iff_amount_bands",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT CASE WHEN o_totalprice < 0 THEN 'NEGATIVE'
                 ELSE CASE WHEN o_totalprice < 150000 THEN 'MID' ELSE 'HIGH' END END AS band,
@@ -334,6 +348,7 @@ def p7_iff_amount_bands(spark, sf_dir):
 
 @parity(
     "p2_p3_null_or_filters",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT p_partkey, p_brand, p_size FROM part
     WHERE p_name IS NOT NULL AND (p_size > 40 OR p_brand = 'Brand#13' OR p_type LIKE 'PROMO%')
@@ -422,6 +437,7 @@ def f8_canonical_id_derivation(spark, sf_dir):
 
 @parity(
     "f3_f4_try_casts",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT event_id,
            CAST(TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6)) AS DOUBLE) AS k_num,
@@ -449,6 +465,7 @@ def f3_f4_try_casts(spark, sf_dir):
 
 @parity(
     "f1_f5_scalar_chain",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT c_custkey,
            upper(COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'none')) AS segment_norm,
@@ -472,6 +489,7 @@ def f1_f5_scalar_chain(spark, sf_dir):
 
 @parity(
     "f11_month_rollup",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS txn_cnt,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
@@ -494,6 +512,7 @@ def f11_month_rollup(spark, sf_dir):
 
 @parity(
     "v5_json_path_agg",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT event_type,
            CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -513,6 +532,7 @@ def v5_json_path_agg(spark, sf_dir):
 
 @parity(
     "v7_posexplode_outer_lines",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     WITH src AS (
         SELECT p_partkey,
@@ -551,6 +571,7 @@ def v7_posexplode_outer_lines(spark, sf_dir):
 
 @parity(
     "v6_array_subscript",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT p_partkey,
            (string_split(p_type, ' '))[3] AS third_word,
@@ -572,6 +593,7 @@ def v6_array_subscript(spark, sf_dir):
 
 @parity(
     "v1_v2_array_compact",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     WITH arrs AS (
         SELECT c_custkey,
@@ -814,6 +836,7 @@ def m3_merge_nullsafe_key(spark, sf_dir):
 
 @parity(
     "o1_o3_ordered_probes",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     WITH counts AS (
         SELECT n_name, r_name, COUNT(*) AS cust_cnt,
@@ -857,6 +880,7 @@ def o1_o3_ordered_probes(spark, sf_dir):
 
 @parity(
     "v8_explode_inner",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     WITH flagged AS (
         SELECT o_orderkey,
@@ -1009,6 +1033,7 @@ def skew_salted_join(spark, sf_dir):
 
 @parity(
     "v5b_variant_typed_access",
+    driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT event_type,
            CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1033,3 +1058,87 @@ def v5b_variant_typed_access(spark, sf_dir):
         F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("null_path_cnt"),
         F.count(F.lit(1)).alias("event_cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Digest composites: the single-operator probes above stay runnable (bench,
+# tests) but occupy ONE driver slot per family — the driver verifies only
+# the first 50 oracle-paired registrations (SURVEY.md §8), so the surface
+# must fit inside that window. Each digest row pins the probe's full result
+# set via the cross-engine md5 content checksum (registry.digest_frame).
+# --------------------------------------------------------------------------
+
+_DIGEST_RELATIONAL = [
+    ("a3_grouped_counts", [("event_type", "s"), ("user_bucket", "s"), ("anomaly_count", "s")]),
+    ("a4_smoke_counts", [("table_name", "s"), ("row_cnt", "s")]),
+    ("a5_distinct", [("l_returnflag", "s"), ("l_linestatus", "s")]),
+    ("w2_duplicate_counts", [("o_custkey", "s"), ("dup_cnt", "s")]),
+    ("u1_union_all_by_source", [("source_system", "s"), ("txn_cnt", "s"), ("total_amount", "d")]),
+    (
+        "o1_o3_ordered_probes",
+        [("probe_rank", "s"), ("n_name", "s"), ("r_name", "s"), ("cust_cnt", "s"), ("total_bal", "d")],
+    ),
+]
+
+_DIGEST_SCALAR = [
+    ("p2_p3_null_or_filters", [("p_partkey", "s"), ("p_brand", "s"), ("p_size", "s")]),
+    ("p6_ilike_client_mapping", [("client_id", "s"), ("doc_cnt", "s")]),
+    ("p7_iff_amount_bands", [("band", "s"), ("txn_cnt", "s")]),
+    (
+        "f1_f5_scalar_chain",
+        [("c_custkey", "s"), ("segment_norm", "s"), ("name_suffix", "s"), ("nvl_demo", "s")],
+    ),
+    ("f3_f4_try_casts", [("event_id", "s"), ("k_num", "d"), ("bad_num", "d"), ("ts_roundtrip", "s")]),
+    ("f11_month_rollup", [("order_month", "s"), ("txn_cnt", "s"), ("total_amount", "d")]),
+]
+
+_DIGEST_VARIANT = [
+    ("v1_v2_array_compact", [("c_custkey", "s"), ("n_codes", "s"), ("codes_csv", "s"), ("is_valid", "s")]),
+    ("v5_json_path_agg", [("event_type", "s"), ("sum_k", "s"), ("event_cnt", "s")]),
+    (
+        "v5b_variant_typed_access",
+        [("event_type", "s"), ("sum_k", "s"), ("null_path_cnt", "s"), ("event_cnt", "s")],
+    ),
+    ("v6_array_subscript", [("p_partkey", "s"), ("third_word", "s"), ("dyn_word", "s")]),
+    ("v7_posexplode_outer_lines", [("p_partkey", "s"), ("word", "s"), ("line_number", "s")]),
+    ("v8_explode_inner", [("code", "s"), ("txn_cnt", "s")]),
+]
+
+
+def _digest_union(spark, sf_dir, members):
+    out = None
+    for name, _cols in members:
+        d = digest_frame(ALL_QUERIES[name](spark, sf_dir), name)
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _digest_oracle(members):
+    return "\nUNION ALL\n".join(
+        digest_sql(name, ALL_ORACLE_SQL[name], cols) for name, cols in members
+    )
+
+
+@parity("probe_digest_relational", oracle=_digest_oracle(_DIGEST_RELATIONAL))
+def probe_digest_relational(spark, sf_dir):
+    """A3/A4/A5/W2/U1/O1-O3 in one driver slot: grouped counts, smoke
+    counts, DISTINCT, windowed duplicate counts, UNION ALL rollup, and the
+    ordered probes — each probe's full result set content-checksummed
+    identically in both engines."""
+    return _digest_union(spark, sf_dir, _DIGEST_RELATIONAL)
+
+
+@parity("probe_digest_scalar", oracle=_digest_oracle(_DIGEST_SCALAR))
+def probe_digest_scalar(spark, sf_dir):
+    """P2/P3/P6/P7 + F1-F7/F11 scalar and predicate probes in one driver
+    slot (NULL/OR filters, ILIKE mapping, IFF bands, COALESCE/NVL chain,
+    TRY_TO_* casts, pinned timestamp rendering)."""
+    return _digest_union(spark, sf_dir, _DIGEST_SCALAR)
+
+
+@parity("probe_digest_variant", oracle=_digest_oracle(_DIGEST_VARIANT))
+def probe_digest_variant(spark, sf_dir):
+    """V1-V8 semi-structured probes in one driver slot (array construct /
+    compact, JSON path + typed VARIANT access, subscripts, inner and OUTER
+    flatten)."""
+    return _digest_union(spark, sf_dir, _DIGEST_VARIANT)

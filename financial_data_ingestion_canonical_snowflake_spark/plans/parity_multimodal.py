@@ -30,6 +30,7 @@ def _media(spark, sf_dir):
 
 @parity(
     "ns_mm_metadata_stats",
+    driver=False,  # driver slot: folded into ns_mm_digest
     oracle=f"""
     SELECT {_KIND} AS kind, COUNT(*) AS media_cnt,
            CAST(SUM({_NBYTES}) AS BIGINT) AS total_bytes,
@@ -59,6 +60,7 @@ def ns_mm_metadata_stats(spark, sf_dir):
 
 @parity(
     "ns_mm_frame_sample",
+    driver=False,  # driver slot: folded into ns_mm_digest
     oracle=f"""
     WITH m AS (SELECT doc_id AS media_id, {_NBYTES} AS n FROM documents
                WHERE {_KIND} = 'video'),
@@ -82,6 +84,7 @@ def ns_mm_frame_sample(spark, sf_dir):
 
 @parity(
     "ns_mm_resize",
+    driver=False,  # driver slot: folded into ns_mm_digest
     oracle=f"""
     SELECT doc_id AS media_id,
            CAST(ceil({_NBYTES} / 4.0) AS BIGINT) AS n_bytes
@@ -106,3 +109,41 @@ def ns_mm_decode_features(spark, sf_dir):
         "mean_level",
         F.size("features").alias("feature_dim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-slot composite: the three SQL-checkable multimodal queries in one
+# oracle-paired digest (SURVEY.md §8 50-entry driver window). The rows-only
+# decode-features query stays registered individually.
+# --------------------------------------------------------------------------
+
+_MM_DIGEST = [
+    (
+        "ns_mm_metadata_stats",
+        [("kind", "s"), ("media_cnt", "s"), ("total_bytes", "s"), ("total_width", "s"), ("total_duration_ms", "s")],
+    ),
+    ("ns_mm_frame_sample", [("media_id", "s"), ("sampled_frames", "s"), ("last_frame_index", "s")]),
+    ("ns_mm_resize", [("media_id", "s"), ("n_bytes", "s")]),
+]
+
+
+def _mm_digest_oracle() -> str:
+    from .registry import ALL_ORACLE_SQL, digest_sql
+
+    return "\nUNION ALL\n".join(
+        digest_sql(name, ALL_ORACLE_SQL[name], cols) for name, cols in _MM_DIGEST
+    )
+
+
+@parity("ns_mm_digest", oracle=_mm_digest_oracle())
+def ns_mm_digest(spark, sf_dir):
+    """Metadata rollup + frame sampling + binary resize content-checksummed
+    into one driver slot (registry.digest_frame): the mapInPandas kernels'
+    outputs are still value-verified against the byte-arithmetic oracles."""
+    from .registry import ALL_QUERIES, digest_frame
+
+    out = None
+    for name, _cols in _MM_DIGEST:
+        d = digest_frame(ALL_QUERIES[name](spark, sf_dir), name)
+        out = d if out is None else out.unionByName(d)
+    return out

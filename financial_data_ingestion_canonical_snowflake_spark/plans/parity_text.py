@@ -157,6 +157,7 @@ def ns_dedup_simhash(spark, sf_dir):
 
 @parity(
     "ns_dedup_ngram_jaccard",
+    driver=False,  # driver slot: folded into ns_dedup_ngram_jaccard_modes
     oracle=f"""
     WITH docs2 AS ({_DOCS2}),
     toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
@@ -267,6 +268,7 @@ def ns_text_language_id(spark, sf_dir):
 
 @parity(
     "ns_dedup_ngram_jaccard_capped",
+    driver=False,  # driver slot: folded into ns_dedup_ngram_jaccard_modes
     oracle=f"""
     WITH docs2 AS ({_DOCS2}),
     toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
@@ -609,3 +611,40 @@ def ns_doc_curation_funnel(spark, sf_dir):
             .alias("quality_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-slot composite: capped + uncapped jaccard in one oracle-paired
+# query (keeps the driver's 50-entry verification window open, SURVEY.md §8).
+# --------------------------------------------------------------------------
+
+_JACCARD_MODES = [
+    ("uncapped", "ns_dedup_ngram_jaccard"),
+    ("capped", "ns_dedup_ngram_jaccard_capped"),
+]
+
+
+def _jaccard_modes_oracle() -> str:
+    from .registry import ALL_ORACLE_SQL
+
+    return "\nUNION ALL\n".join(
+        f"SELECT '{mode}' AS mode, id_a, id_b, n_common, jaccard "
+        f"FROM ({ALL_ORACLE_SQL[name]}) __{mode}"
+        for mode, name in _JACCARD_MODES
+    )
+
+
+@parity("ns_dedup_ngram_jaccard_modes", oracle=_jaccard_modes_oracle())
+def ns_dedup_ngram_jaccard_modes(spark, sf_dir):
+    """Exact n-gram Jaccard pairs both ways — uncapped posting-list join and
+    the max_shingle_freq=5 stop-shingle-capped variant — unioned with a mode
+    label so one driver slot certifies both universes."""
+    from .registry import ALL_QUERIES
+
+    out = None
+    for mode, name in _JACCARD_MODES:
+        d = ALL_QUERIES[name](spark, sf_dir).select(
+            F.lit(mode).alias("mode"), "id_a", "id_b", "n_common", "jaccard"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

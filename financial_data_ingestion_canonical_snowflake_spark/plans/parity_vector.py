@@ -73,6 +73,7 @@ def ns_sim_bruteforce_topk(spark, sf_dir):
 
 @parity(
     "ns_sim_lsh_topk",
+    driver=False,  # driver slot: folded into ns_sim_lsh_modes
     oracle=f"""
     WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
     q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 20),
@@ -190,6 +191,7 @@ _SQL_PROBES = "list_prepend(bucket, list_transform(generate_series(0, %d), j -> 
 
 @parity(
     "ns_sim_lsh_multiprobe_topk",
+    driver=False,  # driver slot: folded into ns_sim_lsh_modes
     oracle=f"""
     WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
     q AS (
@@ -219,3 +221,40 @@ def ns_sim_lsh_multiprobe_topk(spark, sf_dir):
     return sim.lsh_multiprobe_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, num_planes=NUM_PLANES, dim=DIM
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-slot composite: single-bucket + multi-probe LSH top-k in one
+# oracle-paired query (SURVEY.md §8 50-entry driver window).
+# --------------------------------------------------------------------------
+
+_LSH_MODES = [
+    ("single", "ns_sim_lsh_topk"),
+    ("multiprobe", "ns_sim_lsh_multiprobe_topk"),
+]
+
+
+def _lsh_modes_oracle() -> str:
+    from .registry import ALL_ORACLE_SQL
+
+    return "\nUNION ALL\n".join(
+        f"SELECT '{mode}' AS mode, query_id, neighbor_id, rank, cosine_sim "
+        f"FROM ({ALL_ORACLE_SQL[name]}) __{mode}"
+        for mode, name in _LSH_MODES
+    )
+
+
+@parity("ns_sim_lsh_modes", oracle=_lsh_modes_oracle())
+def ns_sim_lsh_modes(spark, sf_dir):
+    """Hyperplane-LSH top-k two ways — own-bucket only, and multi-probe over
+    every 1-bit-flip neighbor bucket — unioned with a mode label so one
+    driver slot certifies both the baseline and the high-recall variant."""
+    from .registry import ALL_QUERIES
+
+    out = None
+    for mode, name in _LSH_MODES:
+        d = ALL_QUERIES[name](spark, sf_dir).select(
+            F.lit(mode).alias("mode"), "query_id", "neighbor_id", "rank", "cosine_sim"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

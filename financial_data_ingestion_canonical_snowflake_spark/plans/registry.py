@@ -31,12 +31,28 @@ from ..session import apply_runtime_confs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Driver-facing surface: the correctness driver verifies the FIRST 50
+# oracle-paired entries in registration order (SURVEY.md §8) — keep this
+# dict at <= 50 total entries so nothing silently falls outside the window.
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Full surface including probes folded into composite queries: bench.py and
+# the local test harness run these individually even when the driver sees
+# only the composite.
+ALL_QUERIES: dict[str, QueryFn] = {}
+ALL_ORACLE_SQL: dict[str, str] = {}
 
-def parity(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a parity query; ``oracle`` is the DuckDB-ANSI twin."""
+
+def parity(
+    name: str, oracle: str | None = None, *, driver: bool = True
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a parity query; ``oracle`` is the DuckDB-ANSI twin.
+
+    ``driver=False`` keeps the query out of the driver-facing registry (it
+    is verified via a composite instead) while leaving it runnable for
+    bench.py and local tests.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,12 +61,82 @@ def parity(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
+        ALL_QUERIES[name] = wrapped
         if oracle is not None:
-            ORACLE_SQL[name] = oracle
+            ALL_ORACLE_SQL[name] = oracle
+        if driver:
+            QUERIES[name] = wrapped
+            if oracle is not None:
+                ORACLE_SQL[name] = oracle
         return wrapped
 
     return deco
+
+
+# --------------------------------------------------------------------------
+# Cross-engine digest: folds a probe's full result set into one
+# (probe, row_cnt, content_sum) row, computed identically in Spark and
+# DuckDB — md5 of a canonical row rendering, 40-bit prefix parsed to int,
+# summed order-insensitively. Any value/row change flips content_sum, so a
+# digest composite certifies the same values as the individual probes while
+# occupying one driver slot (SURVEY.md §8: the driver checks only the first
+# 50 oracle-paired registrations).
+# --------------------------------------------------------------------------
+
+_SEP = "\x1f"
+_NUL = "\x01"
+
+
+def digest_frame(df: DataFrame, probe: str) -> DataFrame:
+    """Spark side: one (probe, row_cnt, content_sum) row for ``df``.
+
+    Column render rules (mirrored by ``digest_sql``): doubles/decimals pin
+    through DECIMAL(28,6) (fixed 6-digit rendering — both engines agree,
+    unlike raw double-to-string), everything else via CAST AS STRING, NULL
+    as a sentinel byte. Column order = the probe's select order.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c, t in df.dtypes:
+        col = F.col(c)
+        if t == "double" or t == "float" or t.startswith("decimal"):
+            rendered = col.cast("decimal(28,6)").cast("string")
+        else:
+            rendered = col.cast("string")
+        parts.append(F.coalesce(rendered, F.lit(_NUL)))
+    line = F.concat_ws(_SEP, *parts)
+    h = F.conv(F.substring(F.md5(line), 1, 10), 16, 10).cast("long")
+    return (
+        df.select(h.alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("row_cnt"),
+            F.coalesce(F.sum("__h"), F.lit(0)).alias("content_sum"),
+        )
+        .select(F.lit(probe).alias("probe"), "row_cnt", "content_sum")
+    )
+
+
+def digest_sql(probe: str, sql: str, cols: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`digest_frame` over ``sql``'s result.
+
+    ``cols`` lists (column, kind) in the probe's output order; kind "d"
+    renders through DECIMAL(28,6), anything else through CAST AS VARCHAR.
+    """
+    renders = []
+    for c, kind in cols:
+        r = (
+            f"CAST(CAST({c} AS DECIMAL(28,6)) AS VARCHAR)"
+            if kind == "d"
+            else f"CAST({c} AS VARCHAR)"
+        )
+        renders.append(f"COALESCE({r}, chr(1))")
+    line = " || chr(31) || ".join(renders)
+    return (
+        f"SELECT '{probe}' AS probe, COUNT(*) AS row_cnt, "
+        f"CAST(COALESCE(SUM(('0x' || substr(md5({line}), 1, 10))::BIGINT), 0) AS BIGINT)"
+        f" AS content_sum FROM ({sql}) __probe"
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
