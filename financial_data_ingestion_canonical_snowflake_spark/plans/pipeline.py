@@ -116,23 +116,24 @@ class Pipeline:
     def ingest(self) -> dict[str, DataFrame]:
         """Stage 01: one COPY per spec + audit capture immediately after each
         (reference sql/01_raw_ingestion.sql:74-86 in-session coupling)."""
-        loaded_files: set[str] = set()
+        # COPY load-history emulation as a broadcast LEFT ANTI join against
+        # the audit's file list — never a driver-collected set: at warehouse
+        # scale the history holds millions of files, and a literal IN-list
+        # would bloat both the driver and every plan. Broadcasting the
+        # (distinct, single-column) file list keeps the raw side shuffle-free,
+        # which matters far more than the broadcast size — an exchange-based
+        # anti-join would shuffle the entire raw scan by src_file.
+        loaded: DataFrame | None = None
         if self.cfg.skip_loaded_files and self.raw_load_audit.exists():
-            loaded_files = {
-                r.src_file
-                for r in self.raw_load_audit.read(self.spark)
-                .select("src_file")
-                .distinct()
-                .collect()
-            }
+            loaded = self.raw_load_audit.read(self.spark).select("src_file").distinct()
         # The three COPYs are independent until the shared audit append —
         # run them phase-wise on a thread pool (Spark schedules concurrent
         # jobs fine; a real warehouse runs concurrent COPYs the same way).
         def prepare(spec: CopySpec):
             resolved = self._resolve(spec)
             raw = read_raw(self.spark, resolved, self.cfg.ingest_root, self._ts())
-            if loaded_files:
-                raw = raw.filter(~F.col("src_file").isin(*loaded_files))
+            if loaded is not None:
+                raw = raw.join(F.broadcast(loaded), "src_file", "left_anti")
             raw = raw.cache()
             # The audit is per-file stats — always driver-small. Collect it
             # once: it answers "anything loaded?" (saves the isEmpty action)

@@ -45,10 +45,11 @@ class CopySpec:
     client_id: str | None = None
     files: tuple[str, ...] | None = None
     row_tag: str = "transaction"  # XML only
-    # CSV only: split giant files across tasks (100 TB path). Costs stable
-    # per-file row numbers — src_row_number becomes a read-order ordinal,
-    # deterministic only per (file, split layout); default keeps the
-    # wholetext reader's true line ordinals for the many-small-files shape.
+    # CSV only: split giant files across tasks (100 TB path) with exact
+    # physical line ordinals (per-split prefix sums over file_block_start —
+    # see read_raw_csv). Semantics match the wholetext default; the remaining
+    # difference is embedded newlines in quoted fields, which only the
+    # wholetext reader can honor.
     splittable: bool = False
 
 
@@ -219,6 +220,22 @@ def read_raw_xml(
     )
 
 
+# Header arity per resolved path set: a driver-side first-line probe that
+# was re-run on every read_raw_csv call (measured 1.6x on the lineage query,
+# VERDICT r2). The arity is a property of the COPY spec's file layout, so one
+# probe per path set per session is enough; clear on in-place file rewrites.
+_ARITY_CACHE: dict[tuple[str, ...], int] = {}
+
+
+def _header_arity(spark: SparkSession, paths: list[str]) -> int:
+    key = tuple(paths)
+    n = _ARITY_CACHE.get(key)
+    if n is None:
+        n = len(spark.read.option("header", True).option("quote", '"').csv(paths).columns)
+        _ARITY_CACHE[key] = n
+    return n
+
+
 def read_raw_csv(
     spark: SparkSession,
     spec: CopySpec,
@@ -249,34 +266,62 @@ def read_raw_csv(
     for single-split files). Tradeoff, same as the JSON reader's whole-file
     mode: one task per file, no intra-file splitting, no embedded newlines in
     quoted fields; financial txn drops are many-small-files, where per-file
-    parallelism is the right axis.
+    parallelism is the right axis. The ``splittable`` path now produces the
+    SAME true line ordinals (see below), so the two modes are interchangeable
+    on (src_file, src_row_number, payload, _load_error).
     """
     paths = list(spec.files) if spec.files else [spec.path]
-    # header arity: reads just the first lines, driver-side
-    n = len(spark.read.option("header", True).option("quote", '"').csv(paths).columns)
+    n = _header_arity(spark, paths)
     schema_ddl = ", ".join(f"_c{i} STRING" for i in range(n)) + ", _corrupt STRING"
     opts = {"quote": '"', "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
 
     if spec.splittable:
         # 100 TB path: line-mode text source (splits WITHIN files across
-        # tasks). No line ordinals exist, so SKIP_HEADER drops the first
-        # line per file in read order and src_row_number is a read-order
-        # ordinal (see CopySpec.splittable caveat).
+        # tasks) with EXACT physical line ordinals. Each line carries its
+        # split's byte offset (``_metadata.file_block_start`` — a documented
+        # file-source metadata column, unlike the partition-index read order
+        # the previous design trusted) plus monotonically_increasing_id,
+        # which is CONSECUTIVE within a partition; a split never spans
+        # partitions, so ``_mid - min(_mid per split)`` is the 0-based
+        # position within the split. Per-split (min _mid, line count) is a
+        # map-side-combinable aggregation (ONE row per split, ~800k rows at
+        # 100 TB with 128 MB splits); a prefix sum over splits ordered by
+        # byte offset gives each split's starting line number, broadcast
+        # back. The big side is never shuffled — the old design windowed
+        # over src_file (one reducer per FILE: the exact skew this path
+        # exists to avoid); this one pays a second text scan instead, the
+        # right trade at scale. Header = line 1 BY CONSTRUCTION (no
+        # ordering heuristics), and blank lines are dropped only AFTER
+        # numbering, so ordinals match the wholetext path exactly.
         from pyspark.sql.window import Window
 
         txt = spark.read.text(paths).select(
             F.col("value").alias("line"),
             _src_file().alias("src_file"),
+            F.col("_metadata.file_block_start").alias("_blk"),
             F.monotonically_increasing_id().alias("_mid"),
         )
-        wf = Window.partitionBy("src_file")
-        lines = (
-            txt.withColumn("_is_header", F.col("_mid") == F.min("_mid").over(wf))
-            .filter(~F.col("_is_header") & (F.col("line") != ""))
+        wf = Window.partitionBy("src_file").orderBy("_blk")
+        split_stats = (
+            txt.groupBy("src_file", "_blk")
+            .agg(F.min("_mid").alias("_mid0"), F.count(F.lit(1)).alias("_n"))
             .withColumn(
-                "line_idx",
-                F.row_number().over(wf.orderBy("_mid")),
+                "_start",
+                F.coalesce(
+                    F.sum("_n").over(wf.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ),
             )
+            .select("src_file", "_blk", "_mid0", "_start")
+        )
+        lines = (
+            txt.join(F.broadcast(split_stats), ["src_file", "_blk"])
+            .withColumn(
+                "_line_no", F.col("_start") + (F.col("_mid") - F.col("_mid0")) + 1
+            )
+            .filter((F.col("_line_no") > 1) & (F.col("line") != ""))
+            # wholetext numbers the header 0, data lines from 1
+            .withColumn("line_idx", F.col("_line_no") - 1)
         )
     else:
         txt = spark.read.text(paths, wholetext=True).select(

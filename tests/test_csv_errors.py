@@ -56,9 +56,8 @@ def test_csv_load_error_capture(spark, root):
 
 def test_csv_splittable_path_matches_wholetext(spark, root):
     """The 100 TB CSV path (line-mode text source, splits within files) must
-    agree with the wholetext reader on payloads and error capture; only the
-    row-number provenance differs (read-order ordinal vs true line ordinal —
-    identical here because the files are single-split)."""
+    agree with the wholetext reader on payloads, error capture, AND the true
+    physical line ordinals (per-split prefix sums over file_block_start)."""
     spec_w = CopySpec(file_type="CSV", path=f"{root}/client_a/csv/", client_id="ClientA")
     spec_s = CopySpec(
         file_type="CSV", path=f"{root}/client_a/csv/", client_id="ClientA", splittable=True
@@ -77,6 +76,50 @@ def test_csv_splittable_path_matches_wholetext(spark, root):
     assert s.filter(F.col("payload")[0] == "source_txn_id").count() == 0
     # error rows flagged identically (2 in good_and_bad.csv + 2 in all_bad.csv)
     assert s.filter(F.col("_load_error").isNotNull()).count() == 4
+
+
+def test_csv_splittable_exact_ordinals_multisplit(spark, tmp_path):
+    """Splittable and wholetext readers must produce identical
+    (src_file, src_row_number, payload, _load_error) sets on a file that is
+    genuinely split across MANY tasks and contains interior blank lines
+    (VERDICT r2 #5 + ADVICE blank-line ordinal parity)."""
+    d = tmp_path / "ingest" / "client_a" / "csv"
+    d.mkdir(parents=True)
+    lines = [HEADER]
+    expect_ordinals = []
+    for i in range(1, 201):
+        if i % 17 == 0:
+            lines.append("")  # interior blank line: counted, then dropped
+        lines.append(f"TXN-{i},2026-01-15T12:00:00,gbp,{i}.00,CUST-{i % 9}")
+    (d / "big.csv").write_text("\n".join(lines) + "\n")
+    root = str(tmp_path / "ingest")
+    spec_w = CopySpec(file_type="CSV", path=f"{root}/client_a/csv/", client_id="ClientA")
+    spec_s = CopySpec(
+        file_type="CSV", path=f"{root}/client_a/csv/", client_id="ClientA", splittable=True
+    )
+
+    def canon(df):
+        return sorted(
+            (r.src_file, r.src_row_number, tuple(r.payload), r._load_error)
+            for r in df.collect()
+        )
+
+    w_rows = canon(read_raw_csv(spark, spec_w, root))
+    # force many small splits so the prefix-sum path is actually exercised
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+        s_df = read_raw_csv(spark, spec_s, root)
+        n_splits = s_df.select(F.col("src_file")).inputFiles()  # force plan ok
+        s_rows = canon(s_df)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert w_rows == s_rows
+    # ordinals are the true physical line numbers minus the header: the row
+    # after each blank line skips one ordinal
+    ordinals = [r[1] for r in s_rows]
+    assert len(ordinals) == 200 and len(set(ordinals)) == 200
+    assert max(ordinals) == 200 + 200 // 17  # blanks counted in ordinals
 
 
 def test_csv_partial_and_failed_audit(spark, root, tmp_path):
