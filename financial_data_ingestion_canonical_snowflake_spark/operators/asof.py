@@ -108,11 +108,22 @@ def asof_join(
         matched = running(asc=False)
     else:
         bwd, fwd = running(asc=True), running(asc=False)
-        # distances via double-cast (epoch seconds for timestamps, raw for
-        # numerics) — exact to ~2^52, far past microsecond epoch precision
-        here = F.col(_TS).cast("double")
-        d_b = here - bwd[build_ts].cast("double")
-        d_f = fwd[build_ts].cast("double") - here
+        # Timestamp distances via unix_micros — EXACT longs. A double cast
+        # yields epoch seconds whose ulp at 2026 epochs is ~0.4 us: two
+        # distances differing by exactly 1 us (or a true tie that must go
+        # backward) could misorder. Non-timestamp ts types fall back to
+        # double (raw numeric axes are already exact to 2^52).
+        from pyspark.sql import types as T
+
+        if isinstance(b.schema[_TS].dataType, (T.TimestampType, T.TimestampNTZType)):
+            def to_num(c: Column) -> Column:
+                return F.unix_micros(c.cast("timestamp"))
+        else:
+            def to_num(c: Column) -> Column:
+                return c.cast("double")
+        here = to_num(F.col(_TS))
+        d_b = here - to_num(bwd[build_ts])
+        d_f = to_num(fwd[build_ts]) - here
         matched = (
             F.when(bwd.isNull(), fwd)
             .when(fwd.isNull(), bwd)

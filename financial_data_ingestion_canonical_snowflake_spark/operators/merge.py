@@ -147,6 +147,7 @@ def merge_upsert_scoped(
     keys = list(keys)
     if n_buckets is None:
         n_buckets = table.n_buckets
+    n_buckets = _validated_n_buckets(table, n_buckets)
     src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
     # bounded by n_buckets -> driver-small collect
     parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
@@ -171,4 +172,42 @@ def merge_upsert_scoped(
     # one write task per touched bucket -> one right-sized file per partition
     # dir instead of (shuffle-width x buckets) small files
     merged = merged.repartition(max(len(parts), 1), F.col(PART_COL))
-    return table.replace_partitions(merged)
+    replaced = table.replace_partitions(merged)
+    table.write_meta(n_buckets=n_buckets, part_col=PART_COL, keys=keys)
+    return replaced
+
+
+def _validated_n_buckets(table, n_buckets: int) -> int:
+    """The bucket modulus is a PHYSICAL property of the table: keys map to
+    hive partitions by it, so merging with a different modulus prunes to the
+    WRONG buckets and silently duplicates existing keys. The modulus is
+    persisted in the table's ``_fincan_meta.json`` on every scoped merge and
+    enforced here; tables written before metadata existed get a weaker
+    directory-derived check (every observed ``txn_part=`` value must fit the
+    claimed modulus) and are stamped going forward."""
+    import os
+    import re
+
+    meta = table.read_meta()
+    if meta is not None and "n_buckets" in meta:
+        if meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"{table.path}: table is bucketed with n_buckets="
+                f"{meta['n_buckets']} but the merge was called with "
+                f"{n_buckets}; changing the modulus requires rewriting the "
+                f"table (keys would prune to the wrong partitions)"
+            )
+        return n_buckets
+    if table.exists():
+        observed = [
+            int(m.group(1))
+            for d in os.listdir(table.path)
+            if (m := re.fullmatch(re.escape(PART_COL) + r"=(\d+)", d))
+        ]
+        if observed and max(observed) >= n_buckets:
+            raise ValueError(
+                f"{table.path}: existing partition {PART_COL}={max(observed)} "
+                f"exceeds claimed n_buckets={n_buckets} (table was bucketed "
+                f"with a larger modulus)"
+            )
+    return n_buckets

@@ -14,6 +14,7 @@ scans prune; the merge path re-shuffles only on the merge keys.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -21,6 +22,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+#: table-level metadata file, stored INSIDE the table root. Underscore-prefixed
+#: paths are invisible to Spark's file index (like ``_SUCCESS``), so readers
+#: never see it; it pins layout facts that must outlive any one process —
+#: today the hash-bucket modulus of partition-scoped merge tables.
+META_NAME = "_fincan_meta.json"
 
 
 class ParquetTable:
@@ -50,6 +57,21 @@ class ParquetTable:
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
+
+    def read_meta(self) -> dict | None:
+        p = os.path.join(self.path, META_NAME)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def write_meta(self, **meta) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        p = os.path.join(self.path, META_NAME)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)  # atomic on POSIX
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the table; an absent table reads as empty when a schema is
@@ -86,6 +108,11 @@ class ParquetTable:
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         if os.path.isdir(old):
+            # layout metadata survives a rewrite (compaction must not drop
+            # the bucket modulus, or the next scoped merge can't validate)
+            old_meta = os.path.join(old, META_NAME)
+            if os.path.isfile(old_meta):
+                os.replace(old_meta, os.path.join(self.path, META_NAME))
             shutil.rmtree(old, ignore_errors=True)
         # drop Spark's cached file listing for the path — readers planned
         # after the swap must see the new file set, not stale part files
@@ -100,8 +127,14 @@ class ParquetTable:
         works when ``df``'s plan READS this same table (the merge case — Spark
         refuses ``mode("overwrite")`` into a path the plan scans): the new
         partitions are materialized to a tmp dir first, then each leaf
-        partition directory is swapped in with a rename. Crash mid-loop leaves
-        each partition either fully old or fully new. Returns the replaced
+        partition directory is swapped in with a rename. Displaced old
+        partition dirs are parked OUTSIDE the table root (inside the tmp
+        dir), so partition discovery can never see a half-swapped
+        ``<part>.old-*`` name as a partition value. Crash-safety caveat: a
+        crash in the instant between the two renames of one partition leaves
+        THAT partition absent until the batch reruns (each partition is
+        all-old, all-new, or absent — never mixed); the production seam for
+        stronger guarantees is an ACID table format. Returns the replaced
         partition rel-paths (e.g. ``['txn_part=3', 'txn_part=7']``).
 
         This is the delta-proportional write primitive for the merge path —
@@ -126,15 +159,16 @@ class ParquetTable:
             return out
 
         os.makedirs(self.path, exist_ok=True)
+        trash = os.path.join(tmp, "__displaced__")  # outside the table root
+        os.makedirs(trash, exist_ok=True)
         for rel in leaves(tmp, depth):
             src = os.path.join(tmp, rel)
             dst = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            old = os.path.join(trash, rel.replace(os.sep, "__"))
             if os.path.isdir(dst):
                 os.rename(dst, old)
             os.rename(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
             replaced.append(rel)
         shutil.rmtree(tmp, ignore_errors=True)
         df.sparkSession.catalog.refreshByPath(self.path)

@@ -172,3 +172,46 @@ def test_asof_nearest_direction(spark):
     assert got[200] == 910  # equidistant (2s both ways) -> backward wins
     assert got[201] == 910  # only forward... @4 is 2s forward; no backward -> forward
     assert got[202] == 911  # far future probe -> nearest is latest backward
+
+
+def test_asof_nearest_microsecond_precision(spark):
+    """Distances compare as EXACT unix_micros longs: at 2026 epochs a
+    double-cast (epoch seconds) has ~0.4us ulp, so a 1us difference — and
+    the backward-wins rule on a true tie — must not be lost (ADVICE r2)."""
+    base = dt.datetime(2026, 6, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    probe = spark.createDataFrame(
+        [(1, 300, base), (1, 301, base + 10 * us)],
+        "k long, pid long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, 920, base - 2 * us),   # 2us behind probe 300
+            (1, 921, base + 1 * us),   # 1us ahead of probe 300 -> closer
+            (1, 922, base + 21 * us),  # 11us ahead of probe 301
+            # probe 301: backward 921 is 9us behind; forward 922 is 11us ahead
+        ],
+        "k long, bid long, bts timestamp",
+    )
+    out = asof_join(
+        probe, build, on=["k"], probe_ts="pts", build_ts="bts",
+        build_cols=["bid"], build_order="bid", direction="nearest",
+    )
+    got = {r.pid: r.bid for r in out.collect()}
+    assert got[300] == 921  # 1us forward beats 2us backward
+    assert got[301] == 921  # 9us backward beats 11us forward
+
+
+def test_asof_nearest_true_tie_goes_backward_at_us_scale(spark):
+    base = dt.datetime(2026, 6, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    probe = spark.createDataFrame([(1, 310, base)], "k long, pid long, pts timestamp")
+    build = spark.createDataFrame(
+        [(1, 930, base - 3 * us), (1, 931, base + 3 * us)],
+        "k long, bid long, bts timestamp",
+    )
+    out = asof_join(
+        probe, build, on=["k"], probe_ts="pts", build_ts="bts",
+        build_cols=["bid"], build_order="bid", direction="nearest",
+    )
+    assert out.collect()[0].bid == 930  # exact tie -> backward (pandas parity)

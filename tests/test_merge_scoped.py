@@ -132,3 +132,46 @@ def test_exists_requires_parquet_data_file(tmp_path):
     sub.mkdir()
     (sub / "part-000.parquet").touch()
     assert t.exists()  # nested data file found recursively
+
+
+def test_scoped_merge_rejects_changed_bucket_modulus(spark, table, tmp_path):
+    """The bucket modulus is persisted in _fincan_meta.json on first scoped
+    write; merging the same table with a different modulus must fail loudly
+    instead of pruning to the wrong buckets and duplicating keys (ADVICE r2
+    medium)."""
+    merge_upsert_scoped(spark, table, _df(spark, [("k1", 1, "a")]), keys=["k"])
+    assert table.read_meta()["n_buckets"] == 8
+    retuned = ParquetTable(table.path, SCHEMA, [PART_COL], n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_upsert_scoped(spark, retuned, _df(spark, [("k1", 2, "b")]), keys=["k"])
+    # matching modulus still merges fine
+    merge_upsert_scoped(spark, table, _df(spark, [("k1", 3, "c")]), keys=["k"])
+    assert {(r.k, r.v) for r in table.read(spark).collect()} == {("k1", 3)}
+
+
+def test_scoped_merge_legacy_table_directory_check(spark, table):
+    """A table written before metadata existed: observed txn_part= dirs must
+    fit the claimed modulus (weak check), then the table is stamped."""
+    merge_upsert_scoped(spark, table, _df(spark, [(f"k{i}", i, "a") for i in range(64)]), keys=["k"])
+    os.remove(os.path.join(table.path, "_fincan_meta.json"))
+    too_small = ParquetTable(table.path, SCHEMA, [PART_COL], n_buckets=2)
+    with pytest.raises(ValueError, match="exceeds claimed"):
+        merge_upsert_scoped(spark, too_small, _df(spark, [("k1", 9, "b")]), keys=["k"])
+    merge_upsert_scoped(spark, table, _df(spark, [("k1", 9, "b")]), keys=["k"])
+    assert table.read_meta()["n_buckets"] == 8  # re-stamped
+
+
+def test_replace_partitions_leaves_no_stray_dirs_in_root(spark, table):
+    """Displaced old partition dirs are parked OUTSIDE the table root during
+    the swap — a '<part>.old-*' name inside the root would be parsed by
+    partition discovery as a partition VALUE (ADVICE r2)."""
+    merge_upsert_scoped(spark, table, _df(spark, [(f"k{i}", i, "a") for i in range(64)]), keys=["k"])
+    merge_upsert_scoped(spark, table, _df(spark, [(f"k{i}", -i, "b") for i in range(64)]), keys=["k"])
+    strays = [
+        d for d in os.listdir(table.path)
+        if not d.startswith(f"{PART_COL}=") and d != "_fincan_meta.json" and not d.startswith("_")
+    ]
+    assert strays == []
+    # partition column still reads back as a clean int bucket set
+    vals = {r[0] for r in spark.read.parquet(table.path).select(PART_COL).distinct().collect()}
+    assert all(isinstance(v, int) and 0 <= v < 8 for v in vals)
