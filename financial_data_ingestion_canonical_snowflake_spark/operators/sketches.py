@@ -204,6 +204,105 @@ def cms_lookup(
 
 
 # ---------------------------------------------------------------------------
+# Equi-width histogram: mergeable quantile estimation
+
+
+def hist_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: Column,
+    hi: Column,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Equi-width histogram state per group: ``(group..., bucket, cnt)``.
+
+    The quantile member of the sketch family (HLL = cardinality, CMS =
+    frequency, Bloom = membership): counters are ADDITIVE (merge =
+    union + re-sum, exactly like CMS), bounded (≤ n_buckets rows per
+    group), built by one map-side-combinable aggregation — the shape that
+    rolls up 100 TB partitions and streaming state. Bucketing uses the
+    canonical IEEE form ``floor(((v - lo) / (hi - lo)) * n)`` clamped to
+    [0, n-1] — bit-identical in DuckDB, so the whole state is
+    oracle-reproducible. ``lo``/``hi`` are domain bounds (from a prior
+    min/max pass or domain knowledge); out-of-range values clamp into the
+    edge buckets.
+    """
+    v = F.col(value_col).cast("double")
+    span = hi.cast("double") - lo.cast("double")
+    raw = F.floor(((v - lo.cast("double")) / span) * F.lit(float(n_buckets)))
+    bucket = (
+        F.when(span == 0.0, F.lit(0))
+        .otherwise(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)))
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(states: Sequence[DataFrame], group_cols: Sequence[str]) -> DataFrame:
+    """Combine histogram states: counters are additive."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_quantiles(
+    state: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    lo: Column,
+    hi: Column,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram state.
+
+    For each q: target rank = q * total; the answering bucket is the one
+    whose cumulative count first reaches the target
+    (``cum_before < target <= cum``), and the estimate interpolates
+    linearly inside it. Error is bounded by one bucket width
+    ((hi-lo)/n_buckets) — proven in tests. Output:
+    ``group..., q double, n long, approx_q double`` (rounded to 6
+    decimals, the one ulp-sensitive division chain, mirrored exactly by
+    the SQL oracle).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = (
+        state.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy(*group_cols)))
+    )
+    q_frame = state.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    probed = cum.crossJoin(F.broadcast(q_frame)).withColumn(
+        "target", F.col("q") * F.col("total").cast("double")
+    )
+    hit = probed.filter(
+        (F.col("cum_before").cast("double") < F.col("target"))
+        & (F.col("target") <= F.col("cum").cast("double"))
+    )
+    width = (hi.cast("double") - lo.cast("double")) / F.lit(float(n_buckets))
+    frac = (F.col("target") - F.col("cum_before").cast("double")) / F.col(
+        "cnt"
+    ).cast("double")
+    est = lo.cast("double") + (F.col("bucket").cast("double") + frac) * width
+    return hit.select(
+        *group_cols,
+        "q",
+        F.col("total").alias("n"),
+        F.round(est, 6).alias("approx_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter: broadcast semi-join reduction
 
 #: bits per bitmap word — 63, not 64: Spark's shiftleft(1L, 63) wraps to the

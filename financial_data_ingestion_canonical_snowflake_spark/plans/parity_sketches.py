@@ -133,6 +133,65 @@ def ns_sketch_cms_tokens(spark, sf_dir):
     )
 
 
+_HIST_ORACLE = """
+    WITH b AS (
+        SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+    ),
+    st AS (
+        SELECT o_orderpriority,
+               CASE WHEN (hi - lo) = 0 THEN 0
+                    ELSE LEAST(127, GREATEST(0,
+                         CAST(floor(((CAST(o_totalprice AS DOUBLE) - lo)
+                                     / (hi - lo)) * 128.0) AS BIGINT))) END
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM orders, b
+        WHERE o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) - cnt
+                   AS cum_before,
+               SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
+        FROM st
+    ),
+    probed AS (
+        SELECT c.*, q.q, q.q * CAST(total AS DOUBLE) AS target
+        FROM cum c, (SELECT UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q) q
+    )
+    SELECT o_orderpriority, q, CAST(total AS BIGINT) AS n,
+           round(lo + (CAST(bucket AS DOUBLE)
+                       + (target - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE))
+                     * ((hi - lo) / 128.0), 6) AS approx_q
+    FROM probed, b
+    WHERE CAST(cum_before AS DOUBLE) < target AND target <= CAST(cum AS DOUBLE)
+"""
+
+
+@parity("ns_sketch_hist_quantiles", oracle=_HIST_ORACLE)
+def ns_sketch_hist_quantiles(spark, sf_dir):
+    """Order-price quantiles (p50/p90/p99) per priority via the mergeable
+    equi-width histogram — the quantile member of the sketch family (HLL =
+    cardinality, CMS = frequency, Bloom = membership). State is additive
+    counters bounded at 128 rows per group, built map-side; the oracle
+    rebuilds the identical histogram and interpolation, so the
+    approximation itself is value-verified. Error <= one bucket width,
+    pytest-proven against exact quantiles."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").cast("double"), F.max("o_totalprice").cast("double")
+    ).first()
+    lo, hi = F.lit(b[0]), F.lit(b[1])
+    state = sk.hist_state(o, ["o_orderpriority"], "o_totalprice", lo, hi, 128)
+    return sk.hist_quantiles(
+        state, ["o_orderpriority"], [0.5, 0.9, 0.99], lo, hi, 128
+    )
+
+
 _BLOOM_ORACLE = """
     WITH sel AS (
         SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000

@@ -107,3 +107,56 @@ def test_bloom_superset_and_fp_rate(spark):
     # false positives are rare (expected ~0.8% at n=300, m=4096, k=3)
     fps = sum(1 for r in rows if r.might and r.v.startswith("x-"))
     assert fps < 2700 * 0.05
+
+
+def test_hist_merge_equals_union_state(spark):
+    """Histogram counters are additive: merge(state(A), state(B)) ==
+    state(A ∪ B) — the same distributed-rollup property as HLL/CMS."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.sketches import (
+        hist_merge,
+        hist_state,
+    )
+
+    lo, hi = F.lit(0.0), F.lit(1000.0)
+    a = spark.range(0, 600).select(F.lit("g").alias("g"), (F.col("id") * 1.7).alias("v"))
+    b = spark.range(300, 900).select(F.lit("g").alias("g"), (F.col("id") * 1.1).alias("v"))
+    merged = hist_merge(
+        [hist_state(a, ["g"], "v", lo, hi), hist_state(b, ["g"], "v", lo, hi)], ["g"]
+    )
+    direct = hist_state(a.unionByName(b), ["g"], "v", lo, hi)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hist_quantile_error_bounded_by_bucket_width(spark):
+    """Estimates land within one bucket width of the exact quantile."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.sketches import (
+        hist_quantiles,
+        hist_state,
+    )
+
+    n_buckets = 128
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 997 * 3.25).alias("v")
+    )
+    b = df.agg(F.min("v").cast("double"), F.max("v").cast("double")).first()
+    lo, hi = F.lit(b[0]), F.lit(b[1])
+    state = hist_state(df, ["g"], "v", lo, hi, n_buckets)
+    qs = [0.5, 0.9, 0.99]
+    got = {r.q: r.approx_q for r in hist_quantiles(state, ["g"], qs, lo, hi, n_buckets).collect()}
+    exact = df.agg(F.expr("percentile(v, array(0.5, 0.9, 0.99))")).first()[0]
+    width = (b[1] - b[0]) / n_buckets
+    for q, ex in zip(qs, exact):
+        assert abs(got[q] - ex) <= width + 1e-9, (q, got[q], ex)
+
+
+def test_hist_out_of_range_clamps_to_edge_buckets(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.sketches import (
+        hist_state,
+    )
+
+    df = spark.createDataFrame(
+        [("g", -50.0), ("g", 5.0), ("g", 500.0)], "g string, v double"
+    )
+    state = hist_state(df, ["g"], "v", F.lit(0.0), F.lit(10.0), 8)
+    rows = {r.bucket: r.cnt for r in state.collect()}
+    assert rows == {0: 1, 4: 1, 7: 1}  # clamped low, mid, clamped high
