@@ -29,7 +29,7 @@ from financial_data_ingestion_canonical_snowflake_spark.plans.registry import ( 
     QUERIES,
 )
 
-for _mod in ("parity_text", "parity_vector", "parity_pipeline", "parity_streaming", "parity_multimodal", "parity_asof", "parity_sketches", "parity_layout"):
+for _mod in ("parity_text", "parity_vector", "parity_pipeline", "parity_streaming", "parity_multimodal", "parity_asof", "parity_sketches", "parity_layout", "parity_curation"):
     try:  # optional modules appear as the build widens
         __import__(
             f"financial_data_ingestion_canonical_snowflake_spark.plans.{_mod}"

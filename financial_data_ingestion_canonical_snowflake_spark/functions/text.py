@@ -202,6 +202,108 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+def ngram_repetition_stats(text: Column, n: int) -> dict[str, Column]:
+    """Gopher-style repetition signals over word n-grams (one doc, one row).
+
+    - ``dup_frac``: fraction of n-gram occurrences that are repeats of an
+      earlier occurrence (``1 - distinct/total``).
+    - ``top_frac``: fraction of occurrences covered by the single most
+      frequent n-gram.
+
+    Both are the per-document repetition filters of a training-data quality
+    pipeline (highly repetitive machine-generated text scores high). Pure
+    higher-order array expressions: zero shuffle, whole-stage codegen, one
+    pass per row.
+
+    Shape matters here: the naive form — ``filter(ng, x == d)`` nested
+    inside ``transform(array_distinct(ng), d -> ...)`` — re-inlines the
+    whole shingle subtree per lambda invocation (Catalyst does not CSE
+    across higher-order functions) and measured ~80x slower. Instead the
+    gram array is SORTED once and a single struct-accumulator fold walks
+    adjacent elements: equal neighbors extend a run, the longest run IS the
+    top-gram count, and run starts count the distinct grams — O(k log k)
+    per row, with the gram array referenced from a separate projection so
+    it is computed exactly once (CollapseProject keeps multi-referenced
+    non-cheap expressions un-inlined).
+
+    Docs shorter than ``n`` tokens have no n-grams: both fractions are 0.0
+    (not NULL) so downstream threshold filters treat them as non-repetitive.
+
+    For hot paths, project the gram array as a named column first and feed
+    it to :func:`_repetition_from_grams` directly (as ns_repetition_signals
+    does) — this convenience wrapper inlines the shingle subtree into each
+    of its two references.
+    """
+    return _repetition_from_grams(shingles(text, n))
+
+
+def repetition_fold(ng: Column) -> Column:
+    """One-pass repetition fold over a gram-array column: returns a struct
+    ``(total, max_run, n_distinct)`` where ``max_run`` is the occurrence
+    count of the most frequent gram (longest equal-run in the sorted array)
+    and ``n_distinct`` the distinct-gram count.
+
+    Project THIS as a named column, then derive fractions from its fields
+    (:func:`repetition_fracs`) in a later select — field access on a struct
+    attribute is free, whereas accessing two fields of this expression
+    inline would run the whole fold twice.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0).cast("long").alias("n_distinct"),
+        F.lit(0).cast("long").alias("total"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["max_run"], run).alias("max_run"),
+            (acc["n_distinct"] + F.when(same, 0).otherwise(1))
+            .cast("long")
+            .alias("n_distinct"),
+            (acc["total"] + 1).alias("total"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            acc["total"].alias("total"),
+            acc["max_run"].alias("max_run"),
+            acc["n_distinct"].alias("n_distinct"),
+        )
+
+    # total is counted inside the accumulator so the returned struct is ONE
+    # aggregate expression — any extra reference (e.g. a separate size(ng))
+    # would re-inline the whole fold.
+    return F.aggregate(F.array_sort(ng), zero, step, finish)
+
+
+def repetition_fracs(fold_col: Column) -> dict[str, Column]:
+    """Final repetition signals from a projected :func:`repetition_fold`
+    struct column (cheap field accesses only)."""
+    total = fold_col["total"]
+    no_grams = total == 0
+    return {
+        "n_ngrams": total,
+        "dup_frac": F.when(no_grams, F.lit(0.0)).otherwise(
+            (total - fold_col["n_distinct"]).cast("double") / total.cast("double")
+        ),
+        "top_frac": F.when(no_grams, F.lit(0.0)).otherwise(
+            fold_col["max_run"].cast("double") / total.cast("double")
+        ),
+    }
+
+
+def _repetition_from_grams(ng: Column) -> dict[str, Column]:
+    """Convenience inline variant (duplicates the fold per field — use the
+    fold/fracs two-stage form in hot paths)."""
+    return repetition_fracs(repetition_fold(ng))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text cleaning: lowercase, strip non-alphanumerics (keep
     spaces), collapse whitespace runs, trim. The standard pre-tokenization

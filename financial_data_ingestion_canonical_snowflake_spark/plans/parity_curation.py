@@ -1,0 +1,285 @@
+"""Training-data curation parity queries, round 5: repetition filters,
+benchmark decontamination, sequence packing, source-mixture reweighting.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §8 north-star) with
+the remaining staples of a pre-training data pipeline:
+
+- ``ns_repetition_signals`` — Gopher-style duplicate-/top-n-gram fractions
+  (the repetitive-text quality filter);
+- ``ns_decontaminate`` — n-gram-overlap decontamination of the corpus
+  against a benchmark set (broadcast, map-side);
+- ``ns_pack_sequences`` — deterministic fixed-token-budget sequence packing
+  (the training-data export layout);
+- ``ns_source_mixture`` — temperature-based source reweighting (the
+  multilingual/multi-domain mixture schedule).
+
+Every oracle mirrors the Spark expression tree on DuckDB list/window
+primitives with the shared md5 integer hash; doubles follow the registry
+conventions (exact integer inputs, IEEE per-row arithmetic, decimal-cast
+order-independent sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as tx
+from ..operators.decontaminate import contamination_report
+from ..operators.packing import pack_summary
+from .registry import parity, table
+
+_TOKS = "string_split(lower(text), ' ')"
+
+
+def _sh(n: int, toks: str = "toks") -> str:
+    """DuckDB word n-gram shingles (mirrors functions.text.shingles)."""
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def _rep_cols(n: int) -> str:
+    """DuckDB twin of functions.text.ngram_repetition_stats for one n."""
+    ng = f"ng{n}"
+    return f"""
+           CAST(CASE WHEN len({ng}) = 0 THEN 0 ELSE len({ng}) END AS BIGINT)
+               AS n_{n}grams,
+           CASE WHEN len({ng}) = 0 THEN 0.0
+                ELSE CAST(len({ng}) - len(list_distinct({ng})) AS DOUBLE)
+                     / CAST(len({ng}) AS DOUBLE) END AS dup_{n}gram_frac,
+           CASE WHEN len({ng}) = 0 THEN 0.0
+                ELSE CAST(list_max(list_transform(list_distinct({ng}),
+                          d -> len(list_filter({ng}, x -> x = d)))) AS DOUBLE)
+                     / CAST(len({ng}) AS DOUBLE) END AS top_{n}gram_frac"""
+
+
+@parity(
+    "ns_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, {_sh(2)} AS ng2, {_sh(3)} AS ng3 FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, {_rep_cols(2)}, {_rep_cols(3)}
+        FROM grams
+    )
+    SELECT *, (top_2gram_frac > 0.08 OR dup_3gram_frac > 0.01) AS repetitive
+    FROM sig
+    """,
+)
+def ns_repetition_signals(spark, sf_dir):
+    """Per-document repetition filter signals: duplicate- and top-n-gram
+    fractions for n in {2, 3} plus the composed repetitive flag. Pure
+    map-side higher-order array ops — zero shuffle at any scale. Gram
+    arrays are projected as real columns first so the shingle subtree is
+    computed once per row, not once per lambda reference (see
+    functions.text.ngram_repetition_stats)."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        tx.shingles(F.col("text"), 2).alias("ng2"),
+        tx.shingles(F.col("text"), 3).alias("ng3"),
+    )
+    folded = grams.select(
+        "doc_id",
+        tx.repetition_fold(F.col("ng2")).alias("f2"),
+        tx.repetition_fold(F.col("ng3")).alias("f3"),
+    )
+    r2 = tx.repetition_fracs(F.col("f2"))
+    r3 = tx.repetition_fracs(F.col("f3"))
+    return folded.select(
+        "doc_id",
+        r2["n_ngrams"].alias("n_2grams"),
+        r2["dup_frac"].alias("dup_2gram_frac"),
+        r2["top_frac"].alias("top_2gram_frac"),
+        r3["n_ngrams"].alias("n_3grams"),
+        r3["dup_frac"].alias("dup_3gram_frac"),
+        r3["top_frac"].alias("top_3gram_frac"),
+        ((F.col("top_2gram_frac") > 0.08) | (F.col("dup_3gram_frac") > 0.01)).alias(
+            "repetitive"
+        ),
+    )
+
+
+# Synthetic contamination: benchmark = every 37th doc; the training side is
+# everything else PLUS verbatim copies (full contamination) and 8-token
+# prefixes with an unrelated tail (partial contamination), so the report has
+# non-trivial rates at every level that the oracle must reproduce exactly.
+_DECON_TRAIN = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+    UNION ALL
+    SELECT doc_id + 200000, text FROM documents
+    WHERE doc_id % 37 = 0 AND doc_id < 200
+    UNION ALL
+    SELECT doc_id + 300000,
+           array_to_string(({_TOKS})[1:8], ' ') || ' qq ww ee rr tt yy uu ii'
+    FROM documents WHERE doc_id % 37 = 0 AND doc_id < 100
+"""
+
+
+@parity(
+    "ns_decontaminate",
+    oracle=f"""
+    WITH train AS ({_DECON_TRAIN}),
+    ttoks AS (SELECT doc_id, {_TOKS} AS toks FROM train),
+    tg AS (SELECT doc_id, list_distinct({_sh(5)}) AS grams FROM ttoks),
+    btoks AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 37 = 0
+    ),
+    bg AS (SELECT DISTINCT UNNEST({_sh(5)}) AS g FROM btoks),
+    ex AS (SELECT doc_id, UNNEST(grams) AS g FROM tg),
+    hit AS (
+        SELECT doc_id, COUNT(*) AS n_hits FROM ex JOIN bg USING (g)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE) END AS contamination_rate,
+           COALESCE(n_hits, 0) > 0 AS is_contaminated
+    FROM tg t LEFT JOIN hit USING (doc_id)
+    """,
+)
+def ns_decontaminate(spark, sf_dir):
+    """5-gram benchmark decontamination over the synthetic train/bench
+    split: per training doc, how many of its distinct 5-grams appear in the
+    benchmark set. Broadcast single-row gram universe + per-row
+    array_intersect — the corpus side never shuffles."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    toks = tx.tokens(F.col("text"))
+    train = (
+        d.filter(F.col("doc_id") % 37 != 0)
+        .unionByName(
+            bench.filter(F.col("doc_id") < 200).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            bench.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(
+                    F.array_join(F.slice(toks, 1, 8), " "),
+                    F.lit(" qq ww ee rr tt yy uu ii"),
+                ).alias("text"),
+            )
+        )
+    )
+    return contamination_report(train, bench, "doc_id", "text", ngram_len=5)
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 4
+_BPE = "list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))"
+
+
+@parity(
+    "ns_pack_sequences",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (
+        SELECT doc_id,
+               CAST({_BPE} AS BIGINT) AS tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {_PACK_SHARDS} AS shard
+        FROM toks
+    ),
+    off AS (
+        SELECT *,
+               COALESCE(SUM(tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS token_offset
+        FROM tok
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(token_offset // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS tokens_packed,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM off
+    GROUP BY 1, 2
+    """,
+)
+def ns_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing of the corpus into 512-token training
+    sequences across 4 md5 shards — per-(shard, seq) manifest. Window cumsum
+    and rollup share ONE shuffle (plan-asserted in tests/test_curation.py)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_summary(
+        d, "doc_id", "tokens", budget=_PACK_BUDGET, num_shards=_PACK_SHARDS
+    )
+
+
+@parity(
+    "ns_source_mixture",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({_BPE}) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY source
+    ),
+    shares AS (
+        SELECT *,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+        FROM per_src
+    ),
+    weighted AS (
+        SELECT *,
+               sqrt(token_share) AS w,
+               CAST(SUM(CAST(sqrt(token_share) AS DECIMAL(18,9))) OVER ()
+                    AS DOUBLE) AS w_sum
+        FROM shares
+    )
+    SELECT source, n_docs, n_tokens, token_share,
+           w / w_sum AS sample_prob,
+           (w / w_sum) / token_share AS epochs
+    FROM weighted
+    """,
+)
+def ns_source_mixture(spark, sf_dir):
+    """Temperature-based source-mixture reweighting (alpha = 0.5): per
+    source, token share p, adjusted sampling probability q = sqrt(p) /
+    sum(sqrt(p)), and epochs = q / p — the multinomial mixture schedule of
+    multilingual/multi-domain pre-training. sqrt is IEEE-correctly-rounded
+    in both engines; the cross-source normalizer sums DECIMAL(18,9)-cast
+    weights (order-independent exact) per the registry convention. The
+    whole-frame window runs over #sources rows (one per source) — a
+    single-partition window over a handful of rows, never over data."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all).cast(
+        "double"
+    )
+    shares = per_src.withColumn("token_share", share)
+    w = F.sqrt(F.col("token_share"))
+    w_sum = (
+        F.sum(w.cast("decimal(18,9)")).over(w_all).cast("double")
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        (w / w_sum).alias("sample_prob"),
+        ((w / w_sum) / F.col("token_share")).alias("epochs"),
+    )

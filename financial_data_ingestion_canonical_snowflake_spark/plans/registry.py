@@ -142,14 +142,24 @@ def digest_sql(probe: str, sql: str, cols: list[tuple[str, str]]) -> str:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
-    TIMESTAMP(NANOS) parquet columns arrive as nano-epoch longs (see
-    ``nanosAsLong`` in session.RUNTIME_CONFS); convert them back to
-    microsecond timestamps with exact integer division — a double division
-    would lose sub-second precision at 1.7e18 nanos.
+    The driver's parquet timestamp encoding has varied across rounds —
+    normalize ``events.ts`` to a plain TIMESTAMP either way:
+
+    - TIMESTAMP(NANOS) arrives as nano-epoch longs (``nanosAsLong`` in
+      session.RUNTIME_CONFS); convert back to microsecond timestamps with
+      exact integer division — a double division would lose sub-second
+      precision at 1.7e18 nanos.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+      cast to TIMESTAMP under the pinned UTC session zone (same instant,
+      and ``unix_micros``/``window`` consumers require non-NTZ input).
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

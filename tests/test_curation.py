@@ -1,0 +1,166 @@
+"""Round-5 curation operators: repetition signals, decontamination,
+sequence packing, source mixture — value invariants + plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+entrymod.queries()  # populate the registry
+
+from financial_data_ingestion_canonical_snowflake_spark.functions import text as tx
+from financial_data_ingestion_canonical_snowflake_spark.operators.decontaminate import (
+    contamination_report,
+)
+from financial_data_ingestion_canonical_snowflake_spark.operators.packing import (
+    assign_sequences,
+    pack_summary,
+)
+from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (
+    ALL_QUERIES,
+    table,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_stats_known_values(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "u v w x y z"),          # all distinct
+            (3, "solo"),                 # too short for 2-grams
+        ],
+        "id long, text string",
+    )
+    s = tx.ngram_repetition_stats(F.col("text"), 2)
+    got = {
+        r["id"]: r
+        for r in rows.select(
+            "id",
+            s["n_ngrams"].alias("n"),
+            s["dup_frac"].alias("dup"),
+            s["top_frac"].alias("top"),
+        ).collect()
+    }
+    assert got[1]["n"] == 5 and got[1]["dup"] == pytest.approx(3 / 5)
+    assert got[1]["top"] == pytest.approx(3 / 5)  # 'a b' occurs 3x of 5
+    assert got[2]["dup"] == 0.0 and got[2]["top"] == pytest.approx(1 / 5)
+    assert got[3]["n"] == 0 and got[3]["dup"] == 0.0 and got[3]["top"] == 0.0
+
+
+def test_repetition_query_zero_shuffle(spark, sf_oracle):
+    plan = _plan(ALL_QUERIES["ns_repetition_signals"](spark, sf_oracle))
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ decontaminate
+
+
+def test_contamination_extremes(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),   # verbatim -> rate 1.0
+            (2, "alpha beta gamma delta epsilon zeta"), # disjoint -> rate 0.0
+            (3, "tiny doc"),                            # no 5-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            train, bench, "doc_id", "text", ngram_len=5
+        ).collect()
+    }
+    assert got[1]["contamination_rate"] == 1.0 and got[1]["is_contaminated"]
+    assert got[2]["n_contaminated"] == 0 and not got[2]["is_contaminated"]
+    assert got[3]["n_grams"] == 0 and got[3]["contamination_rate"] == 0.0
+
+
+def test_decontaminate_query_broadcasts_bench(spark, sf_oracle):
+    df = ALL_QUERIES["ns_decontaminate"](spark, sf_oracle)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # full-copy synthetic docs (id >= 200000, < 300000) are fully contaminated
+    full = df.filter(
+        (F.col("doc_id") >= 200000) & (F.col("doc_id") < 300000)
+    ).collect()
+    assert full and all(r["contamination_rate"] == 1.0 for r in full)
+    # partial-prefix docs are contaminated but not fully
+    part = df.filter(F.col("doc_id") >= 300000).collect()
+    assert part and all(
+        r["is_contaminated"] and r["contamination_rate"] < 1.0 for r in part
+    )
+
+
+# ----------------------------------------------------------------- packing
+
+
+def test_packing_invariants(spark, sf_oracle):
+    docs = table(spark, sf_oracle, "documents").select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    assigned = assign_sequences(
+        docs, "doc_id", "tokens", budget=512, num_shards=4
+    ).cache()
+    try:
+        # every doc lands in exactly one (shard, seq); totals preserved
+        assert assigned.count() == docs.count()
+        total = docs.agg(F.sum("tokens")).first()[0]
+        packed = assigned.agg(F.sum("tokens")).first()[0]
+        assert packed == total
+        # offsets are the exclusive prefix sum: offset == sum of earlier docs
+        w_check = assigned.withColumn(
+            "recomputed",
+            F.coalesce(
+                F.sum("tokens").over(
+                    __import__("pyspark").sql.window.Window.partitionBy("shard")
+                    .orderBy("doc_id")
+                    .rowsBetween(-(1 << 30), -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        assert w_check.filter(F.col("recomputed") != F.col("token_offset")).count() == 0
+        # seq ids within a shard are non-decreasing in doc order and start at 0
+        firsts = assigned.groupBy("shard").agg(F.min("seq_id").alias("m")).collect()
+        assert all(r["m"] == 0 for r in firsts)
+    finally:
+        assigned.unpersist()
+
+
+def test_packing_single_shuffle(spark, sf_oracle):
+    docs = table(spark, sf_oracle, "documents").select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    plan = _plan(
+        pack_summary(docs, "doc_id", "tokens", budget=512, num_shards=4)
+    )
+    # window partitionBy(shard) satisfies the (shard, seq_id) rollup's
+    # clustering -> exactly one exchange end-to-end
+    assert plan.count("Exchange") == 1
+
+
+# ----------------------------------------------------------------- mixture
+
+
+def test_source_mixture_is_a_distribution(spark, sf_oracle):
+    rows = ALL_QUERIES["ns_source_mixture"](spark, sf_oracle).collect()
+    assert rows
+    assert sum(r["token_share"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["sample_prob"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    # temperature 0.5 flattens: low-share sources get epochs > 1, high < 1
+    lo = min(rows, key=lambda r: r["token_share"])
+    hi = max(rows, key=lambda r: r["token_share"])
+    if lo["token_share"] < hi["token_share"]:
+        assert lo["epochs"] > hi["epochs"]
