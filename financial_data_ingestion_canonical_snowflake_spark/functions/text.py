@@ -36,13 +36,18 @@ def token_hashes(text: Column, modulus: int = MERSENNE31) -> Column:
     return F.transform(tokens(text), lambda t: md5_long(t, modulus=modulus))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles: ``['a b c', 'b c d', ...]``.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column:
+    ``['a b c', 'b c d', ...]``.
+
+    ``toks`` should be a PROJECTED column (attribute), not an inline
+    ``split(...)`` expression: the slice lambda references it once per gram,
+    and Catalyst re-evaluates outer expressions inside higher-order-function
+    lambdas — an inline tokenizer here re-splits the text k times per row.
 
     Texts shorter than ``n`` tokens yield an empty array (guarded because
     Spark's ``sequence(1, 0)`` counts DOWN rather than returning empty).
     """
-    toks = tokens(text)
     make = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -50,6 +55,16 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, make).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column.
+
+    Convenience form — it inlines the tokenizer into the per-gram lambda
+    (re-split per gram). Hot paths should project :func:`tokens` as a
+    column and call :func:`shingles_from_tokens` on the attribute instead.
+    """
+    return shingles_from_tokens(tokens(text), n)
 
 
 def shingle_hashes(text: Column, n: int = 3, modulus: int = MERSENNE31) -> Column:

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 
 def contamination_report(
@@ -53,18 +53,28 @@ def contamination_report(
     too short to have any n-gram).
     """
     bench_grams = (
-        bench.select(F.explode(shingles(F.col(text_col), ngram_len)).alias("__g"))
+        bench.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(shingles_from_tokens(F.col("__toks"), ngram_len)).alias("__g")
+        )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    # Three separate projections, deliberately: the gram array materializes
-    # once as a column, its size is taken BEFORE the generator, and the
-    # explode then references only attributes. Folding these into one
-    # select would re-evaluate the whole shingle subtree per EXPLODED row
-    # (measured ~30x slower) because generator-adjacent expressions are
+    # Staged projections, deliberately: tokens materialize first (the shingle
+    # slice-lambda references an attribute, not a re-split per gram), the
+    # gram array materializes next, its size is taken BEFORE the generator,
+    # and the explode then references only attributes. Folding these into
+    # one select would re-evaluate the whole shingle subtree per EXPLODED
+    # row (measured ~30x slower) because generator-adjacent expressions are
     # pushed below/above the Generate, not shared with it.
-    grams = F.array_distinct(shingles(F.col(text_col), ngram_len))
-    with_grams = train.select(id_col, grams.alias("__grams"))
+    with_grams = train.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.array_distinct(shingles_from_tokens(F.col("__toks"), ngram_len)).alias(
+            "__grams"
+        ),
+    )
     sized = with_grams.select(
         id_col, F.size("__grams").alias("__n_grams"), "__grams"
     )

@@ -51,11 +51,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def with_minhash_signature(
     df: DataFrame, text_col: str, num_hashes: int = 16, shingle_len: int = 3
 ) -> DataFrame:
-    sig = text.minhash_signature(
-        text.shingle_hashes(F.col(text_col), n=shingle_len),
-        minhash_params(num_hashes),
+    # tokens project as a real column first: the shingle slice-lambda then
+    # references an attribute instead of re-splitting the text per gram
+    # (outer expressions inside HOF lambdas are re-evaluated per element).
+    toksed = df.withColumn("__toks", text.tokens(F.col(text_col)))
+    hashed = F.transform(
+        text.shingles_from_tokens(F.col("__toks"), shingle_len),
+        lambda s: scalars.md5_long(s, modulus=text.MERSENNE31),
     )
-    return df.withColumn("minhash_sig", sig)
+    sig = text.minhash_signature(hashed, minhash_params(num_hashes))
+    return toksed.withColumn("minhash_sig", sig).drop("__toks")
 
 
 def minhash_lsh_pairs(
@@ -177,11 +182,16 @@ def ngram_jaccard_pairs(
     pair survives through those); pass ``None`` to opt into the exact
     uncapped join on bounded corpora.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(text.shingles(F.col(text_col), shingle_len))).alias(
-            "shingle"
-        ),
+    sh = (
+        df.select(F.col(id_col).alias("doc"), text.tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    text.shingles_from_tokens(F.col("__toks"), shingle_len)
+                )
+            ).alias("shingle"),
+        )
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)

@@ -80,10 +80,10 @@ def ns_repetition_signals(spark, sf_dir):
     computed once per row, not once per lambda reference (see
     functions.text.ngram_repetition_stats)."""
     d = table(spark, sf_dir, "documents")
-    grams = d.select(
+    grams = d.select("doc_id", tx.tokens(F.col("text")).alias("toks")).select(
         "doc_id",
-        tx.shingles(F.col("text"), 2).alias("ng2"),
-        tx.shingles(F.col("text"), 3).alias("ng3"),
+        tx.shingles_from_tokens(F.col("toks"), 2).alias("ng2"),
+        tx.shingles_from_tokens(F.col("toks"), 3).alias("ng3"),
     )
     folded = grams.select(
         "doc_id",
