@@ -151,6 +151,119 @@ def test_packing_single_shuffle(spark, sf_oracle):
     assert plan.count("Exchange") == 1
 
 
+# ------------------------------------------------------- property (hypothesis)
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+_word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+@_H
+@given(docs=st.lists(_doc, min_size=1, max_size=8), n=st.integers(2, 3))
+def test_repetition_fold_matches_python_reference(spark, docs, n):
+    """The sorted-run fold computes exactly the naive Counter stats."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id long, text string"
+    )
+    s = tx.ngram_repetition_stats(F.col("text"), n)
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            s["n_ngrams"].alias("t"),
+            s["dup_frac"].alias("d"),
+            s["top_frac"].alias("p"),
+        ).collect()
+    }
+    for i, doc in enumerate(docs):
+        toks = doc.split(" ")  # '' splits to [''] — same as Spark split
+        grams = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        c = Counter(grams)
+        total = len(grams)
+        assert got[i]["t"] == total
+        if total == 0:
+            assert got[i]["d"] == 0.0 and got[i]["p"] == 0.0
+        else:
+            assert got[i]["d"] == pytest.approx((total - len(c)) / total)
+            assert got[i]["p"] == pytest.approx(max(c.values()) / total)
+
+
+@_H
+@given(
+    train=st.lists(_doc, min_size=1, max_size=6),
+    bench=st.lists(_doc, min_size=1, max_size=3),
+    n=st.integers(2, 3),
+)
+def test_contamination_matches_python_sets(spark, train, bench, n):
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            tdf, bdf, "doc_id", "text", ngram_len=n
+        ).collect()
+    }
+
+    def gramset(doc):
+        toks = doc.split(" ")
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    bset = set().union(*[gramset(b) for b in bench])
+    assert set(got) == set(range(len(train)))
+    for i, doc in enumerate(train):
+        g = gramset(doc)
+        assert got[i]["n_grams"] == len(g)
+        assert got[i]["n_contaminated"] == len(g & bset)
+        assert got[i]["is_contaminated"] == (len(g & bset) > 0)
+
+
+@_H
+@given(
+    tokens=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    budget=st.integers(8, 64),
+    shards=st.integers(1, 4),
+)
+def test_packing_matches_python_reference(spark, tokens, budget, shards):
+    """Sequence ids reproduce the greedy stream layout per shard, for any
+    shard count — sequence boundaries never depend on cluster layout."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"])
+        for r in assign_sequences(
+            df, "doc_id", "tokens", budget=budget, num_shards=shards
+        ).collect()
+    }
+    import hashlib
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % shards
+
+    offsets = Counter()
+    for i, t in enumerate(tokens):  # ascending doc_id = canonical order
+        s = shard_of(i)
+        assert got[i] == (s, offsets[s] // budget)
+        offsets[s] += t
+
+
 # ----------------------------------------------------------------- mixture
 
 
