@@ -29,11 +29,20 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(text), " ")
 
 
-def token_hashes(text: Column, modulus: int = MERSENNE31) -> Column:
-    """Per-token cross-engine integer hashes (md5-prefix based)."""
+def token_hashes(
+    text: Column, modulus: int = MERSENNE31, *, toks: Column | None = None
+) -> Column:
+    """Per-token cross-engine integer hashes (md5-prefix based).
+
+    Pass ``toks`` (a projected token-array column) in hot paths so the
+    tokenizer isn't re-evaluated inside downstream HOF consumers.
+    """
     from .scalars import md5_long
 
-    return F.transform(tokens(text), lambda t: md5_long(t, modulus=modulus))
+    return F.transform(
+        toks if toks is not None else tokens(text),
+        lambda t: md5_long(t, modulus=modulus),
+    )
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -140,10 +149,12 @@ def simhash32(text: Column) -> Column:
     )
 
 
-def fingerprint(text: Column, prime: int = FP_PRIME) -> Column:
+def fingerprint(
+    text: Column, prime: int = FP_PRIME, *, toks: Column | None = None
+) -> Column:
     """Order-sensitive rolling document fingerprint:
     fold((acc * 31 + h_token) % P) over token hashes."""
-    hs = token_hashes(text, modulus=prime)
+    hs = token_hashes(text, modulus=prime, toks=toks)
     return F.aggregate(
         hs,
         F.lit(0).cast("long"),
@@ -155,9 +166,16 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def language_scores(text: Column) -> dict[str, Column]:
-    """Stopword-list language-ID scores (n-gram-free heuristic)."""
-    toks = tokens(text)
+def language_scores(
+    text: Column, *, toks: Column | None = None
+) -> dict[str, Column]:
+    """Stopword-list language-ID scores (n-gram-free heuristic).
+
+    Each score is a separate HOF filter (codegen-fallback: no subexpression
+    sharing of HOF children) — pass a projected ``toks`` column so the text
+    isn't re-split once per language list.
+    """
+    toks = toks if toks is not None else tokens(text)
     return {
         "en": _stopword_hits(toks, STOPWORDS_EN),
         "es": _stopword_hits(toks, STOPWORDS_ES),
@@ -165,10 +183,10 @@ def language_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, *, toks: Column | None = None) -> Column:
     """argmax of language_scores with deterministic tie order en > es > de;
     'und' (undetermined) when no stopword hits at all."""
-    s = language_scores(text)
+    s = language_scores(text, toks=toks)
     best = F.greatest(s["en"], s["es"], s["de"])
     return (
         F.when(best == 0, "und")
@@ -178,13 +196,17 @@ def language_id(text: Column) -> Column:
     )
 
 
-def quality_stats(text: Column) -> dict[str, Column]:
+def quality_stats(
+    text: Column, *, toks: Column | None = None
+) -> dict[str, Column]:
     """Quality-scoring signals: lengths, word stats, alpha/stopword ratios.
 
     Ratios are double-typed per-row arithmetic (IEEE-identical across
-    engines).
+    engines). The token array feeds several HOF consumers (three stopword
+    filters, distinct, size) that each re-evaluate an inline tokenizer —
+    pass a projected ``toks`` column in hot paths.
     """
-    toks = tokens(text)
+    toks = toks if toks is not None else tokens(text)
     n_tok = F.size(toks)
     n_char = F.length(text)
     alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
@@ -205,11 +227,11 @@ def quality_stats(text: Column) -> dict[str, Column]:
     }
 
 
-def bpe_ish_token_count(text: Column) -> Column:
+def bpe_ish_token_count(text: Column, *, toks: Column | None = None) -> Column:
     """LLM-token estimate: count of word pieces after splitting on
     whitespace and breaking words into runs of <=4 chars (a BPE-ish regex
     proxy: ceil(len/4) per word)."""
-    toks = tokens(text)
+    toks = toks if toks is not None else tokens(text)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),

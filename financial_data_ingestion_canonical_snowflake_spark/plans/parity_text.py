@@ -222,9 +222,14 @@ _STOP_DE = ", ".join(f"'{w}'" for w in tx.STOPWORDS_DE)
     """,
 )
 def ns_text_quality_stats(spark, sf_dir):
-    """Per-document quality signals + rolling fingerprint + token estimate."""
-    d = table(spark, sf_dir, "documents")
-    stats = tx.quality_stats(F.col("text"))
+    """Per-document quality signals + rolling fingerprint + token estimate.
+    Tokens project once and feed every HOF consumer (quality filters,
+    fingerprint fold, BPE estimate) as an attribute — one split per row."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tx.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    stats = tx.quality_stats(F.col("text"), toks=toks)
     return d.select(
         "doc_id",
         stats["n_chars"].alias("n_chars"),
@@ -233,8 +238,8 @@ def ns_text_quality_stats(spark, sf_dir):
         stats["avg_token_len"].alias("avg_token_len"),
         stats["alpha_ratio"].alias("alpha_ratio"),
         stats["stopword_ratio"].alias("stopword_ratio"),
-        tx.fingerprint(F.col("text")).alias("fingerprint"),
-        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        tx.fingerprint(F.col("text"), toks=toks).alias("fingerprint"),
+        tx.bpe_ish_token_count(F.col("text"), toks=toks).alias("bpe_ish_tokens"),
     )
 
 
@@ -260,9 +265,12 @@ def ns_text_quality_stats(spark, sf_dir):
 )
 def ns_text_language_id(spark, sf_dir):
     """Stopword-heuristic language ID vs. the labeled lang column."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select(
+        "lang", tx.tokens(F.col("text")).alias("toks")
+    )
     return d.groupBy(
-        "lang", tx.language_id(F.col("text")).alias("predicted_lang")
+        "lang",
+        tx.language_id(F.lit(None), toks=F.col("toks")).alias("predicted_lang"),
     ).agg(F.count(F.lit(1)).alias("doc_cnt"))
 
 
@@ -333,8 +341,10 @@ def ns_text_topk_quality_by_lang(spark, sf_dir):
     per group = one shuffle on the group key; at 100 TB prefer a partial
     top-k per partition first (AQE handles the skew), but the plain window
     is the correctness baseline."""
-    d = table(spark, sf_dir, "documents")
-    stats = tx.quality_stats(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tx.tokens(F.col("text")).alias("toks")
+    )
+    stats = tx.quality_stats(F.col("text"), toks=F.col("toks"))
     scored = d.select(
         "doc_id",
         "lang",
@@ -561,8 +571,11 @@ def ns_doc_curation_funnel(spark, sf_dir):
     """
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
-    stats = tx.quality_stats(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tx.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    stats = tx.quality_stats(F.col("text"), toks=toks)
     clean = tx.normalize_text(tx.scrub_pii_ish(F.col("text")))
     scored = d.select(
         "doc_id",
@@ -576,9 +589,9 @@ def ns_doc_curation_funnel(spark, sf_dir):
         )
         .cast("decimal(18,6)")
         .alias("quality"),
-        tx.language_id(F.col("text")).alias("predicted_lang"),
+        tx.language_id(F.col("text"), toks=toks).alias("predicted_lang"),
         tx.sample_bucket(F.col("doc_id")).alias("bucket"),
-        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        tx.bpe_ish_token_count(F.col("text"), toks=toks).alias("bpe_tokens"),
     )
     q_pass = (F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.5)
     pool = q_pass & F.col("predicted_lang").isin("en", "es")
