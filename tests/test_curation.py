@@ -151,6 +151,67 @@ def test_packing_single_shuffle(spark, sf_oracle):
     assert plan.count("Exchange") == 1
 
 
+# ------------------------------------------------------------------ export
+
+
+def test_export_shards_layout_and_manifest(spark, sf_oracle, tmp_path):
+    import glob
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.export import (
+        export_shards,
+    )
+
+    docs = table(spark, sf_oracle, "documents").select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    out = str(tmp_path / "shards")
+    manifest = export_shards(
+        docs, "doc_id", "tokens", out, budget=512, num_shards=4
+    ).collect()
+
+    # one data file per shard, addressable by partition directory
+    assert len(manifest) == 4
+    for s in range(4):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, f"shard {s}: {files}"
+
+    # manifest totals preserve the corpus
+    assert sum(r["n_docs"] for r in manifest) == docs.count()
+    assert (
+        sum(r["n_tokens"] for r in manifest)
+        == docs.agg(F.sum("tokens")).first()[0]
+    )
+
+    # on-disk row order within each shard file is packing order (ascending
+    # doc_id), so a loader streaming the file replays the logical stream
+    back = spark.read.parquet(out)
+    for s in range(4):
+        ids = [
+            r["doc_id"]
+            for r in back.filter(F.col("shard") == s)
+            .select("doc_id")
+            .collect()
+        ]
+        assert ids == sorted(ids)
+
+    # assignments on disk match the deterministic packer
+    from financial_data_ingestion_canonical_snowflake_spark.operators.packing import (
+        assign_sequences,
+    )
+
+    expect = {
+        (r["doc_id"], r["shard"], r["seq_id"])
+        for r in assign_sequences(
+            docs, "doc_id", "tokens", budget=512, num_shards=4
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["shard"], r["seq_id"])
+        for r in back.select("doc_id", "shard", "seq_id").collect()
+    }
+    assert got == expect
+
+
 # ------------------------------------------------------- property (hypothesis)
 
 from collections import Counter
