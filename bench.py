@@ -65,6 +65,21 @@ def main() -> None:
     # the plan, not first-run JIT.
     warm = qmap[names[0]](spark, "/root/testdata/sf0.001")
     warm.write.format("noop").mode("overwrite").save()
+    # Also spin up the Arrow/Python worker pool once: the first pandas-UDF
+    # query otherwise pays several seconds of per-core worker startup that
+    # has nothing to do with its plan (affects the XML reader inside the
+    # e2e pipeline and the multimodal kernels).
+    def _noop_batches(it):
+        yield from it
+
+    (
+        spark.range(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in names:
