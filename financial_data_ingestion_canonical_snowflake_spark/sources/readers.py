@@ -98,16 +98,28 @@ def read_raw_json(
     txt = spark.read.text(paths, wholetext=whole_file).select(
         F.col("value"), _src_file().alias("src_file")
     )
-    doc = F.try_parse_json(F.col("value"))
+    # Staged projections, deliberately: the parsed VARIANT materializes as a
+    # column once, the element array and the error flag derive from it
+    # BEFORE the generator, and the explode references only attributes.
+    # Inlining `doc` next to the posexplode re-parses the ENTIRE file text
+    # per exploded element (generator-adjacent expressions are evaluated
+    # after the Generate, and the Generate input inlines every reference) —
+    # O(file_size x elements) at scale.
+    doc = F.col("__doc")
+    parsed = txt.select("value", "src_file", F.try_parse_json(F.col("value")).alias("__doc"))
     # STRIP_OUTER_ARRAY: explode top-level arrays; wrap single documents.
-    elements = F.coalesce(
-        F.try_variant_get(doc, "$", "array<variant>"),
-        F.when(doc.isNotNull(), F.array(doc)),
-    )
-    out = txt.select(
+    staged = parsed.select(
         "src_file",
-        F.posexplode_outer(elements).alias("elem_idx", "payload"),
+        F.coalesce(
+            F.try_variant_get(doc, "$", "array<variant>"),
+            F.when(doc.isNotNull(), F.array(doc)),
+        ).alias("__elems"),
         F.when(doc.isNull(), F.substring(F.col("value"), 1, 200)).alias("_load_error"),
+    )
+    out = staged.select(
+        "src_file",
+        "_load_error",
+        F.posexplode_outer("__elems").alias("elem_idx", "payload"),
     ).withColumn("src_row_number", (F.coalesce(F.col("elem_idx"), F.lit(0)) + 1).cast("long"))
     out = _with_client(out, spec, ingest_root)
     return out.select(
