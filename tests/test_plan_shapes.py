@@ -1,0 +1,59 @@
+"""Plan-shape regression tests for the HOF/generator recompute fixes.
+
+Catalyst re-evaluates outer expressions referenced inside higher-order-
+function lambdas, re-inlines multi-referenced non-cheap expressions when
+projections collapse, and evaluates generator-adjacent expressions per
+EXPLODED row. Each fix in round 5 pinned a specific expression count in the
+optimized plan; these tests assert those counts so a refactor cannot
+silently reintroduce an O(k x subtree) recompute.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import __spark_entry__ as entrymod
+
+entrymod.queries()  # populate the registry
+from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (  # noqa: E402
+    ALL_QUERIES,
+)
+from financial_data_ingestion_canonical_snowflake_spark.sources.readers import (  # noqa: E402
+    CopySpec,
+    read_raw_json,
+)
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_json_reader_parses_each_file_once(spark):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "a.json"), "w") as f:
+        f.write('[{"id":1}]')
+    spec = CopySpec(file_type="JSON", path=d, client_id="C")
+    plan = _optimized(read_raw_json(spark, spec, d, None))
+    assert plan.count("parseJson") == 1, plan
+
+
+def test_repetition_plan_has_one_shingle_and_one_fold_per_n(spark, sf_oracle):
+    plan = _optimized(ALL_QUERIES["ns_repetition_signals"](spark, sf_oracle))
+    # one shingle build and one sorted fold for each of n=2, n=3
+    assert plan.count("transform(sequence") == 2, plan
+    assert plan.count("aggregate(array_sort") == 2, plan
+
+
+def test_decontaminate_builds_train_grams_once_per_branch(spark, sf_oracle):
+    plan = _optimized(ALL_QUERIES["ns_decontaminate"](spark, sf_oracle))
+    # 3 union branches on the train side + 1 bench side = 4 shingle builds;
+    # a regression that re-inlines grams into the explode or the size()
+    # at least doubles this
+    assert plan.count("transform(sequence") <= 4, plan
+
+
+def test_text_stats_split_once_per_row(spark, sf_oracle):
+    # the tokenizer projects once; quality filters/folds reference it
+    plan = _optimized(ALL_QUERIES["ns_text_quality_stats"](spark, sf_oracle))
+    assert plan.count("split(lower(") == 1, plan
