@@ -63,6 +63,68 @@ def with_minhash_signature(
     return toksed.withColumn("minhash_sig", sig).drop("__toks")
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_len: int = 3
+) -> DataFrame:
+    """``(doc, minhash_sig)`` signature table for a corpus — the
+    materialized artifact an incremental dedup pipeline persists between
+    batches (signatures are tiny: num_hashes longs per doc)."""
+    return with_minhash_signature(df, text_col, num_hashes, shingle_len).select(
+        F.col(id_col).alias("doc"), "minhash_sig"
+    )
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    return sigs.select(
+        "doc",
+        "minhash_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.slice(F.col("minhash_sig"), b * rows_per_band + 1, rows_per_band),
+                        "-",
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def _score_pairs(pairs: DataFrame, min_matching: int) -> DataFrame:
+    matching = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        pairs.select("id_a", "id_b", matching.cast("long").alias("matching_minhashes"))
+        .filter(F.col("matching_minhashes") >= min_matching)
+    )
+
+
+def minhash_lsh_pairs_from_sigs(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 4, min_matching: int = 8
+) -> DataFrame:
+    """LSH candidate pairs over an existing ``(doc, minhash_sig)`` table."""
+    banded = _banded(sigs, bands, num_hashes // bands)
+    left = banded.select(
+        F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col("doc").alias("id_b"), F.col("minhash_sig").alias("sig_b"), "band", "band_key"
+    )
+    pairs = (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return _score_pairs(pairs, min_matching)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -79,52 +141,77 @@ def minhash_lsh_pairs(
     full-signature agreement and filtered to ``min_matching``/num_hashes.
     Returns (id_a, id_b, matching_minhashes) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    sigs = with_minhash_signature(df, text_col, num_hashes, shingle_len).select(
-        F.col(id_col).alias("doc"), "minhash_sig"
-    )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
     # Signatures feed BOTH sides of the bucket self-join; without a persist
     # the shingle+md5+fold pipeline (the dominant cost) runs twice. At real
     # scale this step is a materialized signature table — persist() is the
     # in-session equivalent (MEMORY_AND_DISK, LRU-evicted).
     sigs = sigs.persist()
-    banded = sigs.select(
-        "doc",
-        "minhash_sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.array_join(
-                        F.slice(F.col("minhash_sig"), b * rows_per_band + 1, rows_per_band),
-                        "-",
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+    return minhash_lsh_pairs_from_sigs(sigs, num_hashes, bands, min_matching)
+
+
+def minhash_lsh_pairs_incremental(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_matching: int = 8,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs INVOLVING a new batch, against a
+    persisted corpus signature table — without recomputing or re-joining
+    the corpus against itself.
+
+    Pairs within the corpus are already known from previous batches, so the
+    bucket join is new x (corpus + new) instead of the full self-join: the
+    corpus side contributes only bucket probes (its signatures were
+    computed once, at its own ingest). Union the result with the
+    previously-known pairs to maintain the full pair set batch over batch
+    — at 100 TB this is the only affordable dedup cadence: per-batch cost
+    scales with the batch, not the corpus.
+
+    Returns (id_a, id_b, matching_minhashes), id_a < id_b, covering
+    new-vs-corpus and new-vs-new pairs.
+    """
+    rpb = num_hashes // bands
+    nb = _banded(new_sigs, bands, rpb).persist()
+    cb = _banded(corpus_sigs, bands, rpb)
+    cross = (
+        nb.select(
+            F.col("doc").alias("id_n"), F.col("minhash_sig").alias("sig_n"), "band", "band_key"
+        )
+        .join(
+            cb.select(
+                F.col("doc").alias("id_c"), F.col("minhash_sig").alias("sig_c"), "band", "band_key"
+            ),
+            on=["band", "band_key"],
+        )
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+            F.when(F.col("id_n") < F.col("id_c"), F.col("sig_n"))
+            .otherwise(F.col("sig_c"))
+            .alias("sig_a"),
+            F.when(F.col("id_n") < F.col("id_c"), F.col("sig_c"))
+            .otherwise(F.col("sig_n"))
+            .alias("sig_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
     )
-    left = banded.select(
-        F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key"
-    )
-    right = banded.select(
-        F.col("doc").alias("id_b"), F.col("minhash_sig").alias("sig_b"), "band", "band_key"
-    )
-    pairs = (
-        left.join(right, on=["band", "band_key"])
+    within_new = (
+        nb.select(
+            F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key"
+        )
+        .join(
+            nb.select(
+                F.col("doc").alias("id_b"), F.col("minhash_sig").alias("sig_b"), "band", "band_key"
+            ),
+            on=["band", "band_key"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
-    matching = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return (
-        pairs.select("id_a", "id_b", matching.cast("long").alias("matching_minhashes"))
-        .filter(F.col("matching_minhashes") >= min_matching)
-    )
+    pairs = cross.unionByName(within_new).distinct()
+    return _score_pairs(pairs, min_matching)
 
 
 def simhash_pairs(

@@ -151,6 +151,46 @@ def test_packing_single_shuffle(spark, sf_oracle):
     assert plan.count("Exchange") == 1
 
 
+# ------------------------------------------------------ incremental dedup
+
+
+def test_incremental_lsh_equals_full_corpus_restricted(spark, sf_oracle):
+    """pairs(old) + incremental(new vs old) == pairs(old + new): batch-wise
+    dedup against a persisted signature table reproduces exactly the full
+    self-join's pair set."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        minhash_lsh_pairs_from_sigs,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_oracle, "documents").select("doc_id", "text")
+    # synthetic near-dups across the old/new split so the incremental join
+    # has real cross-batch matches
+    dups = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+    old = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    old_sigs = minhash_signatures(old, "doc_id", "text").persist()
+    new_sigs = minhash_signatures(new, "doc_id", "text").persist()
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], r["matching_minhashes"]) for r in df.collect()}
+
+    full = pairset(
+        minhash_lsh_pairs_from_sigs(old_sigs.unionByName(new_sigs).persist())
+    )
+    known = pairset(minhash_lsh_pairs_from_sigs(old_sigs))
+    incr = pairset(minhash_lsh_pairs_incremental(new_sigs, old_sigs))
+    assert known | incr == full
+    assert known.isdisjoint(incr)  # incremental emits only new-involving pairs
+    assert incr  # the split actually produced cross-batch matches
+
+
 # ------------------------------------------------------------------ export
 
 
