@@ -97,10 +97,29 @@ def ns_mm_resize(spark, sf_dir):
     return resized.select("media_id", "n_bytes")
 
 
-@parity("ns_mm_decode_features")  # rows-only: numpy histogram, not SQL-expressible
+@parity(
+    "ns_mm_decode_features",
+    oracle=f"""
+    SELECT doc_id AS media_id, {_KIND} AS kind,
+           CAST({_NBYTES} AS BIGINT) AS n_samples,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(generate_series(1, length(text)),
+                          i -> ord(substr(text, i, 1)))) AS DOUBLE)
+                     / length(text) END AS mean_level,
+           CAST(16 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
 def ns_mm_decode_features(spark, sf_dir):
-    """Decode + histogram feature extraction (Arrow-batched mapInPandas);
-    exact-value assertions live in tests/test_multimodal.py."""
+    """Decode + histogram feature extraction (Arrow-batched mapInPandas).
+
+    Oracle-paired: the fake decoder's buffer IS the utf-8 byte sequence
+    (ASCII corpus, so per-char ord == byte value), n_samples is the byte
+    count, and numpy's float64 mean of exact small integers equals DuckDB's
+    integer-sum / n double division bit-for-bit. The histogram VALUES are
+    float32 bucket ratios (not SQL-reproducible at bit level) — their
+    exact-value assertions live in tests/test_multimodal.py; the oracle
+    checks the feature dimensionality."""
     feats = mm.decode_features(_media(spark, sf_dir))
     return feats.select(
         "media_id",
