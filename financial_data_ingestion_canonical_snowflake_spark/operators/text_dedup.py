@@ -54,13 +54,18 @@ def with_minhash_signature(
     # tokens project as a real column first: the shingle slice-lambda then
     # references an attribute instead of re-splitting the text per gram
     # (outer expressions inside HOF lambdas are re-evaluated per element).
-    toksed = df.withColumn("__toks", text.tokens(F.col(text_col)))
+    # The temp column name is uniquified against the caller's schema so a
+    # real "__toks" column is never clobbered.
+    toks_col = "__toks"
+    while toks_col in df.columns:
+        toks_col += "_"
+    toksed = df.withColumn(toks_col, text.tokens(F.col(text_col)))
     hashed = F.transform(
-        text.shingles_from_tokens(F.col("__toks"), shingle_len),
+        text.shingles_from_tokens(F.col(toks_col), shingle_len),
         lambda s: scalars.md5_long(s, modulus=text.MERSENNE31),
     )
     sig = text.minhash_signature(hashed, minhash_params(num_hashes))
-    return toksed.withColumn("minhash_sig", sig).drop("__toks")
+    return toksed.withColumn("minhash_sig", sig).drop(toks_col)
 
 
 def minhash_signatures(
@@ -92,37 +97,86 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     )
 
 
-def _score_pairs(pairs: DataFrame, min_matching: int) -> DataFrame:
-    matching = F.size(
+def _matching_minhashes() -> F.Column:
+    """Full-signature agreement count for a (sig_a, sig_b) pair — computed
+    MAP-SIDE, before any pair dedupe, so the dedupe shuffle carries
+    (id_a, id_b, one long) instead of two 16-long signature arrays (the
+    pattern similarity.lsh_topk_multiprobe established)."""
+    return F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
-    )
+    ).cast("long")
+
+
+def _dedupe_scored_pairs(scored: DataFrame, min_matching: int) -> DataFrame:
+    # A pair colliding in k bands appears k times with the SAME score;
+    # max-agg on the id pair is the dedupe (no array-carrying distinct).
     return (
-        pairs.select("id_a", "id_b", matching.cast("long").alias("matching_minhashes"))
+        scored.groupBy("id_a", "id_b")
+        .agg(F.max("matching_minhashes").alias("matching_minhashes"))
         .filter(F.col("matching_minhashes") >= min_matching)
     )
 
 
+def _cap_banded(
+    frames: list[DataFrame], max_bucket_width: int | None
+) -> list[DataFrame]:
+    """Drop LSH buckets wider than ``max_bucket_width`` docs — counted over
+    the COMBINED corpus (all frames), so the full and incremental paths
+    agree on which buckets are degenerate.
+
+    A boilerplate-heavy corpus (thousands of byte-identical license pages —
+    the normal case at web scale) lands every copy in one ``(band,
+    band_key)`` bucket; the self-join is |bucket|^2 rows on ONE shuffle
+    partition. Buckets wider than the cap carry no *near*-dup signal the
+    cheaper exact pre-pass (``exact_dedup``) doesn't already catch, so they
+    are dropped like stop-shingles (``max_shingle_freq``).
+    """
+    if max_bucket_width is None:
+        return frames
+    keys = frames[0].select("band", "band_key")
+    for f in frames[1:]:
+        keys = keys.unionByName(f.select("band", "band_key"))
+    keep = (
+        keys.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bucket_width"))
+        .filter(F.col("__bucket_width") <= max_bucket_width)
+        .select("band", "band_key")
+    )
+    # equi-join on the bucket key: co-partitions with the pair join that
+    # follows, so the cap rides the shuffle the join needs anyway
+    return [f.join(keep, ["band", "band_key"]) for f in frames]
+
+
 def minhash_lsh_pairs_from_sigs(
-    sigs: DataFrame, num_hashes: int = 16, bands: int = 4, min_matching: int = 8
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_matching: int = 8,
+    max_bucket_width: int | None = 10_000,
 ) -> DataFrame:
-    """LSH candidate pairs over an existing ``(doc, minhash_sig)`` table."""
+    """LSH candidate pairs over an existing ``(doc, minhash_sig)`` table.
+
+    ``max_bucket_width`` (default on) skips degenerate buckets — see
+    ``_cap_banded``. Run ``exact_dedup`` first on corpora with massive
+    verbatim duplication; the cap assumes exact copies were already folded.
+    """
     banded = _banded(sigs, bands, num_hashes // bands)
+    (banded,) = _cap_banded([banded], max_bucket_width)
     left = banded.select(
         F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key"
     )
     right = banded.select(
         F.col("doc").alias("id_b"), F.col("minhash_sig").alias("sig_b"), "band", "band_key"
     )
-    pairs = (
+    scored = (
         left.join(right, on=["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+        .select("id_a", "id_b", _matching_minhashes().alias("matching_minhashes"))
     )
-    return _score_pairs(pairs, min_matching)
+    return _dedupe_scored_pairs(scored, min_matching)
 
 
 def minhash_lsh_pairs(
@@ -133,13 +187,15 @@ def minhash_lsh_pairs(
     bands: int = 4,
     min_matching: int = 8,
     shingle_len: int = 3,
+    max_bucket_width: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Two docs land in the same bucket when one band (num_hashes/bands
     consecutive signature slots) agrees exactly; pairs are then scored by
     full-signature agreement and filtered to ``min_matching``/num_hashes.
-    Returns (id_a, id_b, matching_minhashes) with id_a < id_b.
+    Buckets wider than ``max_bucket_width`` docs are skipped (see
+    ``_cap_banded``). Returns (id_a, id_b, matching_minhashes), id_a < id_b.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
     # Signatures feed BOTH sides of the bucket self-join; without a persist
@@ -147,7 +203,9 @@ def minhash_lsh_pairs(
     # scale this step is a materialized signature table — persist() is the
     # in-session equivalent (MEMORY_AND_DISK, LRU-evicted).
     sigs = sigs.persist()
-    return minhash_lsh_pairs_from_sigs(sigs, num_hashes, bands, min_matching)
+    return minhash_lsh_pairs_from_sigs(
+        sigs, num_hashes, bands, min_matching, max_bucket_width
+    )
 
 
 def minhash_lsh_pairs_incremental(
@@ -156,6 +214,8 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 16,
     bands: int = 4,
     min_matching: int = 8,
+    max_bucket_width: int | None = 10_000,
+    persist: bool = True,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs INVOLVING a new batch, against a
     persisted corpus signature table — without recomputing or re-joining
@@ -169,38 +229,46 @@ def minhash_lsh_pairs_incremental(
     — at 100 TB this is the only affordable dedup cadence: per-batch cost
     scales with the batch, not the corpus.
 
+    ``max_bucket_width`` counts bucket width over corpus + new combined
+    (matching what the full self-join would cap), so full and incremental
+    runs over the same snapshot drop the same degenerate buckets.
+
+    ``persist=True`` caches the banded new-batch frame (it feeds three
+    join sides); the cache lives until the session evicts it — a driver
+    looping over many batches should pass ``persist=False`` or call
+    ``spark.catalog.clearCache()`` between batches.
+
     Returns (id_a, id_b, matching_minhashes), id_a < id_b, covering
     new-vs-corpus and new-vs-new pairs.
     """
     rpb = num_hashes // bands
-    nb = _banded(new_sigs, bands, rpb).persist()
+    nb = _banded(new_sigs, bands, rpb)
+    if persist:
+        nb = nb.persist()
     cb = _banded(corpus_sigs, bands, rpb)
+    nb, cb = _cap_banded([nb, cb], max_bucket_width)
     cross = (
-        nb.select(
-            F.col("doc").alias("id_n"), F.col("minhash_sig").alias("sig_n"), "band", "band_key"
-        )
+        nb.select(F.col("doc").alias("id_n"), F.col("minhash_sig").alias("sig_n"), "band", "band_key")
         .join(
             cb.select(
                 F.col("doc").alias("id_c"), F.col("minhash_sig").alias("sig_c"), "band", "band_key"
             ),
             on=["band", "band_key"],
         )
+        .filter(F.col("id_n") != F.col("id_c"))
         .select(
             F.least("id_n", "id_c").alias("id_a"),
             F.greatest("id_n", "id_c").alias("id_b"),
-            F.when(F.col("id_n") < F.col("id_c"), F.col("sig_n"))
-            .otherwise(F.col("sig_c"))
-            .alias("sig_a"),
-            F.when(F.col("id_n") < F.col("id_c"), F.col("sig_c"))
-            .otherwise(F.col("sig_n"))
-            .alias("sig_b"),
+            F.zip_with(F.col("sig_n"), F.col("sig_c"), lambda x, y: x == y).alias("__m"),
         )
-        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.filter(F.col("__m"), lambda m: m)).cast("long").alias("matching_minhashes"),
+        )
     )
     within_new = (
-        nb.select(
-            F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key"
-        )
+        nb.select(F.col("doc").alias("id_a"), F.col("minhash_sig").alias("sig_a"), "band", "band_key")
         .join(
             nb.select(
                 F.col("doc").alias("id_b"), F.col("minhash_sig").alias("sig_b"), "band", "band_key"
@@ -208,10 +276,9 @@ def minhash_lsh_pairs_incremental(
             on=["band", "band_key"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", _matching_minhashes().alias("matching_minhashes"))
     )
-    pairs = cross.unionByName(within_new).distinct()
-    return _score_pairs(pairs, min_matching)
+    return _dedupe_scored_pairs(cross.unionByName(within_new), min_matching)
 
 
 def simhash_pairs(

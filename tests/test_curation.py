@@ -378,3 +378,77 @@ def test_source_mixture_is_a_distribution(spark, sf_oracle):
     hi = max(rows, key=lambda r: r["token_share"])
     if lo["token_share"] < hi["token_share"]:
         assert lo["epochs"] > hi["epochs"]
+
+
+# ------------------------------------------------- LSH bucket-width cap
+
+
+def _boilerplate_corpus(spark, n=10_000):
+    """n near-identical docs: every band bucket has width ~n — the
+    degenerate web-scale boilerplate case the cap exists for."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("terms of service apply to all users of this site always").alias(
+            "text"
+        ),
+    )
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """10k identical docs x uncapped LSH = 50M pairs on one shuffle
+    partition; with the cap the mega-buckets drop and the job completes
+    with zero candidate pairs (exact_dedup is the sanctioned pre-pass for
+    verbatim copies)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    capped = minhash_lsh_pairs(
+        _boilerplate_corpus(spark), "doc_id", "text", max_bucket_width=100
+    )
+    assert capped.count() == 0
+
+
+def test_lsh_cap_above_bucket_widths_is_identity(spark, sf_oracle):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = table(spark, sf_oracle, "documents").select("doc_id", "text").limit(300)
+    dups = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], r["matching_minhashes"]) for r in df.collect()}
+
+    uncapped = pairset(
+        minhash_lsh_pairs(corpus, "doc_id", "text", max_bucket_width=None)
+    )
+    capped = pairset(
+        minhash_lsh_pairs(corpus, "doc_id", "text", max_bucket_width=10_000)
+    )
+    assert uncapped == capped and uncapped
+
+
+def test_lsh_pair_dedupe_shuffles_no_signature_arrays(spark, sf_oracle):
+    """The pair-dedupe aggregate groups on (id_a, id_b) with a map-side
+    score — a regression back to distinct() over signature arrays would put
+    sig_a/sig_b in the grouping keys."""
+    import re
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = table(spark, sf_oracle, "documents").select("doc_id", "text")
+    plan = (
+        minhash_lsh_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not re.search(r"Aggregate \[[^\]]*sig_", plan), plan
+    assert "max(matching_minhashes" in plan, plan
