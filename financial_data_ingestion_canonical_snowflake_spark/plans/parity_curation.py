@@ -179,10 +179,9 @@ _PACK_BUDGET = 512
 _PACK_SHARDS = 4
 _BPE = "list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))"
 
-
-@parity(
-    "ns_pack_sequences",
-    oracle=f"""
+# shared by the packing oracle and the export-manifest oracle: per-document
+# token counts, md5 shard, and the exclusive prefix-sum token offset
+_PACK_CTES = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     tok AS (
         SELECT doc_id,
@@ -199,6 +198,14 @@ _BPE = "list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)
                    AS token_offset
         FROM tok
     )
+"""
+
+
+@parity(
+    "ns_pack_sequences",
+    driver=False,  # driver slot: folded into ns_pack_export_digest
+    oracle=f"""
+    {_PACK_CTES}
     SELECT CAST(shard AS BIGINT) AS shard,
            CAST(token_offset // {_PACK_BUDGET} AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -218,6 +225,69 @@ def ns_pack_sequences(spark, sf_dir):
     )
     return pack_summary(
         d, "doc_id", "tokens", budget=_PACK_BUDGET, num_shards=_PACK_SHARDS
+    )
+
+
+# Export-manifest oracle: what export_shards' read-back manifest must say,
+# derived purely from the packing assignment (the writer adds no rows).
+_EXPORT_MANIFEST_SQL = f"""
+    {_PACK_CTES}
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token_offset // {_PACK_BUDGET}) AS BIGINT)
+               AS n_sequences,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM off
+    GROUP BY 1
+"""
+
+_PACK_DIGEST_COLS = [
+    ("shard", "s"), ("seq_id", "s"), ("n_docs", "s"),
+    ("tokens_packed", "s"), ("first_doc", "s"), ("last_doc", "s"),
+]
+_MANIFEST_DIGEST_COLS = [
+    ("shard", "s"), ("n_docs", "s"), ("n_tokens", "s"),
+    ("n_sequences", "s"), ("first_doc", "s"), ("last_doc", "s"),
+]
+
+
+def _pack_export_oracle() -> str:
+    from .registry import ALL_ORACLE_SQL, digest_sql
+
+    return (
+        digest_sql("ns_pack_sequences", ALL_ORACLE_SQL["ns_pack_sequences"], _PACK_DIGEST_COLS)
+        + "\nUNION ALL\n"
+        + digest_sql("ns_export_shards", _EXPORT_MANIFEST_SQL, _MANIFEST_DIGEST_COLS)
+    )
+
+
+@parity("ns_pack_export_digest", oracle=_pack_export_oracle())
+def ns_pack_export_digest(spark, sf_dir):
+    """Sequence packing AND the training-shard export writer in one driver
+    slot, each content-checksummed (registry.digest_frame): the per-(shard,
+    seq) packing manifest, plus operators/export.py export_shards run
+    against a scratch directory with its manifest derived from the data
+    READ BACK off disk — so the digest certifies the physical write path
+    (one file per shard, packing order, corpus preserved), not just the
+    plan."""
+    import tempfile
+
+    from ..operators.export import export_shards
+    from .registry import ALL_QUERIES, digest_frame
+
+    pack = ALL_QUERIES["ns_pack_sequences"](spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    out_dir = tempfile.mkdtemp(prefix="fincan_export_digest_")
+    manifest = export_shards(
+        docs, "doc_id", "tokens", out_dir,
+        budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
+    ).select("shard", "n_docs", "n_tokens", "n_sequences", "first_doc", "last_doc")
+    return digest_frame(pack, "ns_pack_sequences").unionByName(
+        digest_frame(manifest, "ns_export_shards")
     )
 
 

@@ -86,6 +86,7 @@ def ns_dedup_exact(spark, sf_dir):
 
 @parity(
     "ns_dedup_minhash_lsh",
+    driver=False,  # driver slot: folded into ns_dedup_minhash_lsh_modes
     oracle=f"""
     WITH docs2 AS ({_DOCS2}),
     toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
@@ -122,6 +123,62 @@ def ns_dedup_minhash_lsh(spark, sf_dir):
         _docs2(spark, sf_dir), "doc_id", "text",
         num_hashes=NUM_HASHES, bands=BANDS, min_matching=8,
     )
+
+
+# Incremental-dedup split of docs2: the "new batch" is every synthetic dup
+# plus the first 25 originals, so the incremental bucket join has new-vs-new
+# pairs (dup of doc < 25 against its original, both new) AND new-vs-corpus
+# pairs (dup of doc in [25, 50) against its corpus-side original).
+_NEW_PRED_SQL = "(id >= 100000 OR id < 25)"
+
+
+def _new_pred(col):
+    return (col >= 100000) | (col < 25)
+
+
+def _minhash_modes_oracle() -> str:
+    from .registry import ALL_ORACLE_SQL
+
+    full = ALL_ORACLE_SQL["ns_dedup_minhash_lsh"]
+    incr_where = " OR ".join(
+        _NEW_PRED_SQL.replace("id ", f"{c} ") for c in ("id_a", "id_b")
+    )
+    return (
+        f"SELECT 'full' AS mode, id_a, id_b, matching_minhashes FROM ({full}) __full"
+        "\nUNION ALL\n"
+        f"SELECT 'incremental' AS mode, id_a, id_b, matching_minhashes "
+        f"FROM ({full}) __incr WHERE {incr_where}"
+    )
+
+
+@parity("ns_dedup_minhash_lsh_modes", oracle=_minhash_modes_oracle())
+def ns_dedup_minhash_lsh_modes(spark, sf_dir):
+    """MinHash-LSH dedup both ways in one driver slot: the full corpus
+    self-join AND the incremental batch path (new-batch signatures joined
+    against a persisted corpus signature table, operators/text_dedup.py
+    minhash_lsh_pairs_incremental). The incremental oracle is the full
+    pair set restricted to pairs involving a new-batch doc — value-hash
+    equality certifies the batch-wise path reproduces exactly the full
+    self-join's new-involving pairs (the invariant that lets a 100 TB
+    corpus dedup per-batch instead of re-self-joining)."""
+    from .registry import ALL_QUERIES
+
+    full = ALL_QUERIES["ns_dedup_minhash_lsh"](spark, sf_dir).select(
+        F.lit("full").alias("mode"), "id_a", "id_b", "matching_minhashes"
+    )
+    docs = _docs2(spark, sf_dir)
+    new_sigs = td.minhash_signatures(
+        docs.filter(_new_pred(F.col("doc_id"))), "doc_id", "text",
+        num_hashes=NUM_HASHES,
+    )
+    corpus_sigs = td.minhash_signatures(
+        docs.filter(~_new_pred(F.col("doc_id"))), "doc_id", "text",
+        num_hashes=NUM_HASHES,
+    )
+    incr = td.minhash_lsh_pairs_incremental(
+        new_sigs, corpus_sigs, num_hashes=NUM_HASHES, bands=BANDS, min_matching=8
+    ).select(F.lit("incremental").alias("mode"), "id_a", "id_b", "matching_minhashes")
+    return full.unionByName(incr)
 
 
 @parity(
