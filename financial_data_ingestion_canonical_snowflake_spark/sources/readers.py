@@ -210,11 +210,27 @@ def read_raw_xml(
     txt = spark.read.text(paths, wholetext=True).select(
         F.col("value"), _src_file().alias("src_file")
     )
-    docs = _make_xml_docs_udf(spec.row_tag)(F.col("value"))
-    out = txt.select(
+    # Staged like read_raw_json: the pandas-UDF result materializes as ONE
+    # column, the error flag derives from it BEFORE the generator, and the
+    # explode references only attributes — so the plan carries exactly one
+    # ArrowEvalPython node (pinned in tests/test_plan_shapes.py) instead of
+    # trusting the optimizer to deduplicate UDF calls adjacent to a
+    # Generate.
+    docs = F.col("__docs")
+    parsed = txt.select(
+        "value",
         "src_file",
-        F.posexplode_outer(docs).alias("elem_idx", "doc_json"),
+        _make_xml_docs_udf(spec.row_tag)(F.col("value")).alias("__docs"),
+    )
+    staged = parsed.select(
+        "src_file",
+        "__docs",
         F.when(docs.isNull(), F.substring(F.col("value"), 1, 200)).alias("_load_error"),
+    )
+    out = staged.select(
+        "src_file",
+        "_load_error",
+        F.posexplode_outer(docs).alias("elem_idx", "doc_json"),
     ).select(
         "src_file",
         (F.coalesce(F.col("elem_idx"), F.lit(0)) + 1).cast("long").alias("src_row_number"),

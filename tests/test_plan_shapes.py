@@ -57,3 +57,24 @@ def test_text_stats_split_once_per_row(spark, sf_oracle):
     # the tokenizer projects once; quality filters/folds reference it
     plan = _optimized(ALL_QUERIES["ns_text_quality_stats"](spark, sf_oracle))
     assert plan.count("split(lower(") == 1, plan
+
+
+def test_xml_reader_converts_each_file_once(spark):
+    """The XML pandas-UDF result is staged as a column before the
+    posexplode (same fix as the JSON reader): exactly one ArrowEvalPython
+    node — a second one means the error-flag reference re-runs the whole
+    document conversion."""
+    import tempfile
+
+    from financial_data_ingestion_canonical_snowflake_spark.examples import (
+        write_fixtures,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.sources.readers import (
+        read_raw_xml,
+    )
+
+    root = write_fixtures(tempfile.mkdtemp(prefix="fincan_xmlplan_"))
+    spec = CopySpec(file_type="XML", path=f"{root}/client_a/xml/", client_id="ClientA")
+    df = read_raw_xml(spark, spec, root, None)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("ArrowEvalPython") == 1, physical
