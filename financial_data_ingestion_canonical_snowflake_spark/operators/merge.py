@@ -149,9 +149,17 @@ def merge_upsert_scoped(
         n_buckets = table.n_buckets
     n_buckets = _validated_n_buckets(table, n_buckets)
     src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
-    # bounded by n_buckets -> driver-small collect
-    parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
+    persisted = False
     if table.exists():
+        # The incremental path needs the touched-bucket list BEFORE the join
+        # (it prunes the target scan), so the source evaluates twice: once
+        # for the bucket collect, once inside the merge. Persist it — the
+        # source is the small delta by construction, and recomputing a
+        # window-deduped transform chain per consumer is the expensive half.
+        src = src.persist()
+        persisted = True
+        # bounded by n_buckets -> driver-small collect
+        parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
         data_cols = [f.name for f in table.schema.fields]
         tgt = (
             spark.read.parquet(table.path)
@@ -161,18 +169,24 @@ def merge_upsert_scoped(
         merged = merge_upsert(
             tgt, src, keys, preserve, dedupe_order, set_on_update, set_on_insert
         )
+        # one write task per touched bucket -> one right-sized file per
+        # partition dir instead of (shuffle-width x buckets) small files
+        merged = merged.repartition(max(len(parts), 1), F.col(PART_COL))
     else:
         # first batch: MERGE into empty = dedupe + insert-only projection —
-        # skip the full-outer join against nothing
+        # skip the full-outer join against nothing, AND skip the
+        # touched-bucket collect (it only feeds target pruning, and
+        # replace_partitions derives the written partition list from the
+        # files themselves): one Spark job total instead of two.
         merged = src
         if dedupe_order is not None:
             merged = dedupe_source(merged, keys, dedupe_order)
         for c, expr in (set_on_insert or {}).items():
             merged = merged.withColumn(c, expr)
-    # one write task per touched bucket -> one right-sized file per partition
-    # dir instead of (shuffle-width x buckets) small files
-    merged = merged.repartition(max(len(parts), 1), F.col(PART_COL))
+        merged = merged.repartition(n_buckets, F.col(PART_COL))
     replaced = table.replace_partitions(merged)
+    if persisted:
+        src.unpersist()
     table.write_meta(n_buckets=n_buckets, part_col=PART_COL, keys=keys)
     return replaced
 

@@ -127,34 +127,49 @@ class Pipeline:
         if self.cfg.skip_loaded_files and self.raw_load_audit.exists():
             loaded = self.raw_load_audit.read(self.spark).select("src_file").distinct()
         # The three COPYs are independent until the shared audit append —
-        # run them phase-wise on a thread pool (Spark schedules concurrent
-        # jobs fine; a real warehouse runs concurrent COPYs the same way).
+        # plan all three, then materialize their caches with ONE unioned
+        # audit collect (a single Spark job parallelizes all three source
+        # subtrees across its tasks — one AQE job chain instead of three),
+        # and land the raw appends concurrently from the caches (a real
+        # warehouse runs concurrent COPYs the same way).
         def prepare(spec: CopySpec):
             resolved = self._resolve(spec)
             raw = read_raw(self.spark, resolved, self.cfg.ingest_root, self._ts())
             if loaded is not None:
                 raw = raw.join(F.broadcast(loaded), "src_file", "left_anti")
-            raw = raw.cache()
-            # The audit is per-file stats — always driver-small. Collect it
-            # once: it answers "anything loaded?" (saves the isEmpty action)
-            # and re-lands as a single-partition append instead of a
-            # shuffle-width write.
-            audit_rows = build_load_audit(raw, spec.file_type, self._ts()).collect()
-            return spec, raw, audit_rows
+            return spec, raw.cache()
 
         def land(item) -> None:
-            spec, raw, _ = item
+            spec, raw = item
             good = raw.filter(F.col("_load_error").isNull()).drop("_load_error")
             self.raw_tables[spec.file_type].append(good)
             raw.unpersist()
 
         with ThreadPoolExecutor(max_workers=len(self.cfg.copy_specs)) as ex:
+            # pool here covers the CSV header-arity probe job inside read_raw
             prepared = list(ex.map(prepare, self.cfg.copy_specs))
+            # The audit is per-file stats — always driver-small. One collect
+            # across all specs: it answers "anything loaded?" per spec and
+            # re-lands as a single-partition append instead of a
+            # shuffle-width write.
+            audit_frames = [
+                build_load_audit(raw, spec.file_type, self._ts())
+                for spec, raw in prepared
+            ]
+            audit_union = audit_frames[0]
+            for f in audit_frames[1:]:
+                audit_union = audit_union.unionByName(f)
+            all_audit = audit_union.collect()
+            loaded_by_type: dict[str, int] = {}
+            for r in all_audit:
+                loaded_by_type[r.file_type] = (
+                    loaded_by_type.get(r.file_type, 0) + r.rows_loaded
+                )
             active, skipped = [], []
             for item in prepared:
-                has_rows = item[2] and sum(r.rows_loaded for r in item[2]) > 0
+                has_rows = loaded_by_type.get(item[0].file_type, 0) > 0
                 (active if has_rows else skipped).append(item)
-            for _, raw, _ in skipped:
+            for _, raw in skipped:
                 raw.unpersist()
             list(ex.map(land, active))
         # audit rows land for EVERY spec that saw files — including fully
@@ -163,7 +178,6 @@ class Pipeline:
         # sql/01_raw_ingestion.sql:74-86); only the raw-table append is
         # gated on rows_loaded>0. This also stops failed files from being
         # silently re-read every run (they're now in the load history).
-        all_audit = [row for _, _, rows in prepared for row in rows]
         if all_audit:
             # ONE append for every spec's audit — single small file per batch.
             self.raw_load_audit.append(
@@ -199,14 +213,6 @@ class Pipeline:
             .withColumn("updated_ts", ts)
             .select(*CAN_TXN_COLS)
         )
-        merge_upsert_scoped(
-            self.spark,
-            self.can_txn,
-            hdr_source,
-            keys=["canonical_txn_id"],
-            preserve=["created_ts"],
-            dedupe_order=[F.col("ingest_ts").desc(), F.col("src_file")],
-        )
 
         # Stage 05b: CAN_TXN_LINE merge (:32-53) with the M2 source-dedupe
         # guard (duplicate (id, line_number) keys -> latest ingest wins).
@@ -215,14 +221,36 @@ class Pipeline:
             .withColumn("updated_ts", ts)
             .select(*CAN_LINE_COLS)
         )
-        merge_upsert_scoped(
-            self.spark,
-            self.can_txn_line,
-            line_source,
-            keys=["canonical_txn_id", "line_number"],
-            preserve=["created_ts"],
-            dedupe_order=[F.col("ingest_ts").desc(), F.col("attributes")],
-        )
+
+        # 05a and 05b write DISJOINT tables from already-declared cached
+        # staging frames — run them concurrently (Spark's scheduler
+        # interleaves independent jobs; a real warehouse runs independent
+        # MERGEs the same way). Worst case both threads race to fill the
+        # stg_header cache — wall-time harmless, and the second consumer
+        # reads the cache.
+        def _merge_txn() -> None:
+            merge_upsert_scoped(
+                self.spark,
+                self.can_txn,
+                hdr_source,
+                keys=["canonical_txn_id"],
+                preserve=["created_ts"],
+                dedupe_order=[F.col("ingest_ts").desc(), F.col("src_file")],
+            )
+
+        def _merge_line() -> None:
+            merge_upsert_scoped(
+                self.spark,
+                self.can_txn_line,
+                line_source,
+                keys=["canonical_txn_id", "line_number"],
+                preserve=["created_ts"],
+                dedupe_order=[F.col("ingest_ts").desc(), F.col("attributes")],
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(_merge_txn), ex.submit(_merge_line)]:
+                f.result()
 
         # Stage 06: anomalies join the POST-merge CAN_TXN (ordering constraint
         # noted at SURVEY §3 entry point 3).
