@@ -177,6 +177,85 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd k-means coarse quantizer for ``ivf_topk``.
+
+    Seeds are the ``n_centroids`` corpus vectors with the smallest
+    ``md5(vec_id)`` — a fixed pseudo-random draw (no RNG, reproducible on
+    any cluster size), which spreads seeds across the corpus far better
+    than the lowest-id default quantizer. Then ``n_iter`` fixed Lloyd
+    rounds; per round:
+
+    - assignment is a PURE PROJECTION: the centroids inline as literal
+      arrays (driver-held, k x dim doubles), so scoring every corpus
+      vector against every centroid is map-side — zero shuffle, no join;
+    - means recompute via posexplode + groupBy(centroid, dim) — ONE
+      shuffle whose map-side partial aggregation reduces each partition
+      to at most k x dim rows before the exchange;
+    - the k x dim means collect to the driver (tiny), which also truncates
+      lineage between rounds (no growing iterative plan).
+
+    Empty clusters keep their previous centroid. At 100 TB each round is a
+    full corpus pass (the standard k-means cost); train on a stratified
+    sample (``functions.text.sample_bucket``) when a pass is too dear.
+
+    Returns ``(id_col = 0..k-1, vec_col array<double>)`` — plugs directly
+    into ``ivf_topk(centroids=...)``.
+    """
+    from ..functions.scalars import md5_long
+
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(md5_long(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents: list[list[float]] = [[float(x) for x in r[vec_col]] for r in seeds]
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    for _ in range(n_iter):
+        sims = [
+            vectors.cosine(F.col("__v"), F.array(*[F.lit(x) for x in cent]))
+            for cent in cents
+        ]
+        # max over (sim, -centroid_id) structs: highest sim wins, ties to
+        # the lowest centroid id — all map-side expression work. array()
+        # normalizes struct field names to colN, so read by position.
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(s.alias("col1"), F.lit(-i).alias("col2"))
+                    for i, s in enumerate(sims)
+                ]
+            )
+        )["col2"] * -1
+        means = (
+            vecs.select(best.alias("centroid_id"), F.posexplode("__v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cluster[i][p] for p in sorted(by_cluster[i])]
+            if i in by_cluster
+            else cent
+            for i, cent in enumerate(cents)
+        ]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)],
+        f"{id_col} int, {vec_col} array<double>",
+    )
+
+
 def lsh_multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -186,6 +186,24 @@ def ns_sim_ivf_topk(spark, sf_dir):
     )
 
 
+@parity("ns_sim_ivf_kmeans", driver=False)  # iterative trainer: rows-only check
+def ns_sim_ivf_kmeans(spark, sf_dir):
+    """IVF top-5 with a TRAINED quantizer: deterministic md5-seeded Lloyd
+    k-means centroids (operators/similarity.py kmeans_centroids) instead of
+    the lowest-id vectors. Not SQL-expressible (iterative refinement), so
+    no oracle — recall-vs-brute-force superiority over the lowest-id
+    quantizer is pinned in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_centroids=N_CENTROIDS, n_iter=3)
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        centroids=cents,
+        k=5,
+        n_probe=N_PROBE,
+    )
+
+
 _SQL_PROBES = "list_prepend(bucket, list_transform(generate_series(0, %d), j -> xor(bucket, CAST(1 AS BIGINT) << j)))" % (NUM_PLANES - 1)
 
 

@@ -1,0 +1,74 @@
+"""k-means IVF quantizer: determinism + recall vs the lowest-id baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+entrymod.queries()  # populate the registry
+
+from financial_data_ingestion_canonical_snowflake_spark.operators import (  # noqa: E402
+    similarity as sim,
+)
+from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (  # noqa: E402
+    table,
+)
+
+K = 5
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _pairs(df) -> set[tuple]:
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def _recall(approx: set[tuple], exact: set[tuple]) -> float:
+    return len(approx & exact) / len(exact)
+
+
+def test_kmeans_centroids_deterministic(spark, sf_oracle):
+    emb = table(spark, sf_oracle, "embeddings")
+    a = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2).collect()
+    b = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2).collect()
+    assert sorted(r["vec_id"] for r in a) == [0, 1, 2, 3]
+    va = {r["vec_id"]: r["embedding"] for r in a}
+    vb = {r["vec_id"]: r["embedding"] for r in b}
+    assert va == vb  # no RNG anywhere -> bit-identical retrain
+
+
+def test_kmeans_ivf_recall_beats_lowest_id_quantizer(spark, sf_oracle):
+    emb = table(spark, sf_oracle, "embeddings")
+    # queries DISJOINT from both quantizers' candidate centroids: the
+    # lowest-id quantizer's centroids ARE vectors 0..7, so evaluating on
+    # queries < 20 hands it 8 self-centered probe lists and biases the
+    # comparison (a query probing a list centered on itself trivially
+    # finds its own neighborhood)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    exact = _pairs(sim.brute_force_topk(emb, queries, k=K))
+
+    lowest = _pairs(
+        sim.ivf_topk(
+            emb,
+            queries,
+            centroids=emb.filter(F.col("vec_id") < N_CENTROIDS),
+            k=K,
+            n_probe=N_PROBE,
+        )
+    )
+    trained = _pairs(
+        sim.ivf_topk(
+            emb,
+            queries,
+            centroids=sim.kmeans_centroids(emb, n_centroids=N_CENTROIDS, n_iter=3),
+            k=K,
+            n_probe=N_PROBE,
+        )
+    )
+    r_lowest, r_trained = _recall(lowest, exact), _recall(trained, exact)
+    # the trained quantizer must beat the degenerate lowest-id one on an
+    # unbiased query set, and find a real fraction of true neighbors
+    # (measured: 0.55 trained vs 0.39 lowest-id on the sf0.01 corpus)
+    assert r_trained >= r_lowest, (r_trained, r_lowest)
+    assert r_trained >= 0.45, r_trained
