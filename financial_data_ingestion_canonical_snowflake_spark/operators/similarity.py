@@ -218,38 +218,56 @@ def kmeans_centroids(
         .collect()
     )
     cents: list[list[float]] = [[float(x) for x in r[vec_col]] for r in seeds]
-    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
-    for _ in range(n_iter):
-        sims = [
-            vectors.cosine(F.col("__v"), F.array(*[F.lit(x) for x in cent]))
-            for cent in cents
-        ]
-        # max over (sim, -centroid_id) structs: highest sim wins, ties to
-        # the lowest centroid id — all map-side expression work. array()
-        # normalizes struct field names to colN, so read by position.
-        best = F.array_max(
-            F.array(
-                *[
-                    F.struct(s.alias("col1"), F.lit(-i).alias("col2"))
-                    for i, s in enumerate(sims)
-                ]
+    # each round scans the vectors and there are n_iter rounds — cache once
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).persist()
+    try:
+        for _ in range(n_iter):
+            # assignment rides a broadcast crossJoin (k rows) with ONE
+            # top-level cosine column — the same shape ivf_topk's assign
+            # uses. (Inlining centroids as literal arrays inside a
+            # transform() lambda nests the fold HOFs k-deep per row and
+            # falls off codegen — measured ~30x slower.) The broadcast
+            # keeps a vector's k copies consecutive, so the max_by groupBy
+            # collapses them map-side: the exchange carries one row per
+            # vector — the standard per-round k-means shuffle.
+            cdf = spark.createDataFrame(
+                [(i, cent) for i, cent in enumerate(cents)],
+                "centroid_id int, cent_vec array<double>",
             )
-        )["col2"] * -1
-        means = (
-            vecs.select(best.alias("centroid_id"), F.posexplode("__v").alias("pos", "val"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
-        cents = [
-            [by_cluster[i][p] for p in sorted(by_cluster[i])]
-            if i in by_cluster
-            else cent
-            for i, cent in enumerate(cents)
-        ]
+            scored = vecs.crossJoin(F.broadcast(cdf)).select(
+                "__vid",
+                "__v",
+                "centroid_id",
+                vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+            )
+            best = scored.groupBy("__vid").agg(
+                # highest sim wins, ties to the lowest centroid id
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n")),
+                ).alias("centroid_id"),
+                F.first("__v").alias("__v"),
+            )
+            means = (
+                best.select("centroid_id", F.posexplode("__v").alias("pos", "val"))
+                .groupBy("centroid_id", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+            cents = [
+                [by_cluster[i][p] for p in sorted(by_cluster[i])]
+                if i in by_cluster
+                else cent
+                for i, cent in enumerate(cents)
+            ]
+    finally:
+        vecs.unpersist()
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(cents)],
         f"{id_col} int, {vec_col} array<double>",

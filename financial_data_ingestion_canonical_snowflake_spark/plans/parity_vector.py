@@ -192,9 +192,11 @@ def ns_sim_ivf_kmeans(spark, sf_dir):
     k-means centroids (operators/similarity.py kmeans_centroids) instead of
     the lowest-id vectors. Not SQL-expressible (iterative refinement), so
     no oracle — recall-vs-brute-force superiority over the lowest-id
-    quantizer is pinned in tests/test_similarity.py."""
+    quantizer is pinned in tests/test_similarity.py. Two Lloyd rounds here
+    (each round is a full corpus pass; bench-lean while already beating
+    the untrained quantizer — production tunes n_iter)."""
     emb = table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, n_centroids=N_CENTROIDS, n_iter=3)
+    cents = sim.kmeans_centroids(emb, n_centroids=N_CENTROIDS, n_iter=2)
     return sim.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 20),
