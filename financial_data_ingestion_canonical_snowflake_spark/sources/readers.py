@@ -210,12 +210,27 @@ def read_raw_xml(
     txt = spark.read.text(paths, wholetext=True).select(
         F.col("value"), _src_file().alias("src_file")
     )
-    # Staged like read_raw_json: the pandas-UDF result materializes as ONE
-    # column, the error flag derives from it BEFORE the generator, and the
-    # explode references only attributes — so the plan carries exactly one
-    # ArrowEvalPython node (pinned in tests/test_plan_shapes.py) instead of
-    # trusting the optimizer to deduplicate UDF calls adjacent to a
-    # Generate.
+    return xml_text_to_raw(txt, spec, ingest_root, ingest_ts)
+
+
+def xml_text_to_raw(
+    txt: DataFrame,
+    spec: CopySpec,
+    ingest_root: str,
+    ingest_ts: Column | None = None,
+) -> DataFrame:
+    """XML conversion plan over a ``(value, src_file)`` whole-document text
+    frame — shared verbatim by the batch reader above and the streaming
+    reader (streaming/ingest.py xml_file_stream): every expression here is
+    stateless, so the identical plan runs under readStream.
+
+    Staged like read_raw_json: the pandas-UDF result materializes as ONE
+    column, the error flag derives from it BEFORE the generator, and the
+    explode references only attributes — so the plan carries exactly one
+    ArrowEvalPython node (pinned in tests/test_plan_shapes.py) instead of
+    trusting the optimizer to deduplicate UDF calls adjacent to a
+    Generate.
+    """
     docs = F.col("__docs")
     parsed = txt.select(
         "value",

@@ -58,6 +58,43 @@ def file_stream(
     return reader.load(path)
 
 
+def xml_file_stream(
+    spark: SparkSession,
+    spec,
+    ingest_root: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming COPY for the reference's XML feed: a whole-document text
+    readStream piped through the SAME conversion plan as the batch reader
+    (sources/readers.py xml_text_to_raw — the per-document pandas-UDF
+    XML->VARIANT conversion, posexplode, lineage, ON_ERROR='CONTINUE'
+    error capture are all stateless expressions, so they run unchanged
+    under Structured Streaming).
+
+    Semantics: each new file appearing under the COPY path becomes one
+    micro-batch increment, converted exactly once (the checkpoint is the
+    COPY load history). ``ingest_ts`` is the processing-time
+    ``current_timestamp()`` — in a stream there is no pinned batch_ts.
+
+    Pair with ``start_merge_stream`` / an append sink plus
+    ``with_observed_metrics`` + ``AuditListener`` for the per-batch audit
+    trail, mirroring the batch pipeline's post-COPY RESULT_SCAN insert.
+    """
+    from ..sources.readers import xml_text_to_raw
+
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .schema("value string")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    txt = reader.load(spec.path).select(
+        F.col("value"), F.col("_metadata.file_path").alias("src_file")
+    )
+    return xml_text_to_raw(txt, spec, ingest_root)
+
+
 def watermarked_window_agg(
     df: DataFrame,
     ts_col: str,

@@ -359,3 +359,48 @@ def test_stream_stream_interval_join_rejects_ambiguity(spark, events_dir, tmp_pa
         stream_stream_interval_join(
             ev, ev, on=["user_id"], left_ts="ts", right_ts="ts"
         )
+
+
+def test_stream_xml_ingest_matches_batch(spark, tmp_path):
+    """Streaming XML COPY == batch read_raw_xml on the same fixture files:
+    same payload VARIANTs, same lineage, same per-document error capture."""
+    from financial_data_ingestion_canonical_snowflake_spark.examples import (
+        write_fixtures,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.sources.readers import (
+        CopySpec,
+        read_raw_xml,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
+        xml_file_stream,
+    )
+
+    root = write_fixtures(str(tmp_path / "ingest"))
+    spec = CopySpec(
+        file_type="XML", path=f"{root}/client_a/xml/", client_id="ClientA"
+    )
+
+    streamed = _drain(
+        xml_file_stream(spark, spec, root, max_files_per_trigger=2),
+        str(tmp_path / "xml_stream"),
+    )
+    batch = read_raw_xml(spark, spec, root, None)
+
+    def canon(df):
+        return sorted(
+            (
+                r["client_id"],
+                r["src_file"].rsplit("/", 1)[-1],
+                r["src_row_number"],
+                str(r["payload"]),
+                r["_load_error"],
+            )
+            for r in df.collect()
+        )
+
+    got, want = canon(streamed), canon(batch)
+    assert got == want
+    assert len(got) > 0
+    # multiple micro-batches actually happened (maxFilesPerTrigger=2 over
+    # 5 fixture files) and every document still converted exactly once
+    assert len({g[1] for g in got}) == 5
