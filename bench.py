@@ -88,6 +88,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Per-table row counts: the driver regenerates testdata between rounds
+    # (documents/embeddings/events sizes have changed before), which shifts
+    # per-query times for data reasons. Recording the input sizes next to
+    # the timings makes data drift separable from code regressions.
+    table_rows = {}
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        try:
+            table_rows[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            table_rows[t] = None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -96,6 +110,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "table_rows": table_rows,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

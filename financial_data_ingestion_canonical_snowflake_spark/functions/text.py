@@ -285,8 +285,12 @@ def repetition_fold(ng: Column) -> Column:
     attribute is free, whereas accessing two fields of this expression
     inline would run the whole fold twice.
     """
+    # NULL sentinel, not '': a genuine empty-string first gram (possible
+    # when a caller feeds n=1 "grams" of empty tokens) must start a run,
+    # and '' == '' would silently continue one. NULL == x is NULL, which
+    # F.when treats as false -> first element always starts run 1.
     zero = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("max_run"),
         F.lit(0).cast("long").alias("n_distinct"),

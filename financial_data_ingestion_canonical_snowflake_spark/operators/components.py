@@ -9,9 +9,10 @@ Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
 two groupBy+join passes that strictly shrink tree heights, converging in
 O(log n) rounds even on path graphs, vs O(diameter) for naive label
-propagation. Every round is plain shuffles on node ids — no driver-side
-state, no collect — and the loop truncates lineage with
-``localCheckpoint`` so the plan stays flat at 100 TB. The reference
+propagation. Every round is plain shuffles on node ids — the only driver
+round-trip is a 1-row convergence digest per round (``_signature``) —
+and the loop truncates lineage with ``localCheckpoint`` so the plan
+stays flat at 100 TB. The reference
 engine has no graph operator at all; its exact-dup survivorship
 (sql/03_transform_headers.sql:70-80) is the single-edge special case.
 """

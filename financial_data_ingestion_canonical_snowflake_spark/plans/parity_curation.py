@@ -150,8 +150,10 @@ _DECON_TRAIN = f"""
 def ns_decontaminate(spark, sf_dir):
     """5-gram benchmark decontamination over the synthetic train/bench
     split: per training doc, how many of its distinct 5-grams appear in the
-    benchmark set. Broadcast single-row gram universe + per-row
-    array_intersect — the corpus side never shuffles."""
+    benchmark set. Broadcast hash join of the exploded distinct-gram sets
+    against the benchmark gram universe, with map-side partial counting —
+    one compact (doc, n_hits) row per document shuffles, never the grams
+    (operators/decontaminate.py module doc)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 37 == 0)
     toks = tx.tokens(F.col("text"))

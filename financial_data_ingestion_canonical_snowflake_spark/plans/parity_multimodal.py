@@ -97,6 +97,11 @@ def ns_mm_resize(spark, sf_dir):
     return resized.select("media_id", "n_bytes")
 
 
+# PRECONDITION (oracle below): the corpus must be pure ASCII. n_samples
+# counts BYTES (octet_length) while mean_level averages per-CHARACTER ord
+# values — these agree only when every character is one byte. A non-ASCII
+# testdata round would make the Spark side (true byte-buffer mean) diverge
+# from this oracle; fix by averaging over encode(text) octets instead.
 @parity(
     "ns_mm_decode_features",
     oracle=f"""
