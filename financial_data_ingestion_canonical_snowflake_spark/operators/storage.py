@@ -228,6 +228,40 @@ class BucketedTable:
         )
 
 
+def vacuum(table: ParquetTable, min_age_seconds: float = 24 * 3600) -> list[str]:
+    """Remove leftover ``.tmp-*`` / ``.old-*`` sibling directories from
+    interrupted ``overwrite_atomic`` / ``replace_partitions`` runs.
+
+    A crash between an atomic swap's write and its cleanup strands the
+    displaced generation next to the table root (``<path>.old-xxxx``) or a
+    half-written candidate (``<path>.tmp-xxxx``). Readers never see them
+    (they are outside the table directory), but a long-running deployment
+    accumulates disk. This is the scheduled-maintenance analog of Delta
+    ``VACUUM``: delete strays older than ``min_age_seconds`` (age-gating
+    protects a swap in flight right now — pass 0 only when no writer can
+    be active). Returns the deleted paths.
+    """
+    import time
+
+    parent = os.path.dirname(os.path.abspath(table.path)) or "."
+    base = os.path.basename(table.path.rstrip("/"))
+    if not os.path.isdir(parent):
+        return []
+    now = time.time()
+    deleted: list[str] = []
+    for d in sorted(os.listdir(parent)):
+        if not (d.startswith(f"{base}.tmp-") or d.startswith(f"{base}.old-")):
+            continue
+        full = os.path.join(parent, d)
+        if not os.path.isdir(full):
+            continue
+        if now - os.path.getmtime(full) < min_age_seconds:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        deleted.append(full)
+    return deleted
+
+
 def compact(
     table: ParquetTable,
     spark: SparkSession,

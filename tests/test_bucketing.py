@@ -102,3 +102,35 @@ def test_compact_small_files(spark, tmp_path):
     assert before_files >= 20
     assert after_files == n_files < before_files
     assert t.read(spark).count() == before_rows
+
+
+def test_vacuum_removes_stranded_generations(spark, tmp_path):
+    """Crash-stranded .tmp-/.old- siblings are deleted once old enough;
+    young strays (a swap possibly in flight) and the live table survive."""
+    import os
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.storage import (
+        ParquetTable,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vac_table")
+    t = ParquetTable(path)
+    spark.range(10).write.parquet(path)
+
+    old_gen = f"{path}.old-deadbeef"
+    tmp_gen = f"{path}.tmp-cafebabe"
+    young = f"{path}.tmp-00000000"
+    for d in (old_gen, tmp_gen, young):
+        os.makedirs(d)
+    ancient = 1_000_000_000  # fixed epoch long past any min_age
+    for d in (old_gen, tmp_gen):
+        os.utime(d, (ancient, ancient))
+
+    deleted = vacuum(t, min_age_seconds=3600)
+    assert sorted(deleted) == sorted([old_gen, tmp_gen])
+    assert not os.path.exists(old_gen) and not os.path.exists(tmp_gen)
+    assert os.path.isdir(young)  # age-gated
+    assert spark.read.parquet(path).count() == 10  # live table untouched
+    # min_age 0 sweeps the rest
+    assert vacuum(t, min_age_seconds=0) == [young]
