@@ -9,10 +9,11 @@ Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
 two groupBy+join passes that strictly shrink tree heights, converging in
 O(log n) rounds even on path graphs, vs O(diameter) for naive label
-propagation. Every round is plain shuffles on node ids — the only driver
-round-trip is a 1-row convergence digest per round (``_signature``) —
-and the loop truncates lineage with ``localCheckpoint`` so the plan
-stays flat at 100 TB. The reference
+propagation. Every round is plain shuffles on node ids; the convergence
+digest rides the round's own checkpoint job as an observed metric
+(``observe`` + eager ``localCheckpoint`` — no separate per-round
+action), and the checkpoint truncates lineage so the plan stays flat
+at 100 TB. The reference
 engine has no graph operator at all; its exact-dup survivorship
 (sql/03_transform_headers.sql:70-80) is the single-edge special case.
 """
@@ -34,13 +35,28 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
+_OBS_SEQ = [0]  # Observation names must be unique per session
+
+
+def _checkpoint_with_signature(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize one round (eager localCheckpoint) and capture its
+    convergence digest in the SAME job via ``observe`` — no separate
+    signature action per round.
+
+    The digest is an xor-fold (order-insensitive, cannot overflow under
+    ANSI) of row hashes plus the row count; it changes iff the edge set
+    changed, which is the fixpoint test."""
+    from pyspark.sql import Observation
+
+    _OBS_SEQ[0] += 1
+    obs = Observation(f"cc_sig_{_OBS_SEQ[0]}")
+    df = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
-        # xor-fold, not sum: order-insensitive and cannot overflow under ANSI
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return row.n, row.h
+    ).localCheckpoint(eager=True)
+    m = obs.get  # blocks until the checkpoint job has run
+    return df, (m["n"], m["h"])
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -84,11 +100,9 @@ def connected_components(
     back as singleton components of themselves.
     Returns (node, component).
     """
-    cur = _canon(edges).localCheckpoint(eager=True)
-    sig = _signature(cur)
+    cur, sig = _checkpoint_with_signature(_canon(edges))
     for _ in range(max_iter):
-        nxt = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
-        nsig = _signature(nxt)
+        nxt, nsig = _checkpoint_with_signature(_canon(_small_star(_large_star(cur))))
         cur = nxt
         if nsig == sig:
             break
