@@ -99,3 +99,81 @@ def contamination_report(
             (F.col("n_contaminated") > 0).alias("is_contaminated"),
         )
     )
+
+
+def contamination_report_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram_len: int = 5,
+    n_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`contamination_report` with a Bloom pre-filter — the scale
+    path once the benchmark gram universe outgrows a comfortable broadcast.
+
+    Two phases, EXACT result (identical rows to the plain report,
+    property-tested):
+
+    1. a Bloom bitmap over the distinct benchmark grams compiles into a
+       literal map-side predicate (operators/sketches.py); the corpus's
+       exploded grams filter against it BEFORE any join — rows that cannot
+       match never leave the scan stage, so the join input shrinks from
+       every-gram-of-every-doc to (true hits + the ~(1-e^{-kn/m})^k false
+       positives);
+    2. the surviving grams run the same exact hash join against the
+       benchmark set (false positives drop out here), and per-doc counts
+       rejoin the (doc, n_grams) base so zero-hit and zero-gram documents
+       still report.
+
+    At 100 TB the bitmap is a few KB broadcast inside an expression while
+    the pre-filter reject rate tracks the true contamination rate — the
+    shuffle/probe volume reduction is the whole game. Size ``n_bits`` at
+    ~10x the benchmark gram count for a ~2% false-positive tax.
+    """
+    from .sketches import bloom_build, bloom_compile, bloom_might_contain
+
+    bench_grams = (
+        bench.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(shingles_from_tokens(F.col("__toks"), ngram_len)).alias("__g")
+        )
+        .distinct()
+    )
+    bitmap = bloom_compile(bloom_build(bench_grams, "__g", n_bits=n_bits, k=k))
+
+    with_grams = train.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.array_distinct(shingles_from_tokens(F.col("__toks"), ngram_len)).alias(
+            "__grams"
+        ),
+    )
+    base = with_grams.select(id_col, F.size("__grams").cast("long").alias("n_grams"), "__grams")
+    survivors = (
+        base.select(id_col, F.explode("__grams").alias("__g"))
+        .filter(bloom_might_contain(bitmap, "__g", n_bits=n_bits, k=k))
+        .join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    n_grams = F.col("n_grams")
+    return (
+        base.select(id_col, "n_grams")
+        .join(survivors, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.when(n_grams == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / n_grams.cast("double")
+            )
+            .alias("contamination_rate"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

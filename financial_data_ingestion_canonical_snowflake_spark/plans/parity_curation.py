@@ -122,38 +122,9 @@ _DECON_TRAIN = f"""
 """
 
 
-@parity(
-    "ns_decontaminate",
-    oracle=f"""
-    WITH train AS ({_DECON_TRAIN}),
-    ttoks AS (SELECT doc_id, {_TOKS} AS toks FROM train),
-    tg AS (SELECT doc_id, list_distinct({_sh(5)}) AS grams FROM ttoks),
-    btoks AS (
-        SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 37 = 0
-    ),
-    bg AS (SELECT DISTINCT UNNEST({_sh(5)}) AS g FROM btoks),
-    ex AS (SELECT doc_id, UNNEST(grams) AS g FROM tg),
-    hit AS (
-        SELECT doc_id, COUNT(*) AS n_hits FROM ex JOIN bg USING (g)
-        GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           CAST(len(grams) AS BIGINT) AS n_grams,
-           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_contaminated,
-           CASE WHEN len(grams) = 0 THEN 0.0
-                ELSE CAST(COALESCE(n_hits, 0) AS DOUBLE)
-                     / CAST(len(grams) AS DOUBLE) END AS contamination_rate,
-           COALESCE(n_hits, 0) > 0 AS is_contaminated
-    FROM tg t LEFT JOIN hit USING (doc_id)
-    """,
-)
-def ns_decontaminate(spark, sf_dir):
-    """5-gram benchmark decontamination over the synthetic train/bench
-    split: per training doc, how many of its distinct 5-grams appear in the
-    benchmark set. Broadcast hash join of the exploded distinct-gram sets
-    against the benchmark gram universe, with map-side partial counting —
-    one compact (doc, n_hits) row per document shuffles, never the grams
-    (operators/decontaminate.py module doc)."""
+def _decon_frames(spark, sf_dir):
+    """The synthetic train/bench split shared by both decontamination
+    queries (full + partial contamination injected in-query)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 37 == 0)
     toks = tx.tokens(F.col("text"))
@@ -174,7 +145,58 @@ def ns_decontaminate(spark, sf_dir):
             )
         )
     )
+    return train, bench
+
+
+_DECON_ORACLE = f"""
+    WITH train AS ({_DECON_TRAIN}),
+    ttoks AS (SELECT doc_id, {_TOKS} AS toks FROM train),
+    tg AS (SELECT doc_id, list_distinct({_sh(5)}) AS grams FROM ttoks),
+    btoks AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 37 = 0
+    ),
+    bg AS (SELECT DISTINCT UNNEST({_sh(5)}) AS g FROM btoks),
+    ex AS (SELECT doc_id, UNNEST(grams) AS g FROM tg),
+    hit AS (
+        SELECT doc_id, COUNT(*) AS n_hits FROM ex JOIN bg USING (g)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE) END AS contamination_rate,
+           COALESCE(n_hits, 0) > 0 AS is_contaminated
+    FROM tg t LEFT JOIN hit USING (doc_id)
+    """
+
+
+@parity("ns_decontaminate", oracle=_DECON_ORACLE)
+def ns_decontaminate(spark, sf_dir):
+    """5-gram benchmark decontamination over the synthetic train/bench
+    split: per training doc, how many of its distinct 5-grams appear in the
+    benchmark set. Broadcast hash join of the exploded distinct-gram sets
+    against the benchmark gram universe, with map-side partial counting —
+    one compact (doc, n_hits) row per document shuffles, never the grams
+    (operators/decontaminate.py module doc)."""
+    train, bench = _decon_frames(spark, sf_dir)
     return contamination_report(train, bench, "doc_id", "text", ngram_len=5)
+
+
+@parity("ns_decontaminate_bloom", driver=False, oracle=_DECON_ORACLE)
+def ns_decontaminate_bloom(spark, sf_dir):
+    """The Bloom-prefiltered decontamination path (the design for benchmark
+    gram universes past broadcast size): a literal-map Bloom predicate
+    rejects non-matching grams map-side before the exact join, which then
+    removes the false positives — same oracle as ns_decontaminate because
+    the result is exact by construction."""
+    from ..operators.decontaminate import contamination_report_bloom
+
+    train, bench = _decon_frames(spark, sf_dir)
+    return contamination_report_bloom(
+        train, bench, "doc_id", "text", ngram_len=5, n_bits=1 << 14
+    )
 
 
 _PACK_BUDGET = 512

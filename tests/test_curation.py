@@ -452,3 +452,44 @@ def test_lsh_pair_dedupe_shuffles_no_signature_arrays(spark, sf_oracle):
     )
     assert not re.search(r"Aggregate \[[^\]]*sig_", plan), plan
     assert "max(matching_minhashes" in plan, plan
+
+
+# ------------------------------------------------ bloom decontamination
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_oracle):
+    """The Bloom-prefiltered report is EXACT (false positives die in the
+    real join): identical rows to the broadcast-join report on the same
+    synthetic train/bench split, including zero-gram and zero-hit docs."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.decontaminate import (
+        contamination_report,
+        contamination_report_bloom,
+    )
+
+    d = table(spark, sf_oracle, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0).unionByName(
+        bench.filter(F.col("doc_id") < 200).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exact = rows(contamination_report(train, bench, "doc_id", "text", ngram_len=5))
+    bloom = rows(
+        contamination_report_bloom(
+            train, bench, "doc_id", "text", ngram_len=5, n_bits=1 << 14
+        )
+    )
+    assert exact == bloom
+    assert any(r[4] for r in exact)  # split really contains contamination
+    # a deliberately tiny bitmap still yields the exact result (more false
+    # positives survive the pre-filter; the join removes them all)
+    tiny = rows(
+        contamination_report_bloom(
+            train, bench, "doc_id", "text", ngram_len=5, n_bits=256, k=2
+        )
+    )
+    assert exact == tiny
