@@ -135,12 +135,15 @@ def contamination_report_bloom(
     """
     from .sketches import bloom_build, bloom_compile, bloom_might_contain
 
+    # the gram universe feeds BOTH the bitmap build (collected eagerly) and
+    # the exact join — persist so the bench-side shingle pipeline runs once
     bench_grams = (
         bench.select(tokens(F.col(text_col)).alias("__toks"))
         .select(
             F.explode(shingles_from_tokens(F.col("__toks"), ngram_len)).alias("__g")
         )
         .distinct()
+        .persist()
     )
     bitmap = bloom_compile(bloom_build(bench_grams, "__g", n_bits=n_bits, k=k))
 

@@ -359,28 +359,31 @@ def bloom_might_contain(
     all k bits are set (a guaranteed superset of true members;
     false-positive rate ~(1 - e^{-kn/m})^k).
 
-    The bitmap embeds as a literal map in the expression, so filtering a
-    100 TB probe side costs ZERO shuffle and no join — rows that can't
-    match never leave the scan stage; the real join afterwards removes the
-    few false positives, keeping results exact. Built as one SQL expression
-    (column-amount shifts aren't exposed by the pyspark wrappers).
+    The bitmap embeds as a DENSE literal array in the expression (index =
+    word + 1, absent words zero-filled), so filtering a 100 TB probe side
+    costs ZERO shuffle and no join — rows that can't match never leave the
+    scan stage; the real join afterwards removes the few false positives,
+    keeping results exact. Built as one SQL expression (column-amount
+    shifts aren't exposed by the pyspark wrappers).
+
+    Evaluation shape matters: ``element_at`` on an array literal is O(1)
+    positional access, while a ``map(...)`` literal lookup is a LINEAR
+    scan of the entries per probe (measured ~5x on the decontamination
+    gram stream at 64+ words); and the k bit positions project through one
+    transform() so each md5 computes once, not once per div/mod reference.
     """
-    if bitmap:
-        entries = ", ".join(
-            f"{w}, CAST({b} AS BIGINT)" for w, b in sorted(bitmap.items())
-        )
-        map_sql = f"map({entries})"
-    else:
-        map_sql = "map()"
-    conds = []
-    for j in range(k):
-        h = (
-            f"CAST(conv(substring(md5(concat('{j}', '|', "
-            f"CAST({col_name} AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n_bits}"
-        )
-        conds.append(
-            f"((shiftright(coalesce(element_at({map_sql}, "
-            f"CAST(({h}) div {BLOOM_WORD_BITS} AS INT)), CAST(0 AS BIGINT)), "
-            f"CAST(({h}) % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
-        )
-    return F.expr(" AND ".join(conds))
+    n_words = (n_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    words = ", ".join(
+        f"CAST({bitmap.get(w, 0)} AS BIGINT)" for w in range(n_words)
+    )
+    arr_sql = f"array({words})"
+    pos_sql = (
+        f"transform(sequence(0, {k - 1}), j -> "
+        f"CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST({col_name} AS STRING))), 1, 15), 16, 10) AS BIGINT) % {n_bits})"
+    )
+    return F.expr(
+        f"forall({pos_sql}, p -> "
+        f"(shiftright(element_at({arr_sql}, CAST(p div {BLOOM_WORD_BITS} AS INT) + 1), "
+        f"CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1)"
+    )
