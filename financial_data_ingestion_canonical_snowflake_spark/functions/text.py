@@ -372,3 +372,58 @@ def sample_bucket(key: Column, modulus: int = 100) -> Column:
     from .scalars import md5_long
 
     return md5_long(key.cast("string"), modulus=modulus)
+
+
+def chunk_bounds(toks: Column, chunk_tokens: int, overlap: int = 0) -> Column:
+    """Chunk-start offsets (1-based, into the token array) for fixed-size
+    overlapping windows: starts at 1, 1+stride, 1+2*stride, ... with
+    ``stride = chunk_tokens - overlap``. A document shorter than one chunk
+    yields the single start 1 (empty docs too — the chunker emits one empty
+    chunk so every document stays addressable downstream).
+
+    Pure map-side expression — the chunk fan-out happens via explode in the
+    caller, so a 100 TB corpus chunks with zero shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    n = F.size(toks)
+    # number of chunks = 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.ceil(extra.cast("double") / F.lit(stride)).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride + 1
+    )
+
+
+def chunk_documents(
+    df, id_col: str, text_col: str, chunk_tokens: int = 128, overlap: int = 16
+):
+    """Split documents into fixed-token overlapping chunks — the
+    context-window packing precursor (long-document training shards, RAG
+    indexing). Returns ``(id_col, chunk_idx, chunk_text, n_tokens)`` with
+    chunk_idx 0-based in document order.
+
+    Deterministic and engine-portable: whitespace tokens, slice windows,
+    no RNG. Tokens project once per row; the explode fans out start
+    offsets only (generator-adjacent expressions re-evaluate per exploded
+    row — the slice happens AFTER the explode, referencing attributes).
+    """
+    toksed = df.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        "__toks",
+        F.posexplode(
+            chunk_bounds(F.col("__toks"), chunk_tokens, overlap)
+        ).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return toksed.select(
+        id_col,
+        F.col("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

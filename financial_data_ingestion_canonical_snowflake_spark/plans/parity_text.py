@@ -445,6 +445,54 @@ def ns_text_normalize_scrub(spark, sf_dir):
     )
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@parity(
+    "ns_text_chunking",
+    driver=False,  # driver window full at 50; oracle-verified locally
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sized AS (
+        SELECT doc_id, toks,
+               1 + CAST(ceil(greatest(len(toks) - {_CHUNK_TOKENS}, 0)
+                             / {_CHUNK_STRIDE}.0) AS INT) AS n_chunks
+        FROM toks
+    ),
+    fan AS (
+        SELECT doc_id, toks, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM sized
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(
+               toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           CAST(len(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                         chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}]) AS BIGINT)
+               AS n_tokens
+    FROM fan
+    """,
+)
+def ns_text_chunking(spark, sf_dir):
+    """Fixed-token overlapping document chunking (32-token windows,
+    8-token overlap — sized so the sf0.01 corpus genuinely fans out to
+    multiple chunks per document; production uses context-window-scale
+    budgets) — the context-window packing precursor for
+    long-document training shards and RAG indexing. Tokens project once;
+    the explode fans out start offsets only, so the whole operator is
+    map-side (zero shuffle at any scale)."""
+    return tx.chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
 @parity(
     "ns_sample_stratified",
     oracle=f"""

@@ -493,3 +493,54 @@ def test_bloom_decontaminate_equals_exact(spark, sf_oracle):
         )
     )
     assert exact == tiny
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_known_values(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),                                # shorter than a chunk
+            (3, ""),                                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> starts 1,4,7,10 (n_chunks = 1 + ceil((10-4)/3) = 3)
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)  # 1-token overlap
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in got
+    # short doc: one truncated chunk; empty doc: one empty-ish chunk
+    assert got[(2, 0)] == ("a b c", 3)
+    assert got[(3, 0)][1] == 1  # split('') -> ['']
+    # every token of doc 1 appears in some chunk (coverage)
+    covered = set()
+    for (d, _), (txt, _n) in got.items():
+        if d == 1:
+            covered.update(txt.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_oracle):
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        chunk_documents,
+    )
+
+    plan = _plan(
+        chunk_documents(
+            table(spark, sf_oracle, "documents").select("doc_id", "text"),
+            "doc_id",
+            "text",
+        )
+    )
+    assert "Exchange" not in plan, plan
