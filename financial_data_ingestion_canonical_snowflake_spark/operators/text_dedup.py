@@ -246,7 +246,26 @@ def minhash_lsh_pairs_incremental(
     if persist:
         nb = nb.persist()
     cb = _banded(corpus_sigs, bands, rpb)
-    nb, cb = _cap_banded([nb, cb], max_bucket_width)
+    if max_bucket_width is not None:
+        # Cap on combined (corpus + new) width like the full self-join
+        # would — but count ONLY buckets the new batch touches: buckets
+        # without a new-side row produce no pairs here, so capping them is
+        # a no-op, and restricting first keeps the width shuffle
+        # batch-proportional (a full-corpus groupBy per batch would defeat
+        # the whole incremental design). The corpus side pays one extra
+        # key-projection scan, never an extra corpus-wide shuffle.
+        nb_keys = nb.select("band", "band_key").distinct()
+        touched = cb.select("band", "band_key").join(nb_keys, ["band", "band_key"])
+        keep = (
+            nb.select("band", "band_key")
+            .unionByName(touched)
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bucket_width"))
+            .filter(F.col("__bucket_width") <= max_bucket_width)
+            .select("band", "band_key")
+        )
+        nb = nb.join(keep, ["band", "band_key"])
+        cb = cb.join(keep, ["band", "band_key"])
     cross = (
         nb.select(F.col("doc").alias("id_n"), F.col("minhash_sig").alias("sig_n"), "band", "band_key")
         .join(
