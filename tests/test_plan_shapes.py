@@ -46,6 +46,10 @@ def test_repetition_plan_has_one_shingle_and_one_fold_per_n(spark, sf_oracle):
 
 
 def test_decontaminate_builds_train_grams_once_per_branch(spark, sf_oracle):
+    # cached frames from earlier tests (e.g. the bloom variant's persisted
+    # gram universe) substitute InMemoryRelations into matching subtrees
+    # and distort the expression count — assert against the cold plan
+    spark.catalog.clearCache()
     plan = _optimized(ALL_QUERIES["ns_decontaminate"](spark, sf_oracle))
     # 3 union branches on the train side + 1 bench side = 4 shingle builds;
     # a regression that re-inlines grams into the explode or the size()
