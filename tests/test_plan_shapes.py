@@ -82,3 +82,37 @@ def test_xml_reader_converts_each_file_once(spark):
     df = read_raw_xml(spark, spec, root, None)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert physical.count("ArrowEvalPython") == 1, physical
+
+
+def test_bloom_prefilter_sits_below_the_join(spark, sf_oracle):
+    """The Bloom membership predicate must run as a scan-stage Filter
+    BEFORE the exact gram join (that pre-join rejection is its entire
+    point) — a regression that evaluates it post-join turns the prefilter
+    into dead weight."""
+    spark.catalog.clearCache()
+    plan = (
+        ALL_QUERIES["ns_decontaminate_bloom"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    join_at = min(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    filter_at = [i for i, l in enumerate(lines) if "Filter (forall(" in l]
+    assert filter_at, plan
+    # physical plans print top-down: children (earlier stages) come AFTER
+    # their parent join node
+    assert all(i > join_at for i in filter_at), plan
+
+
+def test_ivf_centroids_broadcast_not_shuffled(spark, sf_oracle):
+    """The centroid set must reach every corpus/query partition via
+    broadcast (BroadcastNestedLoopJoin from the crossJoin) — a shuffled
+    centroid join would re-partition the corpus by quantizer internals."""
+    plan = (
+        ALL_QUERIES["ns_sim_ivf_topk"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
