@@ -494,6 +494,53 @@ def ns_text_chunking(spark, sf_dir):
 
 
 @parity(
+    "ns_chunk_dedup",
+    driver=False,  # driver window full at 50; oracle-verified locally
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sized AS (
+        SELECT doc_id, toks,
+               1 + CAST(ceil(greatest(len(toks) - {_CHUNK_TOKENS}, 0)
+                             / {_CHUNK_TOKENS}.0) AS INT) AS n_chunks
+        FROM toks
+    ),
+    fan AS (
+        SELECT doc_id, toks, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM sized
+    ),
+    chunks AS (
+        SELECT doc_id * 1000 + chunk_idx AS chunk_id,
+               array_to_string(
+                   toks[chunk_idx * {_CHUNK_TOKENS} + 1 :
+                        (chunk_idx + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM fan
+    )
+    SELECT sha256(chunk_text) AS content_hash,
+           MIN(chunk_id) AS survivor_id,
+           COUNT(*) AS dup_cnt
+    FROM chunks GROUP BY 1
+    """,
+)
+def ns_chunk_dedup(spark, sf_dir):
+    """Sub-document dedup: exact content dedup over NON-overlapping
+    fixed-token chunks (the paragraph-granularity dedup pass of a
+    RefinedWeb-style pipeline — boilerplate repeats inside otherwise
+    unique pages, so document-level dedup misses it). Chunking is
+    map-side; the only shuffle is the content-hash groupBy."""
+    chunks = tx.chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=0,
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    return td.exact_dedup(chunks, "chunk_id", "chunk_text")
+
+
+@parity(
     "ns_sample_stratified",
     oracle=f"""
     WITH bucketed AS (
