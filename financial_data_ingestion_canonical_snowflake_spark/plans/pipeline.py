@@ -195,14 +195,6 @@ class Pipeline:
             raw.get("JSON"), raw.get("XML"), raw.get("CSV")
         ).cache()
 
-        stg_line = transform_lines(
-            raw.get("JSON"),
-            raw.get("XML"),
-            raw.get("CSV"),
-            stg_header,
-            join_mode=self.cfg.join_mode,
-        ).cache()
-
         # Stage 05a: CAN_TXN merge (reference sql/05_merge_canonical.sql:6-30)
         hdr_source = (
             stg_header.filter(F.col("rn") == 1)
@@ -214,20 +206,14 @@ class Pipeline:
             .select(*CAN_TXN_COLS)
         )
 
-        # Stage 05b: CAN_TXN_LINE merge (:32-53) with the M2 source-dedupe
-        # guard (duplicate (id, line_number) keys -> latest ingest wins).
-        line_source = (
-            stg_line.withColumn("created_ts", ts)
-            .withColumn("updated_ts", ts)
-            .select(*CAN_LINE_COLS)
-        )
-
-        # 05a and 05b write DISJOINT tables from already-declared cached
-        # staging frames — run them concurrently (Spark's scheduler
-        # interleaves independent jobs; a real warehouse runs independent
-        # MERGEs the same way). Worst case both threads race to fill the
-        # stg_header cache — wall-time harmless, and the second consumer
-        # reads the cache.
+        # 05a and 05b write DISJOINT tables from cached staging frames —
+        # run them concurrently (Spark's scheduler interleaves independent
+        # jobs; a real warehouse runs independent MERGEs the same way).
+        # The header merge launches FIRST, so the line transform's plan
+        # construction + analysis (driver-side Catalyst work, a measurable
+        # slice of a small batch) overlaps the header merge's execution;
+        # worst case the two threads race to fill the stg_header cache —
+        # wall-time harmless, the second consumer reads the cache.
         def _merge_txn() -> None:
             merge_upsert_scoped(
                 self.spark,
@@ -238,19 +224,36 @@ class Pipeline:
                 dedupe_order=[F.col("ingest_ts").desc(), F.col("src_file")],
             )
 
-        def _merge_line() -> None:
-            merge_upsert_scoped(
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            txn_future = ex.submit(_merge_txn)
+
+            # Stage 05b: CAN_TXN_LINE merge (:32-53) with the M2
+            # source-dedupe guard (duplicate (id, line_number) keys ->
+            # latest ingest wins). Declared while 05a runs.
+            stg_line = transform_lines(
+                raw.get("JSON"),
+                raw.get("XML"),
+                raw.get("CSV"),
+                stg_header,
+                join_mode=self.cfg.join_mode,
+            ).cache()
+            line_source = (
+                stg_line.withColumn("created_ts", ts)
+                .withColumn("updated_ts", ts)
+                .select(*CAN_LINE_COLS)
+            )
+            line_future = ex.submit(
+                merge_upsert_scoped,
                 self.spark,
                 self.can_txn_line,
                 line_source,
-                keys=["canonical_txn_id", "line_number"],
-                preserve=["created_ts"],
-                dedupe_order=[F.col("ingest_ts").desc(), F.col("attributes")],
+                ["canonical_txn_id", "line_number"],
+                None,
+                ["created_ts"],
+                [F.col("ingest_ts").desc(), F.col("attributes")],
             )
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            for f in [ex.submit(_merge_txn), ex.submit(_merge_line)]:
-                f.result()
+            txn_future.result()
+            line_future.result()
 
         # Stage 06: anomalies join the POST-merge CAN_TXN (ordering constraint
         # noted at SURVEY §3 entry point 3).
