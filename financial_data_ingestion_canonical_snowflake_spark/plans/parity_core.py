@@ -15,10 +15,10 @@ from ..functions import scalars
 from ..operators.dedupe import latest_by_key, rank_duplicates
 from ..operators.merge import merge_upsert
 from .registry import (
-    ALL_ORACLE_SQL,
-    ALL_QUERIES,
-    digest_frame,
-    digest_sql,
+    ALL_ORACLE_SQL,  # noqa: F401  (re-exported for digest-building tests)
+    ALL_QUERIES,  # noqa: F401
+    digest_union as _digest_union,
+    digest_union_oracle as _digest_oracle,
     parity,
     table,
 )
@@ -1105,18 +1105,6 @@ _DIGEST_VARIANT = [
 ]
 
 
-def _digest_union(spark, sf_dir, members):
-    out = None
-    for name, _cols in members:
-        d = digest_frame(ALL_QUERIES[name](spark, sf_dir), name)
-        out = d if out is None else out.unionByName(d)
-    return out
-
-
-def _digest_oracle(members):
-    return "\nUNION ALL\n".join(
-        digest_sql(name, ALL_ORACLE_SQL[name], cols) for name, cols in members
-    )
 
 
 @parity("probe_digest_relational", oracle=_digest_oracle(_DIGEST_RELATIONAL))

@@ -257,6 +257,7 @@ _STOP_DE = ", ".join(f"'{w}'" for w in tx.STOPWORDS_DE)
 
 @parity(
     "ns_text_quality_stats",
+    driver=False,  # driver slot: folded into ns_text_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
@@ -302,6 +303,7 @@ def ns_text_quality_stats(spark, sf_dir):
 
 @parity(
     "ns_text_language_id",
+    driver=False,  # driver slot: folded into ns_text_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
     scores AS (
@@ -372,6 +374,7 @@ def ns_dedup_ngram_jaccard_capped(spark, sf_dir):
 
 @parity(
     "ns_text_topk_quality_by_lang",
+    driver=False,  # driver slot: folded into ns_text_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
     scored AS (
@@ -422,6 +425,7 @@ def ns_text_topk_quality_by_lang(spark, sf_dir):
 
 @parity(
     "ns_text_normalize_scrub",
+    driver=False,  # driver slot: folded into ns_text_digest
     oracle=f"""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(
@@ -452,7 +456,7 @@ _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
 @parity(
     "ns_text_chunking",
-    driver=False,  # driver window full at 50; oracle-verified locally
+    driver=False,  # driver slot: folded into ns_text_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sized AS (
@@ -495,7 +499,7 @@ def ns_text_chunking(spark, sf_dir):
 
 @parity(
     "ns_chunk_dedup",
-    driver=False,  # driver window full at 50; oracle-verified locally
+    driver=False,  # driver slot: folded into ns_text_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sized AS (
@@ -538,6 +542,61 @@ def ns_chunk_dedup(spark, sf_dir):
         "chunk_text",
     )
     return td.exact_dedup(chunks, "chunk_id", "chunk_text")
+
+
+# --------------------------------------------------------------------------
+# Driver-slot composite: the text-analysis family in ONE oracle-paired entry
+# (SURVEY.md §8 50-entry driver window). Each member probe's full result set
+# is content-checksummed identically in both engines (registry.digest_frame),
+# so a green digest row certifies the same values as the individual probes.
+# --------------------------------------------------------------------------
+
+_TEXT_DIGEST = [
+    (
+        "ns_text_quality_stats",
+        [
+            ("doc_id", "s"), ("n_chars", "s"), ("n_tokens", "s"),
+            ("n_distinct_tokens", "s"), ("avg_token_len", "d"),
+            ("alpha_ratio", "d"), ("stopword_ratio", "d"),
+            ("fingerprint", "s"), ("bpe_ish_tokens", "s"),
+        ],
+    ),
+    ("ns_text_language_id", [("lang", "s"), ("predicted_lang", "s"), ("doc_cnt", "s")]),
+    (
+        "ns_text_topk_quality_by_lang",
+        [("lang", "s"), ("rank", "s"), ("doc_id", "s"), ("quality", "d")],
+    ),
+    (
+        "ns_text_normalize_scrub",
+        [("doc_id", "s"), ("clean_text", "s"), ("raw_len", "s")],
+    ),
+    (
+        "ns_text_chunking",
+        [("doc_id", "s"), ("chunk_idx", "s"), ("chunk_text", "s"), ("n_tokens", "s")],
+    ),
+    (
+        "ns_chunk_dedup",
+        [("content_hash", "s"), ("survivor_id", "s"), ("dup_cnt", "s")],
+    ),
+]
+
+
+def _text_digest_oracle() -> str:
+    from .registry import digest_union_oracle
+
+    return digest_union_oracle(_TEXT_DIGEST)
+
+
+@parity("ns_text_digest", oracle=_text_digest_oracle())
+def ns_text_digest(spark, sf_dir):
+    """Text-analysis family in one driver slot: quality signals +
+    fingerprint + token estimate, stopword language-ID, per-language top-k
+    quality ranking, normalize/PII-scrub, fixed-token overlapping chunking,
+    and sub-document chunk dedup — each probe's full result set
+    content-checksummed in both engines."""
+    from .registry import digest_union
+
+    return digest_union(spark, sf_dir, _TEXT_DIGEST)
 
 
 @parity(

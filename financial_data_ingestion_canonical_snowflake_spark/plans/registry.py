@@ -139,6 +139,27 @@ def digest_sql(probe: str, sql: str, cols: list[tuple[str, str]]) -> str:
     )
 
 
+def digest_union(
+    spark: SparkSession, sf_dir: str, members: list[tuple[str, list[tuple[str, str]]]]
+) -> DataFrame:
+    """Union of :func:`digest_frame` rows for the named registered probes —
+    the body of a digest composite driver entry (one slot certifies every
+    member's full result set)."""
+    out = None
+    for name, _cols in members:
+        d = digest_frame(ALL_QUERIES[name](spark, sf_dir), name)
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def digest_union_oracle(members: list[tuple[str, list[tuple[str, str]]]]) -> str:
+    """DuckDB twin of :func:`digest_union` from the members' registered
+    oracles (member oracles must be registered before the composite)."""
+    return "\nUNION ALL\n".join(
+        digest_sql(name, ALL_ORACLE_SQL[name], cols) for name, cols in members
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
