@@ -172,7 +172,11 @@ _DECON_ORACLE = f"""
     """
 
 
-@parity("ns_decontaminate", oracle=_DECON_ORACLE)
+@parity(
+    "ns_decontaminate",
+    driver=False,  # driver slot: folded into ns_decontaminate_modes
+    oracle=_DECON_ORACLE,
+)
 def ns_decontaminate(spark, sf_dir):
     """5-gram benchmark decontamination over the synthetic train/bench
     split: per training doc, how many of its distinct 5-grams appear in the
@@ -184,7 +188,11 @@ def ns_decontaminate(spark, sf_dir):
     return contamination_report(train, bench, "doc_id", "text", ngram_len=5)
 
 
-@parity("ns_decontaminate_bloom", driver=False, oracle=_DECON_ORACLE)
+@parity(
+    "ns_decontaminate_bloom",
+    driver=False,  # driver slot: folded into ns_decontaminate_modes
+    oracle=_DECON_ORACLE,
+)
 def ns_decontaminate_bloom(spark, sf_dir):
     """The Bloom-prefiltered decontamination path (the design for benchmark
     gram universes past broadcast size): a literal-map Bloom predicate
@@ -200,6 +208,43 @@ def ns_decontaminate_bloom(spark, sf_dir):
     return contamination_report_bloom(
         train, bench, "doc_id", "text", ngram_len=5, n_bits=1 << 14, k=2
     )
+
+
+_DECON_DIGEST = [
+    (
+        "ns_decontaminate",
+        [
+            ("doc_id", "s"), ("n_grams", "s"), ("n_contaminated", "s"),
+            ("contamination_rate", "d"), ("is_contaminated", "s"),
+        ],
+    ),
+    (
+        "ns_decontaminate_bloom",
+        [
+            ("doc_id", "s"), ("n_grams", "s"), ("n_contaminated", "s"),
+            ("contamination_rate", "d"), ("is_contaminated", "s"),
+        ],
+    ),
+]
+
+
+def _decon_modes_oracle() -> str:
+    from .registry import digest_union_oracle
+
+    return digest_union_oracle(_DECON_DIGEST)
+
+
+@parity("ns_decontaminate_modes", oracle=_decon_modes_oracle())
+def ns_decontaminate_modes(spark, sf_dir):
+    """Benchmark decontamination both ways in one driver slot: the
+    broadcast exact-join baseline AND the Bloom-prefiltered scale path
+    (map-side literal predicate rejects non-benchmark grams before the
+    exact join). Both share one oracle — the Bloom path is exact by
+    construction — so two green digest rows certify the prefilter never
+    changes results."""
+    from .registry import digest_union
+
+    return digest_union(spark, sf_dir, _DECON_DIGEST)
 
 
 _PACK_BUDGET = 512

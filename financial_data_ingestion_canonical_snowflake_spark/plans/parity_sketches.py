@@ -52,7 +52,11 @@ _HLL_ORACLE = """
 """
 
 
-@parity("ns_sketch_hll_users", oracle=_HLL_ORACLE)
+@parity(
+    "ns_sketch_hll_users",
+    driver=False,  # driver slot: folded into ns_sketch_digest
+    oracle=_HLL_ORACLE,
+)
 def ns_sketch_hll_users(spark, sf_dir):
     """Distinct users per event type two ways: exact COUNT(DISTINCT) and the
     HLL sketch — the oracle recomputes the sketch registers bit-for-bit, so
@@ -104,7 +108,11 @@ _CMS_ORACLE = """
 """
 
 
-@parity("ns_sketch_cms_tokens", oracle=_CMS_ORACLE)
+@parity(
+    "ns_sketch_cms_tokens",
+    driver=False,  # driver slot: folded into ns_sketch_digest
+    oracle=_CMS_ORACLE,
+)
 def ns_sketch_cms_tokens(spark, sf_dir):
     """Heavy-hitter vocabulary per language: the exact top-8 tokens with
     their count-min estimates. The oracle rebuilds the identical 4x512
@@ -172,7 +180,11 @@ _HIST_ORACLE = """
 """
 
 
-@parity("ns_sketch_hist_quantiles", oracle=_HIST_ORACLE)
+@parity(
+    "ns_sketch_hist_quantiles",
+    driver=False,  # driver slot: folded into ns_sketch_digest
+    oracle=_HIST_ORACLE,
+)
 def ns_sketch_hist_quantiles(spark, sf_dir):
     """Order-price quantiles (p50/p90/p99) per priority via the mergeable
     equi-width histogram — the quantile member of the sketch family (HLL =
@@ -230,7 +242,11 @@ _BLOOM_ORACLE = """
 """
 
 
-@parity("ns_sketch_bloom_semijoin", oracle=_BLOOM_ORACLE)
+@parity(
+    "ns_sketch_bloom_semijoin",
+    driver=False,  # driver slot: folded into ns_sketch_digest
+    oracle=_BLOOM_ORACLE,
+)
 def ns_sketch_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join reduction, the explicit runtime-filter
     pattern: a 4096-bit bitmap built over high-value orders, compiled into
@@ -264,3 +280,47 @@ def ns_sketch_bloom_semijoin(spark, sf_dir):
         F.sum("might").cast("long").alias("bloom_pass"),
         F.sum(F.coalesce(F.col("__in"), F.lit(0))).cast("long").alias("exact_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-slot composite: the full sketch family in ONE oracle-paired entry
+# (SURVEY.md §8 50-entry driver window). Every member oracle rebuilds the
+# sketch state bit-for-bit, so the digest certifies the approximations'
+# exact behavior, not just error bounds.
+# --------------------------------------------------------------------------
+
+_SKETCH_DIGEST = [
+    (
+        "ns_sketch_hll_users",
+        [("event_type", "s"), ("exact_ndv", "s"), ("hll_buckets", "s"), ("approx_ndv", "d")],
+    ),
+    (
+        "ns_sketch_cms_tokens",
+        [("lang", "s"), ("token", "s"), ("exact_cnt", "s"), ("rnk", "s"), ("cms_count", "s")],
+    ),
+    (
+        "ns_sketch_hist_quantiles",
+        [("o_orderpriority", "s"), ("q", "d"), ("n", "s"), ("approx_q", "d")],
+    ),
+    (
+        "ns_sketch_bloom_semijoin",
+        [("l_returnflag", "s"), ("probe_rows", "s"), ("bloom_pass", "s"), ("exact_rows", "s")],
+    ),
+]
+
+
+def _sketch_digest_oracle() -> str:
+    from .registry import digest_union_oracle
+
+    return digest_union_oracle(_SKETCH_DIGEST)
+
+
+@parity("ns_sketch_digest", oracle=_sketch_digest_oracle())
+def ns_sketch_digest(spark, sf_dir):
+    """The sketch family in one driver slot — HLL cardinality, count-min
+    frequency, equi-width-histogram quantiles, and the Bloom semi-join
+    funnel — each probe's full result set content-checksummed in both
+    engines (the oracles rebuild identical sketch state)."""
+    from .registry import digest_union
+
+    return digest_union(spark, sf_dir, _SKETCH_DIGEST)
