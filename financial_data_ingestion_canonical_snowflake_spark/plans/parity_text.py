@@ -872,3 +872,112 @@ def ns_dedup_ngram_jaccard_modes(spark, sf_dir):
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistics scoring (operators/scoring.py): BM25 retrieval and the
+# unigram-LM quality signal. Scores are rational arithmetic over exact
+# integers in a pinned association order, so both engines agree bit-for-bit
+# (the module doc explains why ln-idf / log-perplexity stay off the parity
+# surface).
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "vector"]
+_BM25_K = 10
+# mirrors operators/scoring.py bm25_topk with k1=1.2, b=0.75, idf="odds"
+_BM25_SCORE_SQL = " + ".join(
+    f"((((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE)) + 0.5::DOUBLE)"
+    f" / (CAST(df_{i} AS DOUBLE) + 0.5::DOUBLE))"
+    f" * (CAST(tf_{i} AS DOUBLE) * 2.2::DOUBLE))"
+    f" / (CAST(tf_{i} AS DOUBLE) + (1.2::DOUBLE * (0.25::DOUBLE"
+    f" + (0.75::DOUBLE * (CAST(dl AS DOUBLE)"
+    f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@parity(
+    "ns_text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+        SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS dl,
+               {", ".join(f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+        FROM toks
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               {", ".join(f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}" for i in range(len(_BM25_TERMS)))}
+        FROM base
+    ),
+    scored AS (
+        SELECT id, dl,
+               {_BM25_SCORE_SQL} AS score,
+               CAST({" + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS)))} AS BIGINT)
+                   AS matched_terms
+        FROM base, st
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank,
+           id, score, dl, matched_terms
+    FROM scored
+    QUALIFY rank <= {_BM25_K}
+    """,
+)
+def ns_text_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (terms: spark/join/vector, k1=1.2, b=0.75,
+    rational odds-idf for cross-engine bit-parity): one corpus-stats
+    aggregate (N, Σdl, per-term df in a single pass), broadcast back, pure
+    map-side scoring, TakeOrdered top-10 — two scans, zero token shuffles
+    at any corpus size."""
+    from ..operators.scoring import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        _BM25_TERMS, k=_BM25_K,
+    )
+
+
+@parity(
+    "ns_text_unigram_lm",
+    oracle=f"""
+    WITH tt AS (
+        SELECT UNNEST({_TOKS}) AS token FROM documents WHERE doc_id % 3 <> 0
+    ),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM vocab),
+    ex AS (
+        SELECT doc_id AS id, UNNEST({_TOKS}) AS token
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    j AS (
+        SELECT id, v.freq, t.total_tokens
+        FROM ex LEFT JOIN vocab v USING (token) CROSS JOIN tot t
+    )
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           CAST(SUM(COALESCE(freq, 0)) AS BIGINT) AS sum_freq,
+           CAST(MIN(freq) AS BIGINT) AS min_freq,
+           CAST(MAX(freq) AS BIGINT) AS max_freq,
+           CAST(SUM(CAST(COALESCE(CAST(freq AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+                                  0.0::DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_token_prob
+    FROM j GROUP BY id
+    """,
+)
+def ns_text_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality scoring (the CCNet perplexity-proxy shape) on a
+    train/score split: vocabulary from docs with doc_id % 3 != 0, scored
+    docs are the rest. One vocabulary-sized shuffle builds the table; the
+    broadcast join + per-doc re-aggregate shuffles one compact row per
+    document. Integer frequency anchors + a DECIMAL-pinned mean token
+    probability keep the surface hash-deterministic (mean ln-surprisal is
+    the production knob, off the parity surface)."""
+    from ..operators.scoring import unigram_lm_scores, unigram_table
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_table(d.filter(F.col("doc_id") % 3 != 0), "text")
+    return unigram_lm_scores(
+        d.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", vocab=vocab
+    )
