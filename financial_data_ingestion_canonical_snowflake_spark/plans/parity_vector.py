@@ -278,3 +278,71 @@ def ns_sim_lsh_modes(spark, sf_dir):
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (functions/vectors.py int8_scale/int8_codes):
+# the 4x storage compressor of a vector index, value-verified element-wise.
+# --------------------------------------------------------------------------
+
+
+@parity(
+    "ns_vector_quantize_int8",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / CAST(127 AS DOUBLE)
+                   AS qscale
+        FROM d
+    ),
+    qd AS (
+        SELECT vec_id, e, qscale,
+               CASE WHEN qscale = 0
+                    THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(e, x -> CAST(round(x / qscale) AS BIGINT))
+               END AS q
+        FROM s
+    )
+    SELECT vec_id, qscale,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(list_min(q) AS BIGINT) AS min_q,
+           CAST(list_max(q) AS BIGINT) AS max_q,
+           list_max(list_transform(generate_series(1, len(q)),
+                i -> abs(e[i] - (CAST(q[i] AS DOUBLE) * qscale)))) AS max_abs_err
+    FROM qd
+    """,
+)
+def ns_vector_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus:
+    scale = max|x|/127, codes = round(x/scale), plus the per-vector
+    reconstruction-error bound — all map-side (zero shuffle at any corpus
+    size). Scale projects as a named column BEFORE the codes lambda
+    references it (the HOF outer-capture recompute trap); code aggregates
+    are exact integers, max_abs_err is an order-independent max of exact
+    IEEE per-element errors, so the whole surface hash-matches DuckDB."""
+    from ..functions.vectors import int8_codes, int8_scale, max_abs_error
+
+    emb = table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        int8_scale(F.col("embedding")).alias("qscale"),
+    )
+    qd = s.select(
+        "vec_id", "e", "qscale",
+        int8_codes(F.col("e"), F.col("qscale")).alias("q"),
+    )
+    return qd.select(
+        "vec_id",
+        "qscale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.array_min("q").cast("long").alias("min_q"),
+        F.array_max("q").cast("long").alias("max_q"),
+        max_abs_error(F.col("e"), F.col("q"), F.col("qscale")).alias("max_abs_err"),
+    )

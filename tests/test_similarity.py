@@ -72,3 +72,53 @@ def test_kmeans_ivf_recall_beats_lowest_id_quantizer(spark, sf_oracle):
     # (measured: 0.55 trained vs 0.39 lowest-id on the sf0.01 corpus)
     assert r_trained >= r_lowest, (r_trained, r_lowest)
     assert r_trained >= 0.45, r_trained
+
+
+# --------------------------------------------------------------------------
+# Int8 quantization (functions/vectors.py)
+# --------------------------------------------------------------------------
+
+
+def test_int8_quantization_roundtrip_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_canonical_snowflake_spark.functions.vectors import (
+        dequantize_int8,
+        int8_codes,
+        int8_scale,
+        max_abs_error,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-0.001, 0.001, 0.0005, -0.0002]),
+        ],
+        ["vec_id", "v"],
+    )
+    s = df.select(
+        "vec_id", "v", int8_scale(F.col("v")).alias("sc")
+    ).select(
+        "vec_id", "v", "sc", int8_codes(F.col("v"), F.col("sc")).alias("q")
+    )
+    out = {
+        r["vec_id"]: r
+        for r in s.select(
+            "vec_id", "sc", "q",
+            max_abs_error(F.col("v"), F.col("q"), F.col("sc")).alias("err"),
+            dequantize_int8(F.col("q"), F.col("sc")).alias("deq"),
+        ).collect()
+    }
+    # max-magnitude element maps exactly to +/-127
+    assert out[1]["sc"] == 1.0
+    assert out[1]["q"] == [1, -2, 1, 127]  # 0.5/1.0 rounds half away from zero
+    # all-zero vector: zero scale, zero codes, zero error
+    assert out[2]["sc"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    assert out[2]["err"] == 0.0
+    # codes stay in int8 range and error bounded by scale/2
+    for r in out.values():
+        assert all(-127 <= c <= 127 for c in r["q"])
+        assert r["err"] <= r["sc"] / 2 + 1e-15
+    # dequantized max element reconstructs exactly
+    assert out[1]["deq"][3] == 127.0
