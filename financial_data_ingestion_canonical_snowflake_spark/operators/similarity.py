@@ -177,6 +177,70 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    the embedding corpus with a coarse quantizer, compare pairs only WITHIN
+    a cluster, and drop every vector that has a same-cluster partner with a
+    smaller id and cosine >= ``threshold``.
+
+    Returns ``(id_col, cluster_id, is_kept)`` for every corpus vector.
+
+    Scale shape: centroid assignment is a broadcast crossJoin (k rows) with
+    a map-side ``max_by`` collapse — the exchange carries one compact row
+    per vector (the k-means assignment pattern). The pairwise stage is a
+    self-join on ``cluster_id``: per-cluster quadratic IS the SemDeDup
+    algorithm — at scale, cluster count grows with the corpus (k ~
+    n/target_cluster_size, e.g. 100k clusters for 100M docs) so each
+    cluster stays a few thousand vectors and the join never degenerates
+    toward all-pairs. ``centroids`` defaults to the lowest-id corpus
+    vectors (deterministic, oracle-checkable); plug
+    :func:`kmeans_centroids` in for real recall.
+    """
+    v = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    scored = v.crossJoin(cents).select(
+        "__vid", "__v", "centroid_id",
+        vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+    )
+    asg = scored.groupBy("__vid").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n"))
+        ).alias("cluster_id"),
+        F.first("__v").alias("__v"),
+    )
+    a = asg.select(
+        F.col("__vid").alias("id_a"), F.col("__v").alias("q_vec"), "cluster_id"
+    )
+    b = asg.select(
+        F.col("__vid").alias("id_b"), F.col("__v").alias("c_vec"), "cluster_id"
+    )
+    dropped = (
+        _with_cosine(a.join(b, "cluster_id"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("cosine_sim") >= threshold))
+        .select(F.col("id_b").alias("__vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return asg.join(dropped, "__vid", "left").select(
+        F.col("__vid").alias(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("__dup").isNull().alias("is_kept"),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -186,7 +186,7 @@ def ns_sim_ivf_topk(spark, sf_dir):
     )
 
 
-@parity("ns_sim_ivf_kmeans", driver=False)  # iterative trainer: rows-only check
+@parity("ns_sim_ivf_kmeans")  # no oracle: iterative trainer -> rows-only check
 def ns_sim_ivf_kmeans(spark, sf_dir):
     """IVF top-5 with a TRAINED quantizer: deterministic md5-seeded Lloyd
     k-means centroids (operators/similarity.py kmeans_centroids) instead of
@@ -345,4 +345,88 @@ def ns_vector_quantize_int8(spark, sf_dir):
         F.array_min("q").cast("long").alias("min_q"),
         F.array_max("q").cast("long").alias("max_q"),
         max_abs_error(F.col("e"), F.col("q"), F.col("qscale")).alias("max_abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (operators/similarity.py semantic_dedup).
+# The corpus has no natural near-duplicates (max pairwise cosine ~0.51 at
+# sf0.01), so synthetic twins are injected in-query — vec_id + 100000 with
+# element 0 shifted by +0.5 (cosine ~0.88-0.93 against the original; the
+# dedup threshold 0.85 catches every twin while natural pairs stay out).
+# --------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.85
+_SEM_N_TWINS = 25
+
+_EMB2 = f"""
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(generate_series(1, len(embedding)),
+                i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.5
+                          ELSE CAST(embedding[i] AS DOUBLE) END)
+    FROM embeddings WHERE vec_id < {_SEM_N_TWINS}
+"""
+
+
+def _emb2(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") < _SEM_N_TWINS).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.5)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(twins)
+
+
+@parity(
+    "ns_dedup_semantic",
+    oracle=f"""
+    WITH emb2 AS ({_EMB2}),
+    cents AS (
+        SELECT vec_id AS centroid_id, e AS cent_vec
+        FROM emb2 WHERE vec_id < {N_CENTROIDS}
+    ),
+    asg AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT emb2.vec_id, emb2.e, centroid_id,
+                   row_number() OVER (PARTITION BY emb2.vec_id
+                        ORDER BY {_sql_cos('e', 'cent_vec')} DESC, centroid_id)
+                       AS crank
+            FROM emb2 CROSS JOIN cents
+        ) WHERE crank = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE ({_sql_dot('a.e', 'b.e')})
+              / (sqrt({_sql_dot('a.e', 'a.e')}) * sqrt({_sql_dot('b.e', 'b.e')}))
+              >= {_SEM_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS cluster_id,
+           d.vec_id IS NULL AS is_kept
+    FROM asg a LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def ns_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic dedup over the twin-injected corpus: lowest-id
+    coarse quantizer (oracle-checkable; kmeans_centroids plugs into the
+    same argument), within-cluster cosine >= 0.85 pairs, survivor = lowest
+    id. Assignment shuffles one compact row per vector; the pairwise stage
+    never leaves its cluster."""
+    from ..operators.similarity import semantic_dedup
+
+    emb2 = _emb2(spark, sf_dir)
+    return semantic_dedup(
+        emb2,
+        centroids=emb2.filter(F.col("vec_id") < N_CENTROIDS),
+        threshold=_SEM_THRESHOLD,
+        n_centroids=N_CENTROIDS,
     )

@@ -122,3 +122,33 @@ def test_int8_quantization_roundtrip_and_bounds(spark):
         assert r["err"] <= r["sc"] / 2 + 1e-15
     # dequantized max element reconstructs exactly
     assert out[1]["deq"][3] == 127.0
+
+
+def test_semantic_dedup_drops_injected_twins(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.plans.parity_vector import (
+        _emb2,
+    )
+
+    out = semantic_dedup(
+        _emb2(spark, sf_oracle), threshold=0.85, n_centroids=8
+    ).cache()
+    try:
+        rows = {r["vec_id"]: r for r in out.collect()}
+        # every dropped vector has a smaller-id same-cluster partner; a twin
+        # whose original landed in the SAME cluster must be dropped
+        by_cluster = {}
+        for r in rows.values():
+            by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+        for vid, r in rows.items():
+            if vid >= 100000 and (vid - 100000) in by_cluster.get(r["cluster_id"], []):
+                assert not r["is_kept"], vid
+        # originals with no smaller near-dup all survive
+        assert all(r["is_kept"] for v, r in rows.items() if v < 100000)
+        assert out.filter(~F.col("is_kept")).count() > 0
+    finally:
+        out.unpersist()
