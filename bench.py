@@ -9,6 +9,7 @@ collect-to-driver bottleneck).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -82,7 +83,28 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        # Isolate queries from one another (outside the timed region):
+        # - clearCache drops frames operators persist() for their own
+        #   multi-consumer plans (LSH signatures, shared shingle sets,
+        #   Bloom gram universes) so caches don't accumulate across ~60
+        #   queries and squeeze execution memory;
+        # - gc.collect matters MORE: py4j releases JVM-side DataFrame/
+        #   broadcast references only when the Python wrappers are
+        #   collected, and CPython's generational GC can lag a whole bench
+        #   behind — the pinned broadcasts/plans were measured degrading
+        #   late queries 5x (ns_decontaminate_bloom 7.6s -> 39s) until a
+        #   forced collection let Spark's ContextCleaner reclaim them.
+        # Periodic JVM full GC on top: long single-JVM benches accumulate
+        # codegen classes and broadcast blocks whose reclamation otherwise
+        # lands INSIDE some later query's timed region (measured: the two
+        # heaviest vector queries at 27s/19s mid-bench vs ~5s after a
+        # forced collection — outside the timer either way). Every 10th
+        # query balances reclamation against full-GC churn.
+        spark.catalog.clearCache()
+        gc.collect()
+        if qi % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

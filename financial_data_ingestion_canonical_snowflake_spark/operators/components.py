@@ -35,28 +35,28 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-_OBS_SEQ = [0]  # Observation names must be unique per session
-
-
 def _checkpoint_with_signature(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
-    """Materialize one round (eager localCheckpoint) and capture its
-    convergence digest in the SAME job via ``observe`` — no separate
-    signature action per round.
+    """Materialize one round (eager localCheckpoint) and compute its
+    convergence digest with a direct 1-row aggregate OVER THE CHECKPOINTED
+    partitions (reads materialized blocks — milliseconds).
+
+    Deliberately NOT ``observe``/CollectMetrics fused into the checkpoint
+    job: ``Observation.get`` blocks on the listener bus, and in a busy
+    session (a bench or driver run tens of queries deep) the async event
+    queue lags far behind job completion — measured as the whole closure
+    spiking 7s -> 23s with the observe variant while the plain per-round
+    agg stayed flat. A tiny deterministic extra job beats a fast path
+    gated on event-bus latency.
 
     The digest is an xor-fold (order-insensitive, cannot overflow under
     ANSI) of row hashes plus the row count; it changes iff the edge set
     changed, which is the fixpoint test."""
-    from pyspark.sql import Observation
-
-    _OBS_SEQ[0] += 1
-    obs = Observation(f"cc_sig_{_OBS_SEQ[0]}")
-    df = edges.observe(
-        obs,
+    df = edges.localCheckpoint(eager=True)
+    row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).localCheckpoint(eager=True)
-    m = obs.get  # blocks until the checkpoint job has run
-    return df, (m["n"], m["h"])
+    ).first()
+    return df, (row["n"], row["h"])
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -155,7 +155,13 @@ def contamination_report_bloom(
             "__grams"
         ),
     )
-    base = with_grams.select(id_col, F.size("__grams").cast("long").alias("n_grams"), "__grams")
+    # base feeds BOTH the survivor branch and the zero-hit rejoin; without a
+    # persist the tokenize+shingle pipeline (the dominant per-doc cost) runs
+    # twice. Same lifecycle policy as bench_grams above: the cache lives
+    # until the session evicts or clears it.
+    base = with_grams.select(
+        id_col, F.size("__grams").cast("long").alias("n_grams"), "__grams"
+    ).persist()
     survivors = (
         base.select(id_col, F.explode("__grams").alias("__g"))
         .filter(bloom_might_contain(bitmap, "__g", n_bits=n_bits, k=k))

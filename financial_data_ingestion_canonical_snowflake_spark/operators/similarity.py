@@ -22,9 +22,28 @@ from ..functions import vectors
 
 
 def _with_cosine(joined: DataFrame) -> DataFrame:
+    """Cosine over a candidate join that carries per-side norm columns
+    (``q_norm``/``c_norm``) when present — the norms then compute ONCE per
+    vector before the join instead of once per candidate PAIR (a pair
+    inlining ``sqrt(dot(v,v))`` on both sides triples the fold work of the
+    pairwise stage, the hot loop of every candidate generator). Bit-identical
+    either way: same IEEE ops in the same order, just evaluated earlier."""
+    cols = set(joined.columns)
+    if "q_norm" in cols and "c_norm" in cols:
+        return joined.withColumn(
+            "cosine_sim",
+            vectors.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     return joined.withColumn(
         "cosine_sim", vectors.cosine(F.col("q_vec"), F.col("c_vec"))
     )
+
+
+def _normed(df: DataFrame, vec_attr: str, out: str) -> DataFrame:
+    """Project ``sqrt(dot(v, v))`` as a named column (attribute, so HOF
+    consumers never re-fold it)."""
+    return df.withColumn(out, vectors.norm(F.col(vec_attr)))
 
 
 def brute_force_topk(
@@ -35,11 +54,13 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, rank, cosine_sim)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = _normed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", "q_norm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = _normed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", "c_norm",
     )
     scored = _with_cosine(F.broadcast(q).crossJoin(c)).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -66,15 +87,21 @@ def lsh_topk(
     """LSH-bucketed approximate top-k: candidates share the hyperplane-sign
     bucket; ranking inside the bucket is exact cosine."""
     planes = vectors.hyperplanes(num_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    q = _normed(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        ),
+        "q_vec", "q_norm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    c = _normed(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        ),
+        "c_vec", "c_norm",
     )
     scored = _with_cosine(F.broadcast(q).join(c, "bucket")).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -102,8 +129,14 @@ def cosine_near_dup_pairs(
 
     ``bucketed=True`` generates candidates within LSH buckets (the scale
     path); ``False`` compares all pairs (exact, quadratic)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("c_vec"))
+    a = _normed(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec")),
+        "q_vec", "q_norm",
+    )
+    b = _normed(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("c_vec")),
+        "c_vec", "c_norm",
+    )
     if bucketed:
         planes = vectors.hyperplanes(num_planes, dim)
         a = a.withColumn("bucket", vectors.lsh_bucket(F.col("q_vec"), planes))
@@ -145,22 +178,35 @@ def ivf_topk(
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cents = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        _normed(
+            centroids.select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+            ),
+            "cent_vec", "cent_norm",
         )
     )
 
     def assign(df: DataFrame, out_id: str, out_vec: str, n_keep: int) -> DataFrame:
+        # vector norm projects once per vector, centroid norm once per
+        # centroid — the k-way crossJoin then folds only the dot product
+        out_norm = f"{out_vec[:1]}_norm"  # q_vec -> q_norm, c_vec -> c_norm
         scored = (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            _normed(
+                df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)),
+                out_vec, out_norm,
+            )
             .crossJoin(cents)
-            .withColumn("cent_sim", vectors.cosine(F.col(out_vec), F.col("cent_vec")))
+            .withColumn(
+                "cent_sim",
+                vectors.dot(F.col(out_vec), F.col("cent_vec"))
+                / (F.col(out_norm) * F.col("cent_norm")),
+            )
         )
         w = Window.partitionBy(out_id).orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
         return (
             scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= n_keep)
-            .select(out_id, out_vec, "centroid_id")
+            .select(out_id, out_vec, out_norm, "centroid_id")
         )
 
     inv_lists = assign(corpus, "neighbor_id", "c_vec", 1)
@@ -203,29 +249,41 @@ def semantic_dedup(
     vectors (deterministic, oracle-checkable); plug
     :func:`kmeans_centroids` in for real recall.
     """
-    v = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    v = _normed(
+        corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")),
+        "__v", "__n",
+    )
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cents = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        _normed(
+            centroids.select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+            ),
+            "cent_vec", "cent_norm",
         )
     )
     scored = v.crossJoin(cents).select(
-        "__vid", "__v", "centroid_id",
-        vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+        "__vid", "__v", "__n", "centroid_id",
+        (
+            vectors.dot(F.col("__v"), F.col("cent_vec"))
+            / (F.col("__n") * F.col("cent_norm"))
+        ).alias("__s"),
     )
     asg = scored.groupBy("__vid").agg(
         F.max_by(
             "centroid_id", F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n"))
         ).alias("cluster_id"),
         F.first("__v").alias("__v"),
+        F.first("__n").alias("__n"),
     )
     a = asg.select(
-        F.col("__vid").alias("id_a"), F.col("__v").alias("q_vec"), "cluster_id"
+        F.col("__vid").alias("id_a"), F.col("__v").alias("q_vec"),
+        F.col("__n").alias("q_norm"), "cluster_id",
     )
     b = asg.select(
-        F.col("__vid").alias("id_b"), F.col("__v").alias("c_vec"), "cluster_id"
+        F.col("__vid").alias("id_b"), F.col("__v").alias("c_vec"),
+        F.col("__n").alias("c_norm"), "cluster_id",
     )
     dropped = (
         _with_cosine(a.join(b, "cluster_id"))
@@ -361,15 +419,21 @@ def lsh_multiprobe_topk(
     probe_buckets = F.array(
         base, *[base.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(num_planes)]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(probe_buckets).alias("bucket"),
+    q = _normed(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probe_buckets).alias("bucket"),
+        ),
+        "q_vec", "q_norm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    c = _normed(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            vectors.lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        ),
+        "c_vec", "c_norm",
     )
     # a (query, neighbor) pair can match through several probes — dedupe
     # before ranking so ranks are well-defined. Score FIRST (map-side, on
@@ -380,7 +444,7 @@ def lsh_multiprobe_topk(
     cand = (
         F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "q_norm", "neighbor_id", "c_vec", "c_norm")
     )
     scored = (
         _with_cosine(cand)

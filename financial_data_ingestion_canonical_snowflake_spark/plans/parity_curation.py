@@ -124,8 +124,17 @@ _DECON_TRAIN = f"""
 
 def _decon_frames(spark, sf_dir):
     """The synthetic train/bench split shared by both decontamination
-    queries (full + partial contamination injected in-query)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries (full + partial contamination injected in-query).
+
+    The train side repartitions first: 5-gram shingling + the md5 probe are
+    CPU-bound and the fixture parquet is one row group (an unsplittable
+    single-core scan locally); at real scale the corpus arrives in
+    thousands of row groups (same concession as parity_text._docs2)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     bench = d.filter(F.col("doc_id") % 37 == 0)
     toks = tx.tokens(F.col("text"))
     train = (

@@ -204,13 +204,19 @@ def ns_sketch_hist_quantiles(spark, sf_dir):
     )
 
 
-_BLOOM_ORACLE = """
+# 2^16 bits over the ~6k selected keys -> ~24% bits set, ~1.4% false-positive
+# rate at k=3: the funnel's bloom_pass sits measurably BETWEEN exact_rows and
+# probe_rows (the previous 4096-bit bitmap saturated at ~6k keys — every bit
+# set, every probe passing, nothing demonstrated)
+_BLOOM_BITS = 1 << 16
+
+_BLOOM_ORACLE = f"""
     WITH sel AS (
         SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000
     ),
     jd AS (SELECT UNNEST([0, 1, 2]) AS j),
     bpos AS (
-        SELECT ('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS p
+        SELECT ('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % {_BLOOM_BITS} AS p
         FROM sel, jd
     ),
     words AS (
@@ -220,7 +226,7 @@ _BLOOM_ORACLE = """
     okeys AS (SELECT DISTINCT l_orderkey FROM lineitem),
     checks AS (
         SELECT o.l_orderkey, jd.j,
-               ('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|' || CAST(o.l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS p
+               ('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|' || CAST(o.l_orderkey AS VARCHAR)), 1, 15))::BIGINT % {_BLOOM_BITS} AS p
         FROM okeys o, jd
     ),
     hit AS (
@@ -249,26 +255,35 @@ _BLOOM_ORACLE = """
 )
 def ns_sketch_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join reduction, the explicit runtime-filter
-    pattern: a 4096-bit bitmap built over high-value orders, compiled into
+    pattern: a 2^16-bit bitmap built over high-value orders, compiled into
     a literal map-side predicate, pre-filters the (big) lineitem probe with
     ZERO shuffle; per return flag the funnel reports probe rows, bloom
     passes, and true matches — the gap is the measured false-positive
-    cost. The oracle rebuilds the identical bitmap, so the filter's exact
-    behavior (not a bound) is verified."""
+    cost (~1.4% at ~6k keys / k=3). The oracle rebuilds the identical
+    bitmap, so the filter's exact behavior (not a bound) is verified."""
     from ..operators.sketches import bloom_build, bloom_compile, bloom_might_contain
 
     orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    # The probe predicate is md5-bound CPU work and the fixture table is one
+    # parquet row group (an unsplittable single-core scan locally); spread
+    # rows across cores first — at real scale the probe side arrives in
+    # thousands of row groups and needs no such help (same concession as
+    # parity_text._docs2). The OPERATOR stays zero-shuffle.
+    li = table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sel = (
         orders.filter(F.col("o_totalprice") > 480000)
         .select("o_orderkey")
         .distinct()
     )
-    bitmap = bloom_compile(bloom_build(sel, "o_orderkey"))
+    bitmap = bloom_compile(bloom_build(sel, "o_orderkey", n_bits=_BLOOM_BITS, k=3))
     flagged = li.select(
         "l_returnflag",
         "l_orderkey",
-        bloom_might_contain(bitmap, "l_orderkey").cast("int").alias("might"),
+        bloom_might_contain(bitmap, "l_orderkey", n_bits=_BLOOM_BITS, k=3)
+        .cast("int")
+        .alias("might"),
     )
     exact = flagged.join(
         F.broadcast(sel.withColumn("__in", F.lit(1))),

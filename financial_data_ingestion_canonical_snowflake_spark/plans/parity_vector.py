@@ -372,8 +372,13 @@ _EMB2 = f"""
 
 
 def _emb2(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # repartition first: the dot-product folds are CPU-bound and the fixture
+    # parquet is one row group (single-core scan locally); real corpora
+    # arrive in many row groups (same concession as parity_text._docs2)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     twins = emb.filter(F.col("vec_id") < _SEM_N_TWINS).select(
         (F.col("vec_id") + 100000).alias("vec_id"),

@@ -29,6 +29,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # Spark has no nanos timestamp — read as long and convert at the source
     # (plans/registry.py:table) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scan-split bin-packing cost per file. At the default 4 MiB a 10 MB
+    # single-file table opens on 3 of 32 cores, so CPU-heavy probe stages
+    # (md5 Bloom probes, shingle/minhash folds, as-of unions) run nearly
+    # single-threaded at fixture scale. 64 KiB lets bytes-per-core govern
+    # split sizing for small inputs; at production scale files exceed
+    # maxPartitionBytes and this conf has no effect on split counts.
+    "spark.sql.files.openCostInBytes": "65536",
 }
 
 

@@ -8,6 +8,7 @@ against its DuckDB twin. Run from repo root:
 
 from __future__ import annotations
 
+import gc
 import sys
 import time
 
@@ -33,6 +34,13 @@ def main() -> int:
     con = duckdb_conn(sf_dir)
     n_fail = 0
     for name, fn in q.items():
+        # per-query isolation — clear leftover operator-internal caches and
+        # force a Python GC so py4j releases JVM-side plan/broadcast refs
+        # (their accumulation measurably degrades late queries; bench.py
+        # documents the numbers)
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
