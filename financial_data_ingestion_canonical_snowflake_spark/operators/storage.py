@@ -37,6 +37,7 @@ class ParquetTable:
         schema: T.StructType | None = None,
         partition_by: Sequence[str] = (),
         n_buckets: int = 16,
+        keep_generations: int = 0,
     ):
         self.path = path
         self.schema = schema
@@ -44,6 +45,12 @@ class ParquetTable:
         # hash-bucket count for partition-scoped merges; must stay constant
         # for the life of the table (keys map to buckets by this modulus)
         self.n_buckets = n_buckets
+        # >0 turns on snapshot retention: overwrite_atomic parks the
+        # displaced generation as <path>.gen-<seq>-<uuid> instead of
+        # deleting it, read_generation() time-travels to it, and vacuum()
+        # prunes past the keep count — the plain-filesystem analog of Delta
+        # time travel + VACUUM (the production seam is an ACID format)
+        self.keep_generations = keep_generations
 
     def exists(self) -> bool:
         """True only when at least one parquet DATA file is present
@@ -91,12 +98,45 @@ class ParquetTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
 
+    def _generations(self) -> list[str]:
+        """Retained generation directories, oldest first (monotone ``seq``
+        in the name orders them lexically at equal width)."""
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        base = os.path.basename(self.path.rstrip("/"))
+        if not os.path.isdir(parent):
+            return []
+        return sorted(
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(f"{base}.gen-")
+            and os.path.isdir(os.path.join(parent, d))
+        )
+
+    def read_generation(self, spark: SparkSession, n_back: int = 1) -> DataFrame:
+        """Time-travel read: the snapshot displaced ``n_back`` overwrites
+        ago (``n_back=1`` = the version immediately before the current
+        table). Requires ``keep_generations >= n_back`` to have been set
+        when the overwrites ran; raises when the snapshot is gone."""
+        gens = self._generations()
+        if n_back < 1 or n_back > len(gens):
+            raise FileNotFoundError(
+                f"{self.path}: no generation {n_back} back "
+                f"({len(gens)} retained)"
+            )
+        df = spark.read.parquet(gens[-n_back])
+        if self.schema is not None:
+            df = df.select(*[f.name for f in self.schema.fields])
+        return df
+
     def overwrite_atomic(self, df: DataFrame) -> None:
         """Write to a temp dir, then swap directories.
 
         The swap window is not transactional on a plain filesystem — the
         production seam is an ACID format; for this engine the guarantee is
         crash-safety of the *previous* version, which the tmp-write provides.
+        With ``keep_generations > 0`` the displaced version is retained as
+        a ``.gen-<seq>-*`` sibling (``read_generation`` time-travels to it)
+        and generations past the keep count are pruned here.
         """
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
@@ -113,7 +153,21 @@ class ParquetTable:
             old_meta = os.path.join(old, META_NAME)
             if os.path.isfile(old_meta):
                 os.replace(old_meta, os.path.join(self.path, META_NAME))
-            shutil.rmtree(old, ignore_errors=True)
+            if self.keep_generations > 0:
+                gens = self._generations()
+                seq = (
+                    int(os.path.basename(gens[-1]).split(".gen-")[1].split("-")[0])
+                    if gens
+                    else 0
+                ) + 1
+                os.rename(
+                    old,
+                    f"{self.path}.gen-{seq:08d}-{uuid.uuid4().hex[:8]}",
+                )
+                for stale in self._generations()[: -self.keep_generations]:
+                    shutil.rmtree(stale, ignore_errors=True)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
         # drop Spark's cached file listing for the path — readers planned
         # after the swap must see the new file set, not stale part files
         df.sparkSession.catalog.refreshByPath(self.path)

@@ -134,3 +134,41 @@ def test_vacuum_removes_stranded_generations(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10  # live table untouched
     # min_age 0 sweeps the rest
     assert vacuum(t, min_age_seconds=0) == [young]
+
+
+def test_time_travel_generations(spark, tmp_path):
+    """keep_generations retains displaced snapshots: read_generation
+    time-travels to prior versions, the keep count prunes the oldest,
+    and keep_generations=0 tables never accumulate siblings."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.storage import (
+        ParquetTable,
+    )
+
+    path = str(tmp_path / "tt_table")
+    t = ParquetTable(path, keep_generations=2)
+    for version in range(4):
+        t.overwrite_atomic(spark.range(10).withColumn("v", F.lit(version)))
+
+    # current = v3; one back = v2; two back = v1; v0 pruned by keep=2
+    assert t.read(spark).select("v").distinct().collect()[0][0] == 3
+    assert t.read_generation(spark, 1).select("v").distinct().collect()[0][0] == 2
+    assert t.read_generation(spark, 2).select("v").distinct().collect()[0][0] == 1
+    assert len(t._generations()) == 2
+    try:
+        t.read_generation(spark, 3)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+    # retention off: no .gen- siblings ever appear
+    p2 = str(tmp_path / "no_tt")
+    t2 = ParquetTable(p2)
+    for version in range(3):
+        t2.overwrite_atomic(spark.range(5).withColumn("v", F.lit(version)))
+    assert glob.glob(f"{p2}.gen-*") == []
+    assert os.path.isdir(p2)
