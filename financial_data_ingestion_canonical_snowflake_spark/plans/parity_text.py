@@ -398,9 +398,11 @@ def ns_dedup_ngram_jaccard_capped(spark, sf_dir):
 def ns_text_topk_quality_by_lang(spark, sf_dir):
     """Top-10 documents per language by composite quality score — the
     select-best-per-group filter of a training-data pipeline. Window top-k
-    per group = one shuffle on the group key; at 100 TB prefer a partial
-    top-k per partition first (AQE handles the skew), but the plain window
-    is the correctness baseline."""
+    per group = one shuffle on the group key, and the rank<=k filter
+    compiles to a PARTIAL WindowGroupLimit below the exchange (each map
+    task keeps only its own top 10 per group before shuffling — the
+    partial-top-k-first plan 100 TB needs, plan-shape-pinned in
+    tests/test_plan_shapes.py)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", tx.tokens(F.col("text")).alias("toks")
     )
@@ -544,6 +546,41 @@ def ns_chunk_dedup(spark, sf_dir):
     return td.exact_dedup(chunks, "chunk_id", "chunk_text")
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@parity(
+    "ns_profile_columns",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS null_frac,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def ns_profile_columns(spark, sf_dir):
+    """Column-level profiling of the documents table (operators/
+    profiling.py): completeness, exact cardinality, lexical range — ONE
+    aggregate pass (map-side partials; a 1-row exchange) unpivoted to one
+    row per column. Exact-NDV mode here so DuckDB agrees bit-for-bit; the
+    default approx_count_distinct (HLL++) is the 100 TB path."""
+    from ..operators.profiling import profile_columns
+
+    return profile_columns(
+        table(spark, sf_dir, "documents"), _PROFILE_COLS, exact=True
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-slot composite: the text-analysis family in ONE oracle-paired entry
 # (SURVEY.md §8 50-entry driver window). Each member probe's full result set
@@ -577,6 +614,14 @@ _TEXT_DIGEST = [
     (
         "ns_chunk_dedup",
         [("content_hash", "s"), ("survivor_id", "s"), ("dup_cnt", "s")],
+    ),
+    (
+        "ns_profile_columns",
+        [
+            ("col_name", "s"), ("n_rows", "s"), ("n_nonnull", "s"),
+            ("n_nulls", "s"), ("null_frac", "d"), ("n_distinct", "s"),
+            ("min_value", "s"), ("max_value", "s"),
+        ],
     ),
 ]
 

@@ -116,3 +116,19 @@ def test_ivf_centroids_broadcast_not_shuffled(spark, sf_oracle):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_grouped_topk_gets_partial_window_group_limit(spark, sf_oracle):
+    """The rank<=k filter over a row_number window must compile to a
+    Partial WindowGroupLimit BELOW the group-key exchange (map tasks keep
+    only their own top k per group before shuffling). A refactor that
+    moves the rank filter away from the window (e.g. into a later stage)
+    silently reverts to shuffling every row."""
+    plan = (
+        ALL_QUERIES["ns_text_topk_quality_by_lang"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or plan.count("WindowGroupLimit") >= 2, plan
