@@ -136,6 +136,22 @@ def _cap_banded(
     """
     if max_bucket_width is None:
         return frames
+    if len(frames) == 1:
+        # Single-frame (full self-join) fast path: a window count over the
+        # bucket key instead of a groupBy+join — ONE shuffle on exactly the
+        # partitioning the pair join needs next, so both join sides reuse
+        # the capped frame's exchange and the guard costs no extra pass.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_key")
+        return [
+            frames[0]
+            .withColumn("__bucket_width", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_width") <= max_bucket_width)
+            .drop("__bucket_width")
+        ]
+    # Multi-frame (incremental) path: widths count over the COMBINED key
+    # stream, so a key-union aggregate is genuinely needed.
     keys = frames[0].select("band", "band_key")
     for f in frames[1:]:
         keys = keys.unionByName(f.select("band", "band_key"))
