@@ -61,7 +61,12 @@ def ns_sketch_hll_users(spark, sf_dir):
     """Distinct users per event type two ways: exact COUNT(DISTINCT) and the
     HLL sketch — the oracle recomputes the sketch registers bit-for-bit, so
     the approximation itself is value-verified, not just bounded."""
-    ev = table(spark, sf_dir, "events")
+    # md5 register hashing is CPU-bound map work and the fixture parquet is
+    # one row group (single-core scan locally) — spread rows first; at real
+    # scale inputs arrive in many row groups (parity_text._docs2 concession)
+    ev = table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_ndv")
     )
@@ -125,7 +130,11 @@ def ns_sketch_cms_tokens(spark, sf_dir):
     from ..functions import text as tx
     from ..operators.sketches import cms_lookup, cms_state
 
-    d = table(spark, sf_dir, "documents")
+    # same single-row-group concession as hll above: the per-(j, token) md5
+    # counter hashing is map-side CPU work
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select("lang", F.explode(tx.tokens(F.col("text"))).alias("token"))
     state = cms_state(toks, ["lang"], "token")
     w = Window.partitionBy("lang").orderBy(F.desc("exact_cnt"), F.asc("token"))
