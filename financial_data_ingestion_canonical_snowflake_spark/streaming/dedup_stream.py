@@ -1,0 +1,114 @@
+"""Streaming incremental exact dedup: maintain a corpus-wide content-hash
+survivor table from a document stream.
+
+The streaming twin of ``operators.text_dedup.exact_dedup``: each
+micro-batch folds into a persisted ``(content_hash, survivor_id,
+dup_cnt)`` table so the running table always equals what the batch
+operator would produce over everything ingested so far (asserted in
+tests/test_streaming_dedup.py — drained stream == batch dedup of the
+union). This is the per-batch dedup cadence a 100 TB corpus needs: each
+trigger's cost scales with the BATCH (one groupBy of the batch + one
+hash-keyed merge against the table), never a corpus re-scan.
+
+Merge semantics per content hash: first-seen survivor wins (stable under
+replay ordering when ids arrive in ingest order — matching the batch
+operator's min-id rule), counts are ADDITIVE across batches, and the fold
+is idempotent per micro-batch id via the checkpointed file source (a
+replayed batch re-runs the same additive merge on the same rows — the
+standard foreachBatch exactly-once story requires the merge to be
+deterministic, which min+sum over a fixed batch is; a crash BETWEEN the
+table swap and the checkpoint commit re-applies one batch, the documented
+at-least-once edge every non-transactional sink shares — the production
+seam is an ACID table format).
+
+Scale note: the fold is a full-outer merge keyed on content_hash. On a
+hash-BUCKETED survivor table the same fold runs bucket-scoped (only
+buckets the batch touches rewrite — operators/merge.py's scoped pattern);
+kept whole-table here because the additive dup_cnt needs a custom merge
+expression the generic scoped merge doesn't take yet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.storage import ParquetTable
+from ..operators.text_dedup import exact_dedup
+
+SURVIVOR_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("survivor_id", T.LongType()),
+        T.StructField("dup_cnt", T.LongType()),
+    ]
+)
+
+
+class ExactDedupSink:
+    """foreachBatch sink folding each micro-batch into the survivor table."""
+
+    def __init__(self, table: ParquetTable, id_col: str, text_col: str):
+        if table.schema is None:
+            table.schema = SURVIVOR_SCHEMA
+        self.table = table
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = exact_dedup(batch_df, self.id_col, self.text_col)
+        target = self.table.read(spark)
+        t = target.select(
+            "content_hash",
+            F.col("survivor_id").alias("__t_sid"),
+            F.col("dup_cnt").alias("__t_cnt"),
+        )
+        b = batch.select(
+            "content_hash",
+            F.col("survivor_id").alias("__b_sid"),
+            F.col("dup_cnt").alias("__b_cnt"),
+        )
+        merged = t.join(b, "content_hash", "full_outer").select(
+            "content_hash",
+            # first-seen survivor wins; a batch-side min only lands for
+            # genuinely new content
+            F.coalesce("__t_sid", "__b_sid").cast("long").alias("survivor_id"),
+            (
+                F.coalesce("__t_cnt", F.lit(0)) + F.coalesce("__b_cnt", F.lit(0))
+            )
+            .cast("long")
+            .alias("dup_cnt"),
+        )
+        self.table.overwrite_atomic(merged)
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    table: ParquetTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Stream a parquet document directory into a survivor table.
+
+    Returns the started StreamingQuery; with ``available_now`` the query
+    drains everything currently in ``source_dir`` and stops.
+    """
+    reader = spark.readStream.format("parquet").schema(
+        spark.read.parquet(source_dir).schema
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(ExactDedupSink(table, id_col, text_col))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
