@@ -243,14 +243,79 @@ def ns_sim_lsh_multiprobe_topk(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_sim_quantized_topk",
+    driver=False,  # driver slot: folded into ns_sim_lsh_modes
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / CAST(127 AS DOUBLE)
+                   AS qs
+        FROM d
+    ),
+    dq AS (
+        SELECT vec_id,
+               CASE WHEN qs = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+                    ELSE list_transform(e,
+                         x -> CAST(CAST(round(x / qs) AS BIGINT) AS DOUBLE) * qs)
+               END AS v
+        FROM s
+    ),
+    q AS (SELECT vec_id AS query_id, v AS q_vec FROM dq WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, v AS c_vec FROM dq),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank,
+           cosine_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ns_sim_quantized_topk(spark, sf_dir):
+    """Top-5 over the DEQUANTIZED int8 corpus — the memory-compressed
+    candidate-scoring mode of a production index (codes are 4x smaller
+    than float32; exact re-ranking on the originals happens downstream).
+    Quantize -> dequantize -> exact cosine, every arithmetic step
+    IEEE-pinned, so approximate-by-quantization ranks hash-match DuckDB
+    exactly. Scale/codes/reconstruction project as separate named columns
+    (the HOF outer-capture recompute discipline)."""
+    from ..functions.vectors import dequantize_int8, int8_codes, int8_scale
+
+    emb = table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        int8_scale(F.col("embedding")).alias("qs"),
+    )
+    qd = s.select(
+        "vec_id", "qs", int8_codes(F.col("e"), F.col("qs")).alias("q")
+    )
+    dq = qd.select(
+        "vec_id", dequantize_int8(F.col("q"), F.col("qs")).alias("v")
+    )
+    return sim.brute_force_topk(
+        dq, dq.filter(F.col("vec_id") < 20), vec_col="v", k=5
+    )
+
+
 # --------------------------------------------------------------------------
-# Driver-slot composite: single-bucket + multi-probe LSH top-k in one
-# oracle-paired query (SURVEY.md §8 50-entry driver window).
+# Driver-slot composite: single-bucket + multi-probe LSH + quantized top-k
+# in one oracle-paired query (SURVEY.md §8 50-entry driver window).
 # --------------------------------------------------------------------------
 
 _LSH_MODES = [
     ("single", "ns_sim_lsh_topk"),
     ("multiprobe", "ns_sim_lsh_multiprobe_topk"),
+    ("quantized", "ns_sim_quantized_topk"),
 ]
 
 
@@ -266,9 +331,10 @@ def _lsh_modes_oracle() -> str:
 
 @parity("ns_sim_lsh_modes", oracle=_lsh_modes_oracle())
 def ns_sim_lsh_modes(spark, sf_dir):
-    """Hyperplane-LSH top-k two ways — own-bucket only, and multi-probe over
-    every 1-bit-flip neighbor bucket — unioned with a mode label so one
-    driver slot certifies both the baseline and the high-recall variant."""
+    """ANN top-k three ways — own-bucket LSH, multi-probe LSH over every
+    1-bit-flip neighbor bucket, and exact scoring over the int8-dequantized
+    corpus — unioned with a mode label so one driver slot certifies the
+    baseline, the high-recall variant, and the memory-compressed variant."""
     from .registry import ALL_QUERIES
 
     out = None

@@ -152,3 +152,28 @@ def test_semantic_dedup_drops_injected_twins(spark, sf_oracle):
         assert out.filter(~F.col("is_kept")).count() > 0
     finally:
         out.unpersist()
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (
+        ALL_QUERIES,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["ns_sim_bruteforce_topk"](spark, sf_oracle)
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["ns_sim_quantized_topk"](spark, sf_oracle).collect()
+        if r["query_id"] < 5  # bruteforce query set is vec_id < 5
+    }
+    exact = {p for p in exact if p[0] < 5}
+    # int8 reconstruction error is ~scale/2 per element; top-5 neighbor sets
+    # should survive quantization almost entirely
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, (recall, exact ^ quant)
