@@ -434,3 +434,76 @@ def ns_source_mixture(spark, sf_dir):
         (w / w_sum).alias("sample_prob"),
         ((w / w_sum) / F.col("token_share")).alias("epochs"),
     )
+
+
+@parity(
+    "ns_source_token_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS}) AS token FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+    ),
+    corpus AS (
+        SELECT token, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM st GROUP BY 1
+    ),
+    stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS stotal FROM st GROUP BY 1),
+    ctot AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS ctotal FROM corpus),
+    grid AS (
+        SELECT s.source, c.token, c.ccnt, s.stotal, t.ctotal,
+               COALESCE(st.cnt, 0) AS scnt
+        FROM stot s CROSS JOIN corpus c CROSS JOIN ctot t
+        LEFT JOIN st ON st.source = s.source AND st.token = c.token
+    )
+    SELECT source,
+           CAST(MAX(stotal) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN scnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_seen,
+           CAST(COUNT(*) AS BIGINT) AS vocab_corpus,
+           CAST(SUM(CAST(abs((CAST(scnt AS DOUBLE) / CAST(stotal AS DOUBLE))
+                             - (CAST(ccnt AS DOUBLE) / CAST(ctotal AS DOUBLE)))
+                        AS DECIMAL(18,6))) AS DOUBLE)
+               * CAST(0.5 AS DOUBLE) AS tv_distance
+    FROM grid GROUP BY 1
+    """,
+)
+def ns_source_token_divergence(spark, sf_dir):
+    """Per-source token-distribution drift: total-variation distance
+    between each source's unigram distribution and the corpus distribution
+    — the source-mixture health check of a curation pipeline (a source
+    whose vocabulary drifts from the blend gets re-weighted or audited).
+
+    One (source, token) groupBy is the only corpus-wide shuffle; the
+    corpus distribution re-aggregates FROM that vocabulary-sized frame,
+    and the per-source grid is sources x corpus-vocab (both tiny relative
+    to any corpus — broadcast-joined). Per-token |q - p| pins through
+    DECIMAL(18,6) before the sum, so the double is order-insensitive and
+    cross-engine exact."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    corpus = st.groupBy("token").agg(F.sum("cnt").cast("long").alias("ccnt"))
+    stot = st.groupBy("source").agg(F.sum("cnt").cast("long").alias("stotal"))
+    ctot = corpus.agg(F.sum("ccnt").cast("long").alias("ctotal"))
+    grid = (
+        stot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ctot))
+        .join(F.broadcast(st), ["source", "token"], "left")
+        .withColumn("scnt", F.coalesce("cnt", F.lit(0)))
+    )
+    diff = F.abs(
+        (F.col("scnt").cast("double") / F.col("stotal").cast("double"))
+        - (F.col("ccnt").cast("double") / F.col("ctotal").cast("double"))
+    )
+    return grid.groupBy("source").agg(
+        F.max("stotal").cast("long").alias("n_tokens"),
+        F.sum((F.col("scnt") > 0).cast("int")).cast("long").alias("vocab_seen"),
+        F.count(F.lit(1)).cast("long").alias("vocab_corpus"),
+        (
+            F.sum(diff.cast("decimal(18,6)")).cast("double") * F.lit(0.5)
+        ).alias("tv_distance"),
+    )
