@@ -112,3 +112,128 @@ def stream_exact_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("matching_minhashes", T.LongType()),
+    ]
+)
+
+
+class MinHashLshDedupSink:
+    """foreachBatch sink maintaining near-dup state from a document stream:
+    a corpus signature table plus the running candidate-pair set.
+
+    Per micro-batch (the incremental dedup cadence — cost scales with the
+    batch, never a corpus re-self-join):
+
+    1. MinHash signatures for the batch (map-side folds);
+    2. ``minhash_lsh_pairs_incremental`` against the persisted signature
+       table — new-vs-corpus and new-vs-new candidate pairs only;
+    3. both tables fold via ``merge_upsert`` (keyed on doc / (id_a, id_b)),
+       so a replayed micro-batch after a restart re-merges the same rows
+       idempotently instead of appending duplicates.
+
+    The invariant (pytest-proven here in streaming form; the batch twin is
+    proven in tests/test_curation.py): after draining any prefix of the
+    stream, ``pairs_table`` equals the FULL LSH self-join over every
+    document ingested so far.
+    """
+
+    def __init__(
+        self,
+        sig_table: ParquetTable,
+        pairs_table: ParquetTable,
+        id_col: str,
+        text_col: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        min_matching: int = 8,
+        max_bucket_width: int | None = 10_000,
+    ):
+        from ..operators.text_dedup import minhash_signatures  # schema probe
+
+        if pairs_table.schema is None:
+            pairs_table.schema = PAIR_SCHEMA
+        self.sig_table = sig_table
+        self.pairs_table = pairs_table
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.min_matching = min_matching
+        self.max_bucket_width = max_bucket_width
+        self._minhash_signatures = minhash_signatures
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import merge_upsert
+        from ..operators.text_dedup import minhash_lsh_pairs_incremental
+
+        spark = batch_df.sparkSession
+        new_sigs = self._minhash_signatures(
+            batch_df, self.id_col, self.text_col, self.num_hashes
+        ).persist()
+        try:
+            corpus_sigs = (
+                self.sig_table.read(spark)
+                if self.sig_table.exists()
+                else new_sigs.limit(0)
+            )
+            pairs = minhash_lsh_pairs_incremental(
+                new_sigs,
+                corpus_sigs,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                min_matching=self.min_matching,
+                max_bucket_width=self.max_bucket_width,
+                persist=False,  # nb lifecycle covered by new_sigs persist
+            )
+            merged_pairs = merge_upsert(
+                self.pairs_table.read(spark), pairs, keys=["id_a", "id_b"]
+            )
+            self.pairs_table.overwrite_atomic(merged_pairs)
+            merged_sigs = merge_upsert(
+                self.sig_table.read(spark)
+                if self.sig_table.exists()
+                else new_sigs.limit(0),
+                new_sigs,
+                keys=["doc"],
+            )
+            self.sig_table.overwrite_atomic(merged_sigs)
+        finally:
+            new_sigs.unpersist()
+
+
+def stream_minhash_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    sig_table: ParquetTable,
+    pairs_table: ParquetTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    **lsh_kwargs,
+):
+    """Stream a parquet document directory through incremental MinHash-LSH
+    dedup, maintaining the signature table and the running pair set."""
+    reader = spark.readStream.format("parquet").schema(
+        spark.read.parquet(source_dir).schema
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    sink = MinHashLshDedupSink(
+        sig_table, pairs_table, id_col, text_col, **lsh_kwargs
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
