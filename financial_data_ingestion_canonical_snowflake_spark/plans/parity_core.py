@@ -1060,6 +1060,66 @@ def v5b_variant_typed_access(spark, sf_dir):
     )
 
 
+# long enough that the per-user event budget genuinely thins the funnel
+# (a 3-step chain saturates — every sf0.01 user completes it; this one
+# drops 150 -> ~92 across the steps)
+_FUNNEL_STEPS = [
+    "view", "click", "purchase", "signup", "view", "click",
+    "purchase", "error", "view", "signup", "click", "purchase",
+]
+
+
+def _funnel_chain_oracle(steps: list[str]) -> str:
+    """Chained-earliest-match formulation (provably equal to the operator's
+    greedy fold): min qualifying (ts, event_id) per step, each strictly
+    after the previous step's match."""
+    ctes = [
+        "e AS (SELECT user_id, event_type, ts, event_id FROM events "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL)"
+    ]
+    for k, s in enumerate(steps, start=1):
+        after = (
+            f" JOIN s{k-1} USING (user_id) "
+            f"WHERE e.event_type = '{s}' "
+            f"AND struct_pack(ts := e.ts, o := e.event_id) > s{k-1}.t"
+            if k > 1
+            else f" WHERE e.event_type = '{s}'"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, "
+            f"MIN(struct_pack(ts := e.ts, o := e.event_id)) AS t "
+            f"FROM e{after} GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {k} AS step_idx, '{s}' AS step, "
+        f"CAST((SELECT COUNT(*) FROM s{k}) AS BIGINT) AS users_reached"
+        for k, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@parity(
+    "ns_funnel_steps",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle=_funnel_chain_oracle(_FUNNEL_STEPS),
+)
+def ns_funnel_steps(spark, sf_dir):
+    """Ordered-sequence funnel (a 12-step view/click/purchase/signup/error
+    chain) over events — the MATCH_RECOGNIZE-shaped product-analytics
+    primitive
+    (operators/funnel.py): one groupBy-user shuffle, an in-array sorted
+    fold per user, integer outputs only. Anonymous (NULL-user) events are
+    excluded, matching product-analytics convention."""
+    from ..operators.funnel import funnel_counts
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return funnel_counts(
+        ev, "user_id", "event_type", "ts", "event_id", _FUNNEL_STEPS
+    )
+
+
 # --------------------------------------------------------------------------
 # Digest composites: the single-operator probes above stay runnable (bench,
 # tests) but occupy ONE driver slot per family — the driver verifies only
@@ -1069,6 +1129,7 @@ def v5b_variant_typed_access(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _DIGEST_RELATIONAL = [
+    ("ns_funnel_steps", [("step_idx", "s"), ("step", "s"), ("users_reached", "s")]),
     ("a3_grouped_counts", [("event_type", "s"), ("user_bucket", "s"), ("anomaly_count", "s")]),
     ("a4_smoke_counts", [("table_name", "s"), ("row_cnt", "s")]),
     ("a5_distinct", [("l_returnflag", "s"), ("l_linestatus", "s")]),

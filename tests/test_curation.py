@@ -544,3 +544,36 @@ def test_chunk_documents_zero_shuffle(spark, sf_oracle):
         )
     )
     assert "Exchange" not in plan, plan
+
+
+def test_funnel_strictly_after_and_tiebreak(spark):
+    """Funnel semantics: a step only advances on events strictly AFTER the
+    previous match in (ts, order) — equal-ts events resolve by the order
+    column — and users without the chain stop at their furthest step."""
+    import datetime as dt
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: click sorts BEFORE the same-ts view (order 1 < 2) -> that
+        # click cannot satisfy step 2; the later click can
+        (1, "click", t(10), 1),
+        (1, "view", t(10), 2),
+        (1, "click", t(20), 3),
+        # user 2: click precedes every view -> stops after step 1
+        (2, "click", t(5), 4),
+        (2, "view", t(6), 5),
+        # user 3: never views -> reaches nothing
+        (3, "click", t(1), 6),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = {
+        r["step_idx"]: r["users_reached"]
+        for r in funnel_counts(
+            ev, "user_id", "event_type", "ts", "event_id", ["view", "click"]
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
