@@ -79,3 +79,42 @@ def funnel_counts(
         "step",
         F.col("users_reached").cast("long").alias("users_reached"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (cohort), counted in every later period they return.
+
+    Returns ``(cohort_period, period_offset, active_users)`` where periods
+    are ``floor(epoch_days / period_days)`` — integer arithmetic end to
+    end, so the matrix is engine-exact. The other half of the product-
+    analytics pair with :func:`funnel_counts`.
+
+    Shape: one distinct over (user, period) — the only corpus-wide
+    shuffle, map-side-combined — then a per-user min for the cohort and a
+    compact (cohort, offset) count. At 100 TB the distinct output is
+    bounded by users x active-periods, orders of magnitude below the event
+    count.
+    """
+    period = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+        / F.lit(period_days)
+    ).cast("long")
+    up = (
+        events.select(F.col(user_col).alias("__u"), period.alias("__p"))
+        .distinct()
+    )
+    cohort = up.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        up.join(cohort, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).cast("long").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )

@@ -1120,6 +1120,36 @@ def ns_funnel_steps(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_cohort_retention",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH up AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)
+                    AS BIGINT) AS p
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    cohort AS (SELECT u, MIN(p) AS c FROM up GROUP BY 1)
+    SELECT c AS cohort_period,
+           CAST(p - c AS BIGINT) AS period_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM up JOIN cohort USING (u) GROUP BY 1, 2
+    """,
+)
+def ns_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over events (operators/funnel.py
+    cohort_retention): users bucketed by first-activity week, counted in
+    each later week they return — integer arithmetic end to end. The
+    (user, week) distinct is the only corpus-wide shuffle."""
+    from ..operators.funnel import cohort_retention
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return cohort_retention(ev, "user_id", "ts", period_days=7)
+
+
 # --------------------------------------------------------------------------
 # Digest composites: the single-operator probes above stay runnable (bench,
 # tests) but occupy ONE driver slot per family — the driver verifies only
@@ -1130,6 +1160,10 @@ def ns_funnel_steps(spark, sf_dir):
 
 _DIGEST_RELATIONAL = [
     ("ns_funnel_steps", [("step_idx", "s"), ("step", "s"), ("users_reached", "s")]),
+    (
+        "ns_cohort_retention",
+        [("cohort_period", "s"), ("period_offset", "s"), ("active_users", "s")],
+    ),
     ("a3_grouped_counts", [("event_type", "s"), ("user_bucket", "s"), ("anomaly_count", "s")]),
     ("a4_smoke_counts", [("table_name", "s"), ("row_cnt", "s")]),
     ("a5_distinct", [("l_returnflag", "s"), ("l_linestatus", "s")]),
