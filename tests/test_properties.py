@@ -226,3 +226,56 @@ def test_scoped_merge_equals_full_merge_property(spark, tmp_path_factory, base, 
         return sorted(repr(tuple(r)) for r in df.collect())
 
     assert canon(tbl.read(spark)) == canon(expect)
+
+
+_funnel_event = st.tuples(
+    st.integers(min_value=0, max_value=3),          # user
+    st.sampled_from(["a", "b", "c"]),               # event type
+    st.integers(min_value=0, max_value=5),          # ts seconds (ties likely)
+)
+
+
+def _funnel_reference(rows, steps):
+    """Independent greedy reference: per user, walk events sorted by
+    (ts, order); advance the pointer when the event matches the next step."""
+    per_user: dict = {}
+    for order, (u, typ, sec) in enumerate(rows):
+        per_user.setdefault(u, []).append((sec, order, typ))
+    reached_counts = [0] * len(steps)
+    for seq in per_user.values():
+        ptr = 0
+        for _sec, _order, typ in sorted(seq):
+            if ptr < len(steps) and typ == steps[ptr]:
+                ptr += 1
+        for k in range(ptr):
+            reached_counts[k] += 1
+    return {
+        (k + 1, steps[k]): reached_counts[k]
+        for k in range(len(steps))
+    }
+
+
+@SETTINGS
+@given(rows=st.lists(_funnel_event, min_size=1, max_size=30))
+def test_funnel_fold_matches_greedy_reference(spark, rows):
+    """funnel_counts == an independent pure-Python greedy walk, for random
+    event sets with heavy ts ties (the order column breaks them)."""
+    import datetime as dt
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    steps = ["a", "b", "a"]
+    data = [
+        (u, typ, dt.datetime(2026, 1, 1, 0, 0, sec), order)
+        for order, (u, typ, sec) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, ["user_id", "event_type", "ts", "event_id"])
+    got = {
+        (r["step_idx"], r["step"]): r["users_reached"]
+        for r in funnel_counts(
+            ev, "user_id", "event_type", "ts", "event_id", steps
+        ).collect()
+    }
+    assert got == _funnel_reference(rows, steps)
