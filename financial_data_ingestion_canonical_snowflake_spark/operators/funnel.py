@@ -60,7 +60,11 @@ def funnel_counts(
     r = per_user.select(reached.alias("__reached"))
     wide = r.agg(
         *[
-            F.sum((F.col("__reached") >= k).cast("long"))
+            # coalesce: an empty events frame must report 0, not the NULL
+            # a zero-row SUM yields (the oracle's COUNT(*) says 0)
+            F.coalesce(
+                F.sum((F.col("__reached") >= k).cast("long")), F.lit(0)
+            )
             .cast("long")
             .alias(f"__s{k}")
             for k in range(1, len(steps) + 1)
@@ -68,7 +72,8 @@ def funnel_counts(
     )
     stack_args = []
     for k, s in enumerate(steps, start=1):
-        stack_args += [str(k), f"'{s}'", f"`__s{k}`"]
+        # escape quotes: step names are interpolated into a SQL literal
+        stack_args += [str(k), "'" + s.replace("'", "''") + "'", f"`__s{k}`"]
     return wide.select(
         F.expr(
             f"stack({len(steps)}, {', '.join(stack_args)}) "

@@ -58,8 +58,14 @@ def profile_columns(
 
     stack_args = []
     for c in cols:
+        # escape quote/backtick: column names are interpolated into a SQL
+        # string literal and backticked identifiers
+        lit = c.replace("'", "''")
+        ident = c.replace("`", "``")
         stack_args += [
-            f"'{c}'", f"`__{c}__nn`", f"`__{c}__ndv`", f"`__{c}__min`", f"`__{c}__max`",
+            f"'{lit}'",
+            f"`__{ident}__nn`", f"`__{ident}__ndv`",
+            f"`__{ident}__min`", f"`__{ident}__max`",
         ]
     stacked = wide.select(
         "__n_rows",

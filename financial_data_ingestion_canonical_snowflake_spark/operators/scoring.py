@@ -73,7 +73,13 @@ def bm25_topk(
     if idf not in ("odds", "ln"):
         raise ValueError("idf must be 'odds' or 'ln'")
 
-    toksed = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    # NULL text scores as an empty document (dl=1 single empty token,
+    # tf=0) instead of propagating NULL through every stat — keeps the
+    # whole output non-null and cross-engine deterministic
+    toksed = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
     base = toksed.select(
         "id",
         F.size("__toks").cast("long").alias("dl"),
@@ -159,9 +165,12 @@ def unigram_lm_scores(
     of per-token probabilities ``freq/total`` (exact-sum via DECIMAL(18,6)
     per-token pinning, so the double is cross-engine deterministic). With
     ``surprisal=True`` adds ``mean_surprisal`` = mean of ``-ln(freq/total)``
-    (the perplexity proxy; ln is not bit-pinned across engines — keep it
-    out of hash-checked parity surfaces). Out-of-vocabulary tokens count in
-    ``oov_tokens`` and contribute probability 0.
+    over the IN-VOCAB tokens (the perplexity proxy; ln is not bit-pinned
+    across engines — keep it out of hash-checked parity surfaces).
+    Out-of-vocabulary tokens count in ``oov_tokens`` and contribute
+    probability 0 to ``mean_token_prob``; they are excluded from
+    ``mean_surprisal`` (no defined surprisal) — filter on
+    ``oov_tokens / n_tokens`` alongside it.
     """
     if vocab is None:
         vocab = unigram_table(docs, text_col)
@@ -183,9 +192,15 @@ def unigram_lm_scores(
         ).alias("mean_token_prob"),
     ]
     if surprisal:
+        # surprisal is undefined for OOV tokens (-ln 0); average over the
+        # IN-VOCAB tokens only — dividing by all tokens would DEFLATE the
+        # signal exactly for OOV-heavy junk. Combine with oov_tokens /
+        # n_tokens downstream for the full quality picture; a doc with no
+        # in-vocab tokens reports NULL (no distribution to score against).
         aggs.append(
             (
-                F.sum(-F.log(prob)).cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum(-F.log(prob)).cast("double")
+                / F.count(F.col("freq")).cast("double")
             ).alias("mean_surprisal")
         )
     return joined.groupBy("id").agg(*aggs)

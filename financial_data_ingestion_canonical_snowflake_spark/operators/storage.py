@@ -284,7 +284,9 @@ class BucketedTable:
 
 def vacuum(table: ParquetTable, min_age_seconds: float = 24 * 3600) -> list[str]:
     """Remove leftover ``.tmp-*`` / ``.old-*`` sibling directories from
-    interrupted ``overwrite_atomic`` / ``replace_partitions`` runs.
+    interrupted ``overwrite_atomic`` / ``replace_partitions`` runs, and
+    prune retained ``.gen-*`` snapshots beyond the table's
+    ``keep_generations`` count.
 
     A crash between an atomic swap's write and its cleanup strands the
     displaced generation next to the table root (``<path>.old-xxxx``) or a
@@ -293,7 +295,10 @@ def vacuum(table: ParquetTable, min_age_seconds: float = 24 * 3600) -> list[str]
     accumulates disk. This is the scheduled-maintenance analog of Delta
     ``VACUUM``: delete strays older than ``min_age_seconds`` (age-gating
     protects a swap in flight right now — pass 0 only when no writer can
-    be active). Returns the deleted paths.
+    be active). Snapshot generations normally prune inside each
+    ``overwrite_atomic``; vacuum covers the rest — an abandoned table, or
+    a ``keep_generations`` lowered after the fact (age-gated the same
+    way). Returns the deleted paths.
     """
     import time
 
@@ -309,6 +314,15 @@ def vacuum(table: ParquetTable, min_age_seconds: float = 24 * 3600) -> list[str]
         full = os.path.join(parent, d)
         if not os.path.isdir(full):
             continue
+        if now - os.path.getmtime(full) < min_age_seconds:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        deleted.append(full)
+    # oldest-first surplus beyond the keep count (all of them for a table
+    # configured with keep_generations=0)
+    gens = table._generations()
+    surplus = gens[: -table.keep_generations] if table.keep_generations else gens
+    for full in surplus:
         if now - os.path.getmtime(full) < min_age_seconds:
             continue
         shutil.rmtree(full, ignore_errors=True)

@@ -943,8 +943,12 @@ _BM25_SCORE_SQL = " + ".join(
 
 @parity(
     "ns_text_bm25_topk",
+    # COALESCE mirrors the operator's NULL-text-as-empty-doc rule (no NULL
+    # text in the driver corpus, but the contract stays aligned)
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH toks AS (SELECT doc_id,
+                         string_split(lower(COALESCE(text, '')), ' ') AS toks
+                  FROM documents),
     base AS (
         SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS dl,
                {", ".join(f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}

@@ -10,9 +10,10 @@ union). This is the per-batch dedup cadence a 100 TB corpus needs: each
 trigger's cost scales with the BATCH (one groupBy of the batch + one
 hash-keyed merge against the table), never a corpus re-scan.
 
-Merge semantics per content hash: first-seen survivor wins (stable under
-replay ordering when ids arrive in ingest order — matching the batch
-operator's min-id rule), counts are ADDITIVE across batches, and the fold
+Merge semantics per content hash: min-id survivor (``least`` across the
+table and batch sides — matching the batch operator's rule even when a
+later batch backfills a smaller id), counts are ADDITIVE across batches,
+and the fold
 is idempotent per micro-batch id via the checkpointed file source (a
 replayed batch re-runs the same additive merge on the same rows — the
 standard foreachBatch exactly-once story requires the merge to be
@@ -72,9 +73,11 @@ class ExactDedupSink:
         )
         merged = t.join(b, "content_hash", "full_outer").select(
             "content_hash",
-            # first-seen survivor wins; a batch-side min only lands for
-            # genuinely new content
-            F.coalesce("__t_sid", "__b_sid").cast("long").alias("survivor_id"),
+            # least() ignores NULL sides, so the running survivor is the
+            # MIN id across every batch — identical to batch exact_dedup
+            # even when a later batch backfills a smaller id (a coalesce
+            # keeping the first-seen id would diverge there)
+            F.least("__t_sid", "__b_sid").cast("long").alias("survivor_id"),
             (
                 F.coalesce("__t_cnt", F.lit(0)) + F.coalesce("__b_cnt", F.lit(0))
             )
@@ -140,7 +143,14 @@ class MinHashLshDedupSink:
     The invariant (pytest-proven here in streaming form; the batch twin is
     proven in tests/test_curation.py): after draining any prefix of the
     stream, ``pairs_table`` equals the FULL LSH self-join over every
-    document ingested so far.
+    document ingested so far — PROVIDED no bucket crosses
+    ``max_bucket_width`` mid-stream. A bucket that grows past the cap
+    stops producing NEW pairs (both paths agree there), but pairs recorded
+    while it was under the cap stay in the table, whereas a from-scratch
+    self-join would drop the whole bucket. Pass
+    ``max_bucket_width=None`` when strict equality with an uncapped
+    recompute matters, or schedule a periodic full rebuild — the standard
+    compaction story for incrementally-maintained dedup state.
     """
 
     def __init__(

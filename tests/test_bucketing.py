@@ -172,3 +172,35 @@ def test_time_travel_generations(spark, tmp_path):
         t2.overwrite_atomic(spark.range(5).withColumn("v", F.lit(version)))
     assert glob.glob(f"{p2}.gen-*") == []
     assert os.path.isdir(p2)
+
+
+def test_vacuum_prunes_abandoned_generations(spark, tmp_path):
+    """vacuum() reclaims .gen-* snapshots beyond keep_generations (all of
+    them once retention is turned off), age-gated like strays."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.storage import (
+        ParquetTable,
+        vacuum,
+    )
+
+    path = str(tmp_path / "aband")
+    t = ParquetTable(path, keep_generations=3)
+    for v in range(4):
+        t.overwrite_atomic(spark.range(5).withColumn("v", F.lit(v)))
+    assert len(glob.glob(f"{path}.gen-*")) == 3
+    ancient = 1_000_000_000
+    for d in glob.glob(f"{path}.gen-*"):
+        os.utime(d, (ancient, ancient))
+    # retention lowered after the fact: vacuum prunes the surplus
+    t.keep_generations = 1
+    deleted = vacuum(t, min_age_seconds=3600)
+    assert len(deleted) == 2
+    assert len(glob.glob(f"{path}.gen-*")) == 1
+    t.keep_generations = 0
+    assert len(vacuum(t, min_age_seconds=3600)) == 1
+    assert glob.glob(f"{path}.gen-*") == []
+    assert spark.read.parquet(path).count() == 5

@@ -53,9 +53,12 @@ def test_profile_is_one_aggregate_pass(spark):
         .executedPlan()
         .toString()
     )
-    # approx mode: one partial+final aggregate, no Expand replication
+    # approx mode: exactly one partial+final aggregate pair over the input,
+    # no Expand replication (a refactor into chained aggregations adds
+    # aggregate nodes and fails here)
     assert "Expand" not in plan, plan
-    assert plan.count("HashAggregate") + plan.count("SortAggregate") <= 2 or "partial" in plan
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate") + plan.count("ObjectHashAggregate")
+    assert n_aggs <= 2, plan
     # exact mode plans through Expand (documented n_cols x replication)
     plan_exact = (
         profile_columns(df, exact=True)._jdf.queryExecution().executedPlan().toString()

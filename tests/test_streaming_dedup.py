@@ -73,3 +73,21 @@ def test_stream_dedup_matches_batch_over_union(spark, tmp_path):
     row = {r["survivor_id"]: r for r in table.read(spark).collect()}
     assert row[1]["dup_cnt"] == 3  # "alpha beta" in batches 1 (x2) and 2
     assert row[5]["dup_cnt"] == 2  # "delta" across batches 2 and 3
+
+
+def test_stream_dedup_backfilled_smaller_id_becomes_survivor(spark, tmp_path):
+    """A later batch backfilling a SMALLER doc_id must take over as
+    survivor (least-merge), keeping stream == batch for out-of-order ids."""
+    src = str(tmp_path / "docs_src")
+    table = ParquetTable(str(tmp_path / "survivors"))
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, [(10, "alpha")], 1)
+    _write_batch(spark, src, [(3, "alpha")], 2)
+    q = stream_exact_dedup(
+        spark, src, table, ckpt, max_files_per_trigger=1, available_now=True
+    )
+    q.awaitTermination(120)
+    rows = table.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["survivor_id"] == 3 and rows[0]["dup_cnt"] == 2
