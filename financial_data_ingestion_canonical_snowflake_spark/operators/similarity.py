@@ -186,10 +186,11 @@ def ivf_topk(
         )
     )
 
-    def assign(df: DataFrame, out_id: str, out_vec: str, n_keep: int) -> DataFrame:
+    def assign(
+        df: DataFrame, out_id: str, out_vec: str, out_norm: str, n_keep: int
+    ) -> DataFrame:
         # vector norm projects once per vector, centroid norm once per
         # centroid — the k-way crossJoin then folds only the dot product
-        out_norm = f"{out_vec[:1]}_norm"  # q_vec -> q_norm, c_vec -> c_norm
         scored = (
             _normed(
                 df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)),
@@ -209,8 +210,8 @@ def ivf_topk(
             .select(out_id, out_vec, out_norm, "centroid_id")
         )
 
-    inv_lists = assign(corpus, "neighbor_id", "c_vec", 1)
-    probes = assign(queries, "query_id", "q_vec", n_probe)
+    inv_lists = assign(corpus, "neighbor_id", "c_vec", "c_norm", 1)
+    probes = assign(queries, "query_id", "q_vec", "q_norm", n_probe)
 
     scored = _with_cosine(probes.join(inv_lists, "centroid_id")).filter(
         F.col("query_id") != F.col("neighbor_id")

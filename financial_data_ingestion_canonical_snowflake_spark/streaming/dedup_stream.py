@@ -35,8 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.merge import merge_upsert
 from ..operators.storage import ParquetTable
-from ..operators.text_dedup import exact_dedup
+from ..operators.text_dedup import (
+    exact_dedup,
+    minhash_lsh_pairs_incremental,
+    minhash_signatures,
+)
 
 SURVIVOR_SCHEMA = T.StructType(
     [
@@ -87,6 +92,32 @@ class ExactDedupSink:
         self.table.overwrite_atomic(merged)
 
 
+def _start_parquet_batch_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None,
+    available_now: bool,
+):
+    """Parquet file-source -> foreachBatch sink, shared by both dedup
+    streams. Returns the started StreamingQuery; with ``available_now``
+    the query drains everything currently in ``source_dir`` and stops."""
+    reader = spark.readStream.format("parquet").schema(
+        spark.read.parquet(source_dir).schema
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -97,24 +128,15 @@ def stream_exact_dedup(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ):
-    """Stream a parquet document directory into a survivor table.
-
-    Returns the started StreamingQuery; with ``available_now`` the query
-    drains everything currently in ``source_dir`` and stops.
-    """
-    reader = spark.readStream.format("parquet").schema(
-        spark.read.parquet(source_dir).schema
+    """Stream a parquet document directory into a survivor table."""
+    return _start_parquet_batch_stream(
+        spark,
+        source_dir,
+        ExactDedupSink(table, id_col, text_col),
+        checkpoint_dir,
+        max_files_per_trigger,
+        available_now,
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.load(source_dir)
-    writer = (
-        stream.writeStream.foreachBatch(ExactDedupSink(table, id_col, text_col))
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 PAIR_SCHEMA = T.StructType(
@@ -164,8 +186,6 @@ class MinHashLshDedupSink:
         min_matching: int = 8,
         max_bucket_width: int | None = 10_000,
     ):
-        from ..operators.text_dedup import minhash_signatures  # schema probe
-
         if pairs_table.schema is None:
             pairs_table.schema = PAIR_SCHEMA
         self.sig_table = sig_table
@@ -176,14 +196,10 @@ class MinHashLshDedupSink:
         self.bands = bands
         self.min_matching = min_matching
         self.max_bucket_width = max_bucket_width
-        self._minhash_signatures = minhash_signatures
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.merge import merge_upsert
-        from ..operators.text_dedup import minhash_lsh_pairs_incremental
-
         spark = batch_df.sparkSession
-        new_sigs = self._minhash_signatures(
+        new_sigs = minhash_signatures(
             batch_df, self.id_col, self.text_col, self.num_hashes
         ).persist()
         try:
@@ -205,13 +221,7 @@ class MinHashLshDedupSink:
                 self.pairs_table.read(spark), pairs, keys=["id_a", "id_b"]
             )
             self.pairs_table.overwrite_atomic(merged_pairs)
-            merged_sigs = merge_upsert(
-                self.sig_table.read(spark)
-                if self.sig_table.exists()
-                else new_sigs.limit(0),
-                new_sigs,
-                keys=["doc"],
-            )
+            merged_sigs = merge_upsert(corpus_sigs, new_sigs, keys=["doc"])
             self.sig_table.overwrite_atomic(merged_sigs)
         finally:
             new_sigs.unpersist()
@@ -231,19 +241,11 @@ def stream_minhash_dedup(
 ):
     """Stream a parquet document directory through incremental MinHash-LSH
     dedup, maintaining the signature table and the running pair set."""
-    reader = spark.readStream.format("parquet").schema(
-        spark.read.parquet(source_dir).schema
+    return _start_parquet_batch_stream(
+        spark,
+        source_dir,
+        MinHashLshDedupSink(sig_table, pairs_table, id_col, text_col, **lsh_kwargs),
+        checkpoint_dir,
+        max_files_per_trigger,
+        available_now,
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.load(source_dir)
-    sink = MinHashLshDedupSink(
-        sig_table, pairs_table, id_col, text_col, **lsh_kwargs
-    )
-    writer = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
