@@ -88,6 +88,55 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return moved.unionByName(m.select("src", F.col("m").alias("dst")))
 
 
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """Structural stats of an undirected pair graph in one row:
+    ``(n_nodes, n_edges, max_degree, n_wedges, n_triangles)`` — the
+    shape report for a near-duplicate graph (a boilerplate-heavy corpus
+    shows up as few nodes with huge degree; triangle density separates
+    tight duplicate clusters from chains).
+
+    All integers, so the result is engine-exact. Triangles count via the
+    standard edge-iterator join on (a<b<c)-oriented edges: E(a,b) ⋈
+    E(b,c) ⋈ E(a,c) — two equi-joins that hash-partition cleanly; wedges
+    are Σ d(d−1)/2 over the degree table. At heavy skew (celebrity
+    nodes), orient edges low-degree→high-degree before the join (the
+    classic refinement) — the id-orientation here matches the oracle
+    exactly and is fine below that regime.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum((F.col("d") * (F.col("d") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edge_cnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = (
+        e.alias("e1")
+        .join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"), "b"
+        )
+        .join(
+            e.select(F.col("a"), F.col("b").alias("c")).alias("e3"), ["a", "c"]
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg_stats.crossJoin(edge_cnt)
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "max_degree", "n_wedges", "n_triangles")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

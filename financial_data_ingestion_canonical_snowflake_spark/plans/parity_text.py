@@ -581,6 +581,61 @@ def ns_profile_columns(spark, sf_dir):
     )
 
 
+def _graph_stats_oracle() -> str:
+    from .registry import ALL_ORACLE_SQL
+
+    pairs = ALL_ORACLE_SQL["ns_dedup_ngram_jaccard"]
+    return f"""
+    WITH p AS (SELECT id_a, id_b FROM ({pairs}) __pairs),
+    e AS (
+        SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+        FROM p WHERE id_a <> id_b
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY 1
+    ),
+    ds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(d) AS BIGINT) AS max_degree,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+        JOIN (SELECT a, b AS c FROM e) e3 USING (a, c)
+    )
+    SELECT n_nodes, n_edges, max_degree, n_wedges, n_triangles
+    FROM ds, ec, tri
+    """
+
+
+@parity(
+    "ns_dedup_graph_stats",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_graph_stats_oracle(),
+)
+def ns_dedup_graph_stats(spark, sf_dir):
+    """Structural report of the near-dup pair graph (operators/
+    components.py graph_stats): node/edge counts, max degree, wedges and
+    triangles via the edge-iterator join — tight duplicate clusters are
+    triangle-dense, boilerplate skew shows as degree blowup. Integer
+    outputs, engine-exact."""
+    from ..operators.components import graph_stats
+
+    pairs = td.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        shingle_len=3, min_jaccard=0.6, max_shingle_freq=None,
+    )
+    return graph_stats(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-slot composite: the text-analysis family in ONE oracle-paired entry
 # (SURVEY.md §8 50-entry driver window). Each member probe's full result set
@@ -589,6 +644,13 @@ def ns_profile_columns(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _TEXT_DIGEST = [
+    (
+        "ns_dedup_graph_stats",
+        [
+            ("n_nodes", "s"), ("n_edges", "s"), ("max_degree", "s"),
+            ("n_wedges", "s"), ("n_triangles", "s"),
+        ],
+    ),
     (
         "ns_text_quality_stats",
         [

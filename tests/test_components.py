@@ -68,3 +68,23 @@ def test_cc_without_nodes_frame_only_edge_nodes(spark):
     edges = spark.createDataFrame([(2, 1), (3, 2), (7, 9)], "src long, dst long")
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_graph_stats_known_graph(spark):
+    """Hand-verified stats on a triangle with a pendant edge, including
+    duplicate/reversed/self-loop inputs being canonicalized away."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        graph_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (4, 3), (5, 5)],
+        ["src", "dst"],
+    )
+    row = graph_stats(edges).collect()[0]
+    # canonical edges: {1-2, 2-3, 1-3, 3-4}; degrees 1:2, 2:2, 3:3, 4:1
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 4
+    assert row["max_degree"] == 3
+    assert row["n_wedges"] == 1 + 1 + 3 + 0
+    assert row["n_triangles"] == 1
