@@ -581,6 +581,80 @@ def ns_profile_columns(spark, sf_dir):
     )
 
 
+_COOC_TOP = 10
+
+
+@parity(
+    "ns_text_cooccurrence",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs_tok FROM dt GROUP BY 1
+    ),
+    vocab AS (
+        SELECT token, n_docs_tok FROM freq
+        ORDER BY n_docs_tok DESC, token LIMIT {_COOC_TOP}
+    ),
+    vd AS (SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)),
+    total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    pairs AS (
+        SELECT a.token AS t1, b.token AS t2, CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM vd a JOIN vd b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2
+    )
+    SELECT t1, t2, n_both,
+           v1.n_docs_tok AS n_docs_t1, v2.n_docs_tok AS n_docs_t2,
+           (CAST(n_both AS DOUBLE) * CAST(n_docs AS DOUBLE))
+               / (CAST(v1.n_docs_tok AS DOUBLE) * CAST(v2.n_docs_tok AS DOUBLE))
+               AS lift
+    FROM pairs
+    JOIN vocab v1 ON v1.token = t1
+    JOIN vocab v2 ON v2.token = t2
+    CROSS JOIN total
+    """,
+)
+def ns_text_cooccurrence(spark, sf_dir):
+    """Document-level co-occurrence of the top-10 tokens with the
+    independence lift (``P(t1,t2) / (P(t1)P(t2))`` — the PMI argument
+    without the cross-engine-unsafe log): the collocation/association
+    report of corpus analytics. The vocabulary is tiny and broadcast; the
+    per-doc pair join is bounded by vocabulary size per doc, so the only
+    corpus-wide shuffle is the distinct (doc, token) projection. Lift is
+    one pinned-association IEEE chain over exact integers — hash-exact."""
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("token")
+    )
+    freq = dt.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_docs_tok"))
+    vocab = freq.orderBy(F.desc("n_docs_tok"), F.asc("token")).limit(_COOC_TOP)
+    vd = dt.join(F.broadcast(vocab.select("token")), "token")
+    total = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    a = vd.select("doc_id", F.col("token").alias("t1"))
+    b = vd.select("doc_id", F.col("token").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    v1 = vocab.select(F.col("token").alias("t1"), F.col("n_docs_tok").alias("n_docs_t1"))
+    v2 = vocab.select(F.col("token").alias("t2"), F.col("n_docs_tok").alias("n_docs_t2"))
+    out = (
+        pairs.join(F.broadcast(v1), "t1")
+        .join(F.broadcast(v2), "t2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = (F.col("n_both").cast("double") * F.col("n_docs").cast("double")) / (
+        F.col("n_docs_t1").cast("double") * F.col("n_docs_t2").cast("double")
+    )
+    return out.select(
+        "t1", "t2", "n_both", "n_docs_t1", "n_docs_t2", lift.alias("lift")
+    )
+
+
 def _graph_stats_oracle() -> str:
     from .registry import ALL_ORACLE_SQL
 
@@ -644,6 +718,13 @@ def ns_dedup_graph_stats(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _TEXT_DIGEST = [
+    (
+        "ns_text_cooccurrence",
+        [
+            ("t1", "s"), ("t2", "s"), ("n_both", "s"),
+            ("n_docs_t1", "s"), ("n_docs_t2", "s"), ("lift", "d"),
+        ],
+    ),
     (
         "ns_dedup_graph_stats",
         [
