@@ -279,3 +279,87 @@ def test_funnel_fold_matches_greedy_reference(spark, rows):
         ).collect()
     }
     assert got == _funnel_reference(rows, steps)
+
+
+_doc_text = st.lists(
+    st.sampled_from(["spark", "join", "scan", "fast", "zz"]), min_size=1, max_size=8
+).map(" ".join)
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    toks = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = v.count(t)
+            odds = (n - df[t] + 0.5) / (df[t] + 0.5)
+            score += (odds * (tf * (k1 + 1.0))) / (
+                tf + (k1 * ((1.0 - b) + (b * (len(v) / avgdl))))
+            )
+        out[i] = score
+    return out
+
+
+@SETTINGS
+@given(texts=st.lists(_doc_text, min_size=1, max_size=12))
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_topk scores == a pure-Python reference on random corpora
+    (same odds-idf, same association order)."""
+    import pytest as _pytest
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.scoring import (
+        bm25_topk,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_topk(df, "doc_id", "text", ["spark", "zz"], k=len(docs)).collect()
+    }
+    ref = _bm25_reference(docs, ["spark", "zz"])
+    assert set(got) == set(ref)
+    for i in got:
+        assert got[i] == _pytest.approx(ref[i], rel=1e-12)
+
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+)
+
+
+@SETTINGS
+@given(edges=st.lists(_edge, min_size=0, max_size=20))
+def test_graph_stats_matches_bruteforce(spark, edges):
+    """graph_stats == brute-force reference over random small graphs
+    (duplicates, reversals, self-loops included)."""
+    from itertools import combinations
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        graph_stats,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], ["src", "dst"]
+    )
+    row = graph_stats(df).collect()[0]
+    nodes = {n for e in canon for n in e}
+    deg = {n: sum(1 for e in canon if n in e) for n in nodes}
+    tris = sum(
+        1
+        for trio in combinations(sorted(nodes), 3)
+        if all(
+            (min(x, y), max(x, y)) in canon
+            for x, y in combinations(trio, 2)
+        )
+    )
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(canon)
+    assert (row["max_degree"] or 0) == (max(deg.values()) if deg else 0)
+    assert (row["n_wedges"] or 0) == sum(d * (d - 1) // 2 for d in deg.values())
+    assert (row["n_triangles"] or 0) == tris
