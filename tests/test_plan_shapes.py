@@ -132,3 +132,25 @@ def test_grouped_topk_gets_partial_window_group_limit(spark, sf_oracle):
     )
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan.split("WindowGroupLimit")[-1] or plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_new_operator_scans_prune_columns(spark, sf_oracle):
+    """Round-6 operators read only the columns they use (ReadSchema
+    pruning reaches the parquet scan)."""
+    import re
+
+    cases = [
+        ("ns_cohort_retention", {"ts", "user_id"}),
+        ("ns_vector_quantize_int8", {"vec_id", "embedding"}),
+        ("ns_source_token_divergence", {"text", "source"}),
+    ]
+    for name, allowed in cases:
+        plan = (
+            ALL_QUERIES[name](spark, sf_oracle)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+            cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
+            assert cols <= allowed, (name, cols)
