@@ -53,3 +53,42 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
     )
     return s.join(r, keys + [_SALT], how).drop(_SALT)
+
+
+def key_skew_report(
+    df: DataFrame, keys: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """The skew diagnosis that precedes choosing a mitigation: the top-N
+    heaviest key groups with their row counts, each key's share of the
+    table in parts-per-million (integer-exact), and the running cumulative
+    share — read before reaching for ``salted_join`` / AQE knobs / bucket
+    caps (a top key at 30% of the table says salt; a long flat tail says
+    leave AQE to it).
+
+    One groupBy on the keys (map-side combined) and a TakeOrdered top-N —
+    the report costs what one aggregation over the table costs at any
+    scale. Returns ``(rank, <keys...>, key_rows, total_rows, share_ppm,
+    cum_share_ppm)`` ordered by weight; NULL key values group like any
+    other value (they are often exactly the hot key)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("key_rows"))
+    total = counts.agg(F.sum("key_rows").cast("long").alias("total_rows"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("key_rows"), *[F.asc_nulls_first(k) for k in keys])
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("key_rows"), *[F.asc_nulls_first(k) for k in keys])
+    share = (F.col("key_rows") * F.lit(1_000_000)) / F.col("total_rows")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("share_ppm", F.floor(share).cast("long"))
+        .withColumn(
+            "cum_share_ppm",
+            F.floor(
+                (F.sum("key_rows").over(w) * F.lit(1_000_000)) / F.col("total_rows")
+            ).cast("long"),
+        )
+        .select("rank", *keys, "key_rows", "total_rows", "share_ppm", "cum_share_ppm")
+    )

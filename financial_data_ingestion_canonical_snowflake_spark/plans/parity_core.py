@@ -1150,6 +1150,42 @@ def ns_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, "user_id", "ts", period_days=7)
 
 
+@parity(
+    "ns_key_skew_report",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS key_rows
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows FROM counts),
+    ranked AS (
+        SELECT counts.*, total_rows,
+               CAST(row_number() OVER (
+                    ORDER BY key_rows DESC, user_id ASC NULLS FIRST) AS INT)
+                   AS rank,
+               CAST(SUM(key_rows) OVER (
+                    ORDER BY key_rows DESC, user_id ASC NULLS FIRST) AS BIGINT)
+                   AS cum
+        FROM counts CROSS JOIN tot
+    )
+    SELECT rank, user_id, key_rows, total_rows,
+           CAST(floor((key_rows * 1000000) / total_rows) AS BIGINT) AS share_ppm,
+           CAST(floor((cum * 1000000) / total_rows) AS BIGINT) AS cum_share_ppm
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ns_key_skew_report(spark, sf_dir):
+    """Key-skew diagnosis over events.user_id (operators/skew.py
+    key_skew_report): the top-10 heaviest keys with integer-exact
+    parts-per-million shares and the running concentration — the report a
+    pipeline reads before choosing salting / AQE / bucket caps. One
+    map-side-combined groupBy + TakeOrdered."""
+    from ..operators.skew import key_skew_report
+
+    return key_skew_report(table(spark, sf_dir, "events"), ["user_id"], top_n=10)
+
+
 # --------------------------------------------------------------------------
 # Digest composites: the single-operator probes above stay runnable (bench,
 # tests) but occupy ONE driver slot per family — the driver verifies only
@@ -1163,6 +1199,13 @@ _DIGEST_RELATIONAL = [
     (
         "ns_cohort_retention",
         [("cohort_period", "s"), ("period_offset", "s"), ("active_users", "s")],
+    ),
+    (
+        "ns_key_skew_report",
+        [
+            ("rank", "s"), ("user_id", "s"), ("key_rows", "s"),
+            ("total_rows", "s"), ("share_ppm", "s"), ("cum_share_ppm", "s"),
+        ],
     ),
     ("a3_grouped_counts", [("event_type", "s"), ("user_bucket", "s"), ("anomaly_count", "s")]),
     ("a4_smoke_counts", [("table_name", "s"), ("row_cnt", "s")]),

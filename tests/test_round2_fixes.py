@@ -66,3 +66,19 @@ def test_durable_views_registered(spark, tmp_path):
     assert "VIEW" in types  # durable catalog object exists alongside the temp twin
     # view re-reads table state: it must keep working in a fresh query
     assert spark.sql("SELECT SUM(txn_count) c FROM default.vw_canon_counts").collect()[0].c > 0
+
+
+def test_key_skew_report_hot_key_and_nulls(spark):
+    """The skew report surfaces the hot key at rank 1 with exact ppm
+    shares, and NULL keys group as a real key (often the hot one)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    rows = [(None,)] * 6 + [(1,)] * 3 + [(2,)] * 1
+    df = spark.createDataFrame(rows, "k int")
+    out = {r["rank"]: r for r in key_skew_report(df, ["k"], top_n=3).collect()}
+    assert out[1]["k"] is None and out[1]["key_rows"] == 6
+    assert out[1]["share_ppm"] == 600_000
+    assert out[2]["k"] == 1 and out[2]["cum_share_ppm"] == 900_000
+    assert out[3]["k"] == 2 and out[3]["cum_share_ppm"] == 1_000_000
