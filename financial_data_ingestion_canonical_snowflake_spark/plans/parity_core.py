@@ -1186,6 +1186,56 @@ def ns_key_skew_report(spark, sf_dir):
     return key_skew_report(table(spark, sf_dir, "events"), ["user_id"], top_n=10)
 
 
+@parity(
+    "ns_iqr_outliers",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v, o_orderkey AS id
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY v ASC, id ASC) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM base
+    ),
+    qs AS (
+        SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rn = CAST(ceil(0.25 * CAST(n AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS p25,
+               MAX(CASE WHEN rn = CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS median,
+               MAX(CASE WHEN rn = CAST(ceil(0.75 * CAST(n AS DOUBLE)) AS BIGINT)
+                        THEN v END) AS p75
+        FROM ranked GROUP BY 1
+    ),
+    fenced AS (
+        SELECT *, p25 - (CAST(1.5 AS DOUBLE) * (p75 - p25)) AS lo_fence,
+                  p75 + (CAST(1.5 AS DOUBLE) * (p75 - p25)) AS hi_fence
+        FROM qs
+    )
+    SELECT f.o_orderpriority, n, p25, median, p75, lo_fence, hi_fence,
+           CAST(SUM(CASE WHEN b.v < lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN b.v > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM fenced f JOIN base b USING (o_orderpriority)
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def ns_iqr_outliers(spark, sf_dir):
+    """Robust per-priority outlier report over order totals (operators/
+    outliers.py iqr_outlier_report): exact positional quartiles
+    (percentile_disc semantics — deterministic, interpolation-free) and
+    Tukey 1.5-IQR fence counts. One group-key shuffle; the fence-count
+    rejoin reuses that partitioning."""
+    from ..operators.outliers import iqr_outlier_report
+
+    return iqr_outlier_report(
+        table(spark, sf_dir, "orders"),
+        ["o_orderpriority"], "o_totalprice", "o_orderkey",
+    )
+
+
 # --------------------------------------------------------------------------
 # Digest composites: the single-operator probes above stay runnable (bench,
 # tests) but occupy ONE driver slot per family — the driver verifies only
@@ -1205,6 +1255,14 @@ _DIGEST_RELATIONAL = [
         [
             ("rank", "s"), ("user_id", "s"), ("key_rows", "s"),
             ("total_rows", "s"), ("share_ppm", "s"), ("cum_share_ppm", "s"),
+        ],
+    ),
+    (
+        "ns_iqr_outliers",
+        [
+            ("o_orderpriority", "s"), ("n", "s"), ("p25", "d"), ("median", "d"),
+            ("p75", "d"), ("lo_fence", "d"), ("hi_fence", "d"),
+            ("n_low", "s"), ("n_high", "s"),
         ],
     ),
     ("a3_grouped_counts", [("event_type", "s"), ("user_bucket", "s"), ("anomaly_count", "s")]),

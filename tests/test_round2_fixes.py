@@ -82,3 +82,22 @@ def test_key_skew_report_hot_key_and_nulls(spark):
     assert out[1]["share_ppm"] == 600_000
     assert out[2]["k"] == 1 and out[2]["cum_share_ppm"] == 900_000
     assert out[3]["k"] == 2 and out[3]["cum_share_ppm"] == 1_000_000
+
+
+def test_iqr_outlier_report_flags_synthetic_outliers(spark):
+    """Positional quartiles on a known group; Tukey fences flag the
+    injected extremes on the right sides."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.outliers import (
+        iqr_outlier_report,
+    )
+
+    # group A: 1..8 plus extremes -100 and 100
+    rows = [("A", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [("A", -100.0, 90), ("A", 100.0, 91)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    r = iqr_outlier_report(df, ["g"], "v", "id").collect()[0]
+    # ordered: -100,1..8,100 (n=10): p25=row3=2, median=row5=4, p75=row8=7
+    assert r["n"] == 10
+    assert (r["p25"], r["median"], r["p75"]) == (2.0, 4.0, 7.0)
+    assert r["lo_fence"] == 2.0 - 1.5 * 5.0 and r["hi_fence"] == 7.0 + 1.5 * 5.0
+    assert r["n_low"] == 1 and r["n_high"] == 1
