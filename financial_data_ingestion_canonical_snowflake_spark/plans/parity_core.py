@@ -1244,7 +1244,13 @@ def ns_iqr_outliers(spark, sf_dir):
 # set via the cross-engine md5 content checksum (registry.digest_frame).
 # --------------------------------------------------------------------------
 
+# Registers the widened relational surface (CUBE, semi/anti, pivot/unpivot,
+# window analytics, hopping windows, TPC-H Q5) before the composite below
+# folds it in — member oracles must exist when the digest oracle is built.
+from .parity_relational import RELATIONAL_DIGEST_MEMBERS  # noqa: E402
+
 _DIGEST_RELATIONAL = [
+    *RELATIONAL_DIGEST_MEMBERS,
     ("ns_funnel_steps", [("step_idx", "s"), ("step", "s"), ("users_reached", "s")]),
     (
         "ns_cohort_retention",

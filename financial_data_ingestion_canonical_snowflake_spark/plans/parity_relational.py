@@ -1,0 +1,303 @@
+"""Relational-surface widening: multi-dimensional aggregation (CUBE /
+GROUPING SETS), semi/anti joins, pivot/unpivot, ranked window analytics,
+hopping-window batch aggregation, and a TPC-H-Q5-shaped multi-way join.
+
+The reference pipeline never needs these (its SQL stays on plain GROUP BY /
+equi-joins — SURVEY.md §2.3-2.5), but a user switching an analytics workload
+onto this engine hits them immediately; each is expressed with the built-in
+Catalyst operator (``cube``, ``left_semi``/``left_anti``, ``pivot`` /
+``unpivot``, ranking windows, sliding ``F.window``) so the optimizer keeps
+whole-stage codegen and partial aggregation.
+
+All queries register ``driver=False`` and are value-certified through the
+``probe_digest_relational`` composite (registry.digest_frame cross-engine
+checksum) — SURVEY.md §8 driver-window discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import parity, table
+
+
+def _dec(col):
+    """Pin a per-row double into DECIMAL(18,6) before SUM (registry rules)."""
+    return col.cast("decimal(18,6)")
+
+
+@parity(
+    "ns_rollup_cube",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def ns_rollup_cube(spark, sf_dir):
+    """Multi-dimensional aggregation via CUBE with grouping_id — one Expand +
+    one aggregate exchange; subtotal and grand-total rows come from the same
+    scan, not re-reads. Spark's ``grouping_id`` bit order (first cube column
+    = most significant) is mirrored as GROUPING(a)*2 + GROUPING(b) in the
+    oracle."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+
+@parity(
+    "ns_semi_anti_join",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT c_mktsegment, 'active' AS cohort, CAST(COUNT(*) AS BIGINT) AS customer_cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    UNION ALL
+    SELECT c_mktsegment, 'dormant', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def ns_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS): active vs dormant
+    customers per market segment. Semi/anti never materialize the probe
+    side's columns — the shuffle carries only the join key, and a broadcast
+    of the distinct key set serves both cohorts from one orders scan."""
+    c = table(spark, sf_dir, "customer")
+    keys = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cond = c.c_custkey == keys.o_custkey
+    active = (
+        c.join(keys, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customer_cnt"))
+        .select("c_mktsegment", F.lit("active").alias("cohort"), "customer_cnt")
+    )
+    dormant = (
+        c.join(keys, cond, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customer_cnt"))
+        .select("c_mktsegment", F.lit("dormant").alias("cohort"), "customer_cnt")
+    )
+    return active.unionByName(dormant)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@parity(
+    "ns_pivot_unpivot",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT user_id % 10 AS user_bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+    GROUP BY 1, 2
+    """,
+)
+def ns_pivot_unpivot(spark, sf_dir):
+    """PIVOT then UNPIVOT round-trip: event counts per user bucket pivot into
+    one column per event type (explicit value list — deterministic schema,
+    no discovery pass) and melt back with ``unpivot``. The oracle is the
+    plain two-key GROUP BY the round-trip must reproduce, so hash parity
+    certifies both directions. Empty melted cells (COALESCE 0 in the wide
+    form) are dropped on unpivot to match the GROUP BY, which has no row for
+    an absent (bucket, type) pair."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wide = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+    return (
+        wide.unpivot(
+            ids=["user_bucket"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="event_cnt",
+        )
+        .filter(F.col("event_cnt") > 0)
+    )
+
+
+@parity(
+    "ns_window_analytics",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS micros_since_prev,
+           CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT) AS micros_until_next,
+           first_value(event_type) OVER w AS first_event_type
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def ns_window_analytics(spark, sf_dir):
+    """Ranked window analytics per user session stream: row_number, ntile
+    quartiles, lag/lead event gaps (integer micros — IEEE-free), and
+    first_value. All five functions share ONE window spec, so Catalyst plans
+    a single sort+exchange on user_id; the deterministic (ts, event_id)
+    order makes every output engine-exact."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            (us - F.lag(us).over(w)).alias("micros_since_prev"),
+            (F.lead(us).over(w) - us).alias("micros_until_next"),
+            F.first(F.col("event_type")).over(w).alias("first_event_type"),
+        )
+    )
+
+
+@parity(
+    "ns_sliding_window_agg",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH base AS (
+        SELECT epoch_us(ts) AS us, event_type, value
+        FROM events WHERE ts IS NOT NULL
+    ),
+    hopped AS (
+        SELECT ((us // 300000000) - k) * 300000000 AS ws_us, event_type, value
+        FROM base CROSS JOIN (VALUES (0), (1)) offsets(k)
+    )
+    SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM hopped GROUP BY 1, 2
+    """,
+)
+def ns_sliding_window_agg(spark, sf_dir):
+    """Hopping-window aggregation in BATCH (10-minute windows sliding every
+    5): ``F.window`` expands each event into the two windows covering it
+    (epoch-aligned starts — mirrored in the oracle as the k∈{0,1} offset
+    union), then one partial-aggregated exchange on (window, type). The same
+    expression drives the streaming twin (streaming/ingest.py windowed
+    aggregates); batch parity here pins the window-assignment semantics."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+@parity(
+    "ns_tpch_q5_regional_volume",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS line_cnt
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def ns_tpch_q5_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): a 6-table join where only the
+    lineitem⋈orders⋈customer chain is fact-sized — supplier/nation/region
+    broadcast, and the region filter prunes through the broadcast before the
+    fact scan aggregates. The c_nationkey = s_nationkey "local supplier"
+    predicate rides the supplier join, never a separate pass."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+# Digest-member specs consumed by parity_core's probe_digest_relational.
+RELATIONAL_DIGEST_MEMBERS = [
+    (
+        "ns_rollup_cube",
+        [
+            ("o_orderpriority", "s"), ("o_orderstatus", "s"), ("gid", "s"),
+            ("order_cnt", "s"), ("total_price", "d"),
+        ],
+    ),
+    (
+        "ns_semi_anti_join",
+        [("c_mktsegment", "s"), ("cohort", "s"), ("customer_cnt", "s")],
+    ),
+    (
+        "ns_pivot_unpivot",
+        [("user_bucket", "s"), ("event_type", "s"), ("event_cnt", "s")],
+    ),
+    (
+        "ns_window_analytics",
+        [
+            ("event_id", "s"), ("user_id", "s"), ("rn", "s"), ("quartile", "s"),
+            ("micros_since_prev", "s"), ("micros_until_next", "s"),
+            ("first_event_type", "s"),
+        ],
+    ),
+    (
+        "ns_sliding_window_agg",
+        [("win_start", "s"), ("event_type", "s"), ("event_cnt", "s"), ("value_sum", "d")],
+    ),
+    (
+        "ns_tpch_q5_regional_volume",
+        [("n_name", "s"), ("revenue", "d"), ("line_cnt", "s")],
+    ),
+]
