@@ -427,3 +427,86 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style line-level quality filtering (Raffel et al. 2020 §2.2): drop
+# boilerplate lines by rule before document-level filters run. Rules apply
+# per line in a FIXED order so each dropped line has exactly one attributed
+# reason (first failing rule wins) and the per-rule counters partition
+# n_lines exactly.
+# --------------------------------------------------------------------------
+
+C4_BLOCKLIST = ("lorem ipsum", "javascript", "{")
+
+
+def _line_word_count(line: Column) -> Column:
+    return F.size(F.split(F.trim(line), " +"))
+
+
+def _line_ends_terminal(line: Column) -> Column:
+    t = F.trim(line)
+    return t.endswith(".") | t.endswith("!") | t.endswith("?")
+
+
+def _line_blocklisted(line: Column, blocklist: tuple[str, ...]) -> Column:
+    lowered = F.lower(line)
+    hit = F.lit(False)
+    for phrase in blocklist:
+        hit = hit | lowered.contains(phrase)
+    return hit
+
+
+def c4_line_filters(
+    lines: Column,
+    *,
+    min_words: int = 5,
+    blocklist: tuple[str, ...] = C4_BLOCKLIST,
+) -> dict[str, Column]:
+    """C4-style line filters over a PROJECTED line-array column.
+
+    Rule order (first failing rule attributes the drop):
+    1. ``short``     — fewer than ``min_words`` whitespace words;
+    2. ``nopunct``   — does not end in terminal punctuation (. ! ?);
+    3. ``blocklist`` — contains a boilerplate phrase (case-insensitive).
+
+    Returns column expressions ``kept_lines`` (order-preserving array of
+    surviving lines), ``n_lines``, ``n_short``, ``n_nopunct``,
+    ``n_blocklist`` — counters partition the input exactly
+    (``n_lines == size(kept_lines) + n_short + n_nopunct + n_blocklist``).
+
+    ``lines`` must be a projected attribute (e.g. ``split`` materialized by
+    a prior ``select``), not an inline expression: each rule is a separate
+    array pass, and Catalyst re-evaluates outer expressions inside HOF
+    lambdas. Four O(n_lines) passes per row, zero shuffle — line filtering
+    at 100 TB is embarrassingly parallel.
+    """
+
+    def short(line: Column) -> Column:
+        return _line_word_count(line) < min_words
+
+    def nopunct(line: Column) -> Column:
+        return ~short(line) & ~_line_ends_terminal(line)
+
+    def blocked(line: Column) -> Column:
+        return (
+            ~short(line)
+            & _line_ends_terminal(line)
+            & _line_blocklisted(line, blocklist)
+        )
+
+    def kept(line: Column) -> Column:
+        return (
+            ~short(line)
+            & _line_ends_terminal(line)
+            & ~_line_blocklisted(line, blocklist)
+        )
+
+    count = lambda pred: F.size(F.filter(lines, pred)).cast("long")  # noqa: E731
+    return {
+        "kept_lines": F.filter(lines, kept),
+        "n_lines": F.size(lines).cast("long"),
+        "n_short": count(short),
+        "n_nopunct": count(nopunct),
+        "n_blocklist": count(blocked),
+    }

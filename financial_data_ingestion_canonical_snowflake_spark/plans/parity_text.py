@@ -710,6 +710,70 @@ def ns_dedup_graph_stats(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_text_c4_filters",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(replace(text, ' value ', '.' || chr(10)), chr(10)) AS lines
+        FROM documents
+    ),
+    cls AS (
+        SELECT doc_id, lines,
+               list_filter(lines, x ->
+                   len(string_split_regex(trim(x), ' +')) >= 5
+                   AND (trim(x) LIKE '%.' OR trim(x) LIKE '%!' OR trim(x) LIKE '%?')
+                   AND NOT contains(lower(x), 'slow')) AS kept_l,
+               list_filter(lines, x ->
+                   len(string_split_regex(trim(x), ' +')) < 5) AS short_l,
+               list_filter(lines, x ->
+                   len(string_split_regex(trim(x), ' +')) >= 5
+                   AND NOT (trim(x) LIKE '%.' OR trim(x) LIKE '%!' OR trim(x) LIKE '%?'))
+                   AS nopunct_l,
+               list_filter(lines, x ->
+                   len(string_split_regex(trim(x), ' +')) >= 5
+                   AND (trim(x) LIKE '%.' OR trim(x) LIKE '%!' OR trim(x) LIKE '%?')
+                   AND contains(lower(x), 'slow')) AS block_l
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept_l) AS BIGINT) AS n_kept,
+           CAST(len(short_l) AS BIGINT) AS n_short,
+           CAST(len(nopunct_l) AS BIGINT) AS n_nopunct,
+           CAST(len(block_l) AS BIGINT) AS n_blocklist,
+           COALESCE(array_to_string(kept_l, chr(10)), '') AS kept_text
+    FROM cls
+    """,
+)
+def ns_text_c4_filters(spark, sf_dir):
+    """C4-style line-level quality filtering (functions/text.py
+    c4_line_filters): per-line keep/drop with first-failing-rule
+    attribution (short / no terminal punctuation / blocklist phrase — the
+    blocklist word here is 'slow', present in the corpus). The driver corpus
+    is single-line, so line structure is injected in-query — ' value ' →
+    '.\\n' (literal left-to-right replace, identical both engines) — the
+    same inject-then-operate pattern the dedup oracles use. Four O(n_lines)
+    array passes per row over ONE projected line array; zero shuffle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")), "\n"
+        ).alias("lines"),
+    )
+    stats = tx.c4_line_filters(F.col("lines"), min_words=5, blocklist=("slow",))
+    return docs.select(
+        "doc_id",
+        stats["n_lines"].alias("n_lines"),
+        F.size(stats["kept_lines"]).cast("long").alias("n_kept"),
+        stats["n_short"].alias("n_short"),
+        stats["n_nopunct"].alias("n_nopunct"),
+        stats["n_blocklist"].alias("n_blocklist"),
+        F.array_join(stats["kept_lines"], "\n").alias("kept_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-slot composite: the text-analysis family in ONE oracle-paired entry
 # (SURVEY.md §8 50-entry driver window). Each member probe's full result set
@@ -718,6 +782,14 @@ def ns_dedup_graph_stats(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _TEXT_DIGEST = [
+    (
+        "ns_text_c4_filters",
+        [
+            ("doc_id", "s"), ("n_lines", "s"), ("n_kept", "s"),
+            ("n_short", "s"), ("n_nopunct", "s"), ("n_blocklist", "s"),
+            ("kept_text", "s"),
+        ],
+    ),
     (
         "ns_text_cooccurrence",
         [
