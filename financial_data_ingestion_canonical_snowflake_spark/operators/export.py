@@ -70,3 +70,60 @@ def shard_manifest(
         F.min(id_col).cast("long").alias("first_doc"),
         F.max(id_col).cast("long").alias("last_doc"),
     )
+
+
+def export_shards_jsonl(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    text_col: str,
+    out_dir: str,
+    *,
+    budget: int,
+    num_shards: int,
+) -> DataFrame:
+    """JSONL variant of :func:`export_shards`: one newline-delimited-JSON
+    text file per shard under ``out_dir/shard=N/``, rows in packing order —
+    the interchange format most training data-loaders consume directly.
+
+    Same single-shuffle layout as the parquet writer (``repartition`` on
+    shard + per-partition sort); a shard's rows always live in one task, so
+    each ``shard=N`` directory gets exactly one file even when two shards
+    hash to the same partition. Returns the manifest derived from the
+    JSONL read back off disk (same schema as :func:`shard_manifest`), so a
+    green manifest certifies the serialize→write→discover→parse loop, not
+    just the plan.
+    """
+    assigned = assign_sequences(
+        df, id_col, token_col, budget=budget, num_shards=num_shards
+    )
+    line = F.to_json(F.struct(id_col, "seq_id", token_col, text_col))
+    (
+        assigned.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .select(F.col("shard"), line.alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out_dir)
+    )
+    return jsonl_manifest(
+        assigned.sparkSession, out_dir, id_col, token_col,
+        schema=f"{id_col} long, seq_id long, {token_col} long, {text_col} string",
+    )
+
+
+def jsonl_manifest(
+    spark: SparkSession, out_dir: str, id_col: str, token_col: str, *, schema: str
+) -> DataFrame:
+    """Per-shard manifest of an exported JSONL directory (partition
+    discovery supplies ``shard``; every line must parse under ``schema``)."""
+    back = spark.read.text(out_dir).select(
+        "shard", F.from_json("value", schema).alias("j")
+    )
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(f"j.{token_col}").cast("long").alias("n_tokens"),
+        F.countDistinct("j.seq_id").cast("long").alias("n_sequences"),
+        F.min(f"j.{id_col}").cast("long").alias("first_doc"),
+        F.max(f"j.{id_col}").cast("long").alias("last_doc"),
+    )

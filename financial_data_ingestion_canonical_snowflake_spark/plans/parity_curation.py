@@ -341,6 +341,11 @@ def _pack_export_oracle() -> str:
         digest_sql("ns_pack_sequences", ALL_ORACLE_SQL["ns_pack_sequences"], _PACK_DIGEST_COLS)
         + "\nUNION ALL\n"
         + digest_sql("ns_export_shards", _EXPORT_MANIFEST_SQL, _MANIFEST_DIGEST_COLS)
+        + "\nUNION ALL\n"
+        # JSONL writer: identical manifest contract, distinct physical path
+        + digest_sql(
+            "ns_export_shards_jsonl", _EXPORT_MANIFEST_SQL, _MANIFEST_DIGEST_COLS
+        )
     )
 
 
@@ -355,20 +360,28 @@ def ns_pack_export_digest(spark, sf_dir):
     plan."""
     import tempfile
 
-    from ..operators.export import export_shards
+    from ..operators.export import export_shards, export_shards_jsonl
     from .registry import ALL_QUERIES, digest_frame
 
     pack = ALL_QUERIES["ns_pack_sequences"](spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+        "doc_id", "text", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
     )
+    cols = ["shard", "n_docs", "n_tokens", "n_sequences", "first_doc", "last_doc"]
     out_dir = tempfile.mkdtemp(prefix="fincan_export_digest_")
     manifest = export_shards(
-        docs, "doc_id", "tokens", out_dir,
+        docs.drop("text"), "doc_id", "tokens", out_dir,
         budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
-    ).select("shard", "n_docs", "n_tokens", "n_sequences", "first_doc", "last_doc")
-    return digest_frame(pack, "ns_pack_sequences").unionByName(
-        digest_frame(manifest, "ns_export_shards")
+    ).select(*cols)
+    jsonl_dir = tempfile.mkdtemp(prefix="fincan_export_jsonl_digest_")
+    jsonl = export_shards_jsonl(
+        docs, "doc_id", "tokens", "text", jsonl_dir,
+        budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
+    ).select(*cols)
+    return (
+        digest_frame(pack, "ns_pack_sequences")
+        .unionByName(digest_frame(manifest, "ns_export_shards"))
+        .unionByName(digest_frame(jsonl, "ns_export_shards_jsonl"))
     )
 
 

@@ -252,6 +252,44 @@ def test_export_shards_layout_and_manifest(spark, sf_oracle, tmp_path):
     assert got == expect
 
 
+def test_export_shards_jsonl_roundtrip(spark, sf_oracle, tmp_path):
+    import glob
+    import json
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.export import (
+        export_shards_jsonl,
+    )
+
+    docs = table(spark, sf_oracle, "documents").select(
+        "doc_id", "text", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
+    )
+    out = str(tmp_path / "jsonl")
+    manifest = export_shards_jsonl(
+        docs, "doc_id", "tokens", "text", out, budget=512, num_shards=4
+    ).collect()
+    assert len(manifest) == 4
+    assert sum(r["n_docs"] for r in manifest) == docs.count()
+
+    # one JSONL file per shard; lines parse and are in packing order
+    seen = {}
+    for s in range(4):
+        files = [
+            f for f in glob.glob(f"{out}/shard={s}/*")
+            if not f.endswith((".crc", "_SUCCESS"))
+        ]
+        assert len(files) == 1, f"shard {s}: {files}"
+        with open(files[0]) as fh:
+            rows = [json.loads(line) for line in fh]
+        ids = [r["doc_id"] for r in rows]
+        assert ids == sorted(ids)
+        for r in rows:
+            seen[r["doc_id"]] = r["text"]
+
+    # round-trip content equality, doc for doc
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert seen == src
+
+
 # ------------------------------------------------------- property (hypothesis)
 
 from collections import Counter
