@@ -1,0 +1,68 @@
+"""Blocked fuzzy-match join — the entity-resolution primitive.
+
+Approximate string matching over a large table can never be all-pairs; the
+standard shape (record linkage / MDM / dedupe of entity names) is:
+
+1. **block**: derive a cheap deterministic key (last token, prefix,
+   soundex, ...) and equi-join on it — candidates collapse from O(n²) to
+   Σ|block|²;
+2. **score**: an exact edit-distance (built-in ``levenshtein`` — JVM-side,
+   codegen-friendly) on the candidates only;
+3. **cap**: degenerate blocks (one key covering a large slice of the
+   corpus) are the same skew hole as an uncapped LSH bucket — an optional
+   width cap drops them before the |block|² self-join, mirroring
+   ``max_shingle_freq`` / ``max_bucket_width`` in operators/text_dedup.py.
+
+Scale posture: one shuffle on the block key (the window count for the cap
+reuses that exchange); the self-join is AQE-skew-splittable. At 100 TB the
+block-key cardinality is the parallelism knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Column,
+    *,
+    max_distance: int = 2,
+    max_block_width: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing a block key with
+    ``levenshtein(text_a, text_b) <= max_distance``.
+
+    Returns ``(id_a, id_b, name_a, name_b, distance)``. NULL block keys
+    never match (a NULL key is an unblockable record, not a wildcard).
+    ``max_block_width`` drops blocks wider than the cap — exact matching
+    inside a dropped block should be recovered by an exact-dup pre-pass,
+    the same contract as the LSH bucket cap.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("name"),
+        block.alias("block"),
+    ).filter(F.col("block").isNotNull())
+    if max_block_width is not None:
+        width = F.count(F.lit(1)).over(Window.partitionBy("block"))
+        b = b.withColumn("__w", width).filter(
+            F.col("__w") <= max_block_width
+        ).drop("__w")
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b", dist.alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )

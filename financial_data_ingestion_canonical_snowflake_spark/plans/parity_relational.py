@@ -267,6 +267,76 @@ def ns_tpch_q5_regional_volume(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_fuzzy_match_pairs",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey AS id, p_name AS name,
+               list_extract(string_split(p_name, ' '), -1) AS block
+        FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS distance
+    FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def ns_fuzzy_match_pairs(spark, sf_dir):
+    """Blocked fuzzy-match join (operators/fuzzy.py): entity-resolution
+    candidates blocked on the name's last token, scored with built-in
+    ``levenshtein`` (JVM codegen in Spark, exact integer — engine-identical
+    by definition). One shuffle on the block key; never all-pairs."""
+    from ..operators.fuzzy import blocked_fuzzy_pairs
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
+    return blocked_fuzzy_pairs(
+        p, "p_partkey", "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=2,
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@parity(
+    "ns_gap_fill_ffill",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id AS key,
+               (epoch_us(ts) - (epoch_us(ts) % {_DAY_US})) AS bucket_us,
+               MAX(struct_pack(u := epoch_us(ts), o := event_id, v := value)).v AS value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    runs AS (
+        SELECT key, bucket_us, value,
+               lead(bucket_us) OVER (PARTITION BY key ORDER BY bucket_us) AS nb
+        FROM obs
+    )
+    SELECT key, t.b AS bucket_us, value, (t.b = runs.bucket_us) AS is_observed
+    FROM runs, UNNEST(generate_series(
+        bucket_us, coalesce(nb - {_DAY_US}, bucket_us), {_DAY_US})) AS t(b)
+    """,
+)
+def ns_gap_fill_ffill(spark, sf_dir):
+    """Forward-fill gap filling onto a daily grid (operators/gapfill.py):
+    per-user last-observation-carried-forward with run-length explode — no
+    grid join, fan-out proportional to the output, one key shuffle (the
+    lead() sort reuses the groupBy exchange). Values pass through
+    untouched (no arithmetic), so doubles stay engine-exact."""
+    from ..operators.gapfill import gap_fill_ffill
+
+    return gap_fill_ffill(
+        table(spark, sf_dir, "events"),
+        "user_id", "ts", "value", "event_id",
+        step_seconds=86_400,
+    )
+
+
 # Digest-member specs consumed by parity_core's probe_digest_relational.
 RELATIONAL_DIGEST_MEMBERS = [
     (
@@ -299,5 +369,16 @@ RELATIONAL_DIGEST_MEMBERS = [
     (
         "ns_tpch_q5_regional_volume",
         [("n_name", "s"), ("revenue", "d"), ("line_cnt", "s")],
+    ),
+    (
+        "ns_fuzzy_match_pairs",
+        [
+            ("id_a", "s"), ("id_b", "s"), ("name_a", "s"), ("name_b", "s"),
+            ("distance", "s"),
+        ],
+    ),
+    (
+        "ns_gap_fill_ffill",
+        [("key", "s"), ("bucket_us", "s"), ("value", "d"), ("is_observed", "s")],
     ),
 ]

@@ -1,0 +1,93 @@
+"""Unit tests for the blocked fuzzy-match join (operators/fuzzy.py) and
+forward-fill gap filling (operators/gapfill.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.fuzzy import (
+    blocked_fuzzy_pairs,
+)
+from financial_data_ingestion_canonical_snowflake_spark.operators.gapfill import (
+    gap_fill_ffill,
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def _fuzzy_df(spark):
+    rows = [
+        (1, "red widget"),
+        (2, "rad widget"),      # dist 1 from red widget
+        (3, "blue widget"),     # dist >2 from both
+        (4, "red gizmo"),       # other block
+        (5, "red gizmos"),      # blocked apart from 4 (last word differs)
+        (6, None),              # NULL name -> NULL block, never matches
+    ]
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_fuzzy_blocks_and_distance(spark):
+    pairs = blocked_fuzzy_pairs(
+        _fuzzy_df(spark), "id", "name",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        max_distance=2,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.distance for r in pairs}
+    # only the widget block has a close pair; cross-block near-misses
+    # ("red gizmo"/"red gizmos") are invisible by design
+    assert got == {(1, 2): 1}
+
+
+def test_fuzzy_block_width_cap(spark):
+    df = spark.createDataFrame(
+        [(i, f"name {i % 2}") for i in range(10)], "id long, name string"
+    )
+    # all rows share one block (last token "0"/"1" -> two blocks of 5)
+    capped = blocked_fuzzy_pairs(
+        df, "id", "name", F.element_at(F.split(F.col("name"), " "), -1),
+        max_distance=0, max_block_width=4,
+    )
+    assert capped.count() == 0  # both blocks wider than cap -> dropped
+    uncapped = blocked_fuzzy_pairs(
+        df, "id", "name", F.element_at(F.split(F.col("name"), " "), -1),
+        max_distance=0,
+    )
+    # 5 identical names per block -> C(5,2) pairs each
+    assert uncapped.count() == 20
+
+
+def _events_df(spark):
+    # one key, observations in hours 0, 1, and 4 (gap of 2 buckets);
+    # hour 1 has two observations — later (ts, order) wins
+    rows = [
+        (10, 0, 1, 1.0),
+        (10, _HOUR_US + 5, 2, 2.0),
+        (10, _HOUR_US + 5, 3, 2.5),   # same ts, higher order -> survivor
+        (10, 4 * _HOUR_US, 4, 4.0),
+        (None, 2 * _HOUR_US, 5, 9.9),  # NULL key dropped
+    ]
+    df = spark.createDataFrame(rows, "k long, us long, o long, v double")
+    return df.select("k", F.timestamp_micros("us").alias("ts"), "o", "v")
+
+
+def test_gap_fill_runs_and_survivorship(spark):
+    out = gap_fill_ffill(
+        _events_df(spark), "k", "ts", "v", "o", step_seconds=3600
+    ).collect()
+    rows = {r.bucket_us: (r.value, r.is_observed) for r in out}
+    assert len(out) == 5  # hours 0..4 inclusive, no extrapolation past 4
+    assert rows[0] == (1.0, True)
+    assert rows[_HOUR_US] == (2.5, True)          # in-bucket survivor by (ts, o)
+    assert rows[2 * _HOUR_US] == (2.5, False)     # filled forward
+    assert rows[3 * _HOUR_US] == (2.5, False)
+    assert rows[4 * _HOUR_US] == (4.0, True)
+    assert all(r.key == 10 for r in out)
+
+
+def test_gap_fill_single_observation_key(spark):
+    df = spark.createDataFrame(
+        [(1, 7 * _HOUR_US, 1, 3.3)], "k long, us long, o long, v double"
+    ).select("k", F.timestamp_micros("us").alias("ts"), "o", "v")
+    out = gap_fill_ffill(df, "k", "ts", "v", "o", step_seconds=3600).collect()
+    assert len(out) == 1 and out[0].is_observed and out[0].value == 3.3
