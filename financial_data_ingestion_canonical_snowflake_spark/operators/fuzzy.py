@@ -59,10 +59,16 @@ def blocked_fuzzy_pairs(
     right = b.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
     )
+    # Cheap length prefilter first: |len(a)-len(b)| > d implies dist > d,
+    # and AND short-circuits left-to-right in codegen — each O(len²)
+    # levenshtein only runs on length-compatible survivors.
+    len_ok = (
+        F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_distance)
+    )
     dist = F.levenshtein("name_a", "name_b")
     return (
         left.join(right, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
         .select("id_a", "id_b", "name_a", "name_b", dist.alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )

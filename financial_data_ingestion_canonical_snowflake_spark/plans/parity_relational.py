@@ -273,28 +273,36 @@ def ns_tpch_q5_regional_volume(spark, sf_dir):
     oracle="""
     WITH p AS (
         SELECT p_partkey AS id, p_name AS name,
-               list_extract(string_split(p_name, ' '), -1) AS block
+               list_extract(string_split(p_name, ' '), -1)
+                   || '|' || substr(p_name, 1, 1) AS block
         FROM part WHERE p_name IS NOT NULL
     )
     SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS INT) AS distance
     FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
-    WHERE levenshtein(a.name, b.name) <= 2
+    WHERE abs(length(a.name) - length(b.name)) <= 2
+      AND levenshtein(a.name, b.name) <= 2
     """,
 )
 def ns_fuzzy_match_pairs(spark, sf_dir):
     """Blocked fuzzy-match join (operators/fuzzy.py): entity-resolution
-    candidates blocked on the name's last token, scored with built-in
-    ``levenshtein`` (JVM codegen in Spark, exact integer — engine-identical
-    by definition). One shuffle on the block key; never all-pairs."""
+    candidates blocked on (last token, first character) — the compound key
+    cuts candidates ~8x vs last-token-only at sf0.1 (25M -> 3.1M) and
+    spreads the |block|² scoring across far more shuffle partitions. A
+    first-character typo lands in a different block and is missed: the
+    standard blocking recall tradeoff (production runs multiple blocking
+    passes). Scored with built-in ``levenshtein`` (JVM codegen, exact
+    integer — engine-identical by definition) behind a length-difference
+    prefilter. One shuffle on the block key; never all-pairs."""
     from ..operators.fuzzy import blocked_fuzzy_pairs
 
     p = table(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
-    return blocked_fuzzy_pairs(
-        p, "p_partkey", "p_name",
+    block = F.concat(
         F.element_at(F.split(F.col("p_name"), " "), -1),
-        max_distance=2,
+        F.lit("|"),
+        F.substring(F.col("p_name"), 1, 1),
     )
+    return blocked_fuzzy_pairs(p, "p_partkey", "p_name", block, max_distance=2)
 
 
 _DAY_US = 86_400_000_000
