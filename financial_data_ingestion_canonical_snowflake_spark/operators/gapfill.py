@@ -7,15 +7,17 @@ time-series-training preparation step. The naive shape — generate the full
 This implementation never builds the grid:
 
 1. bucket observations to the grid step and keep the last observation per
-   (key, bucket) — one groupBy shuffle, map-side combinable ``max_by``;
-2. per key, each observation looks at the NEXT observed bucket (``lead``
-   over the same partitioning — the sort reuses the exchange) and explodes
-   ``sequence(bucket, next_bucket - step)``, carrying its value forward.
+   (key, bucket) — a map-side-combined groupBy, so the first exchange
+   carries one row per observed bucket, not one per event;
+2. per key, each observation looks at the NEXT observed bucket (``lead``)
+   and explodes ``sequence(bucket, next_bucket - step)``, carrying its
+   value forward. The window's key exchange moves only the bucket
+   summaries from step 1 — already tiny.
 
-Fan-out is proportional to the OUTPUT (one row per filled grid point),
-there is no grid join, and the single shuffle is on the key — the layout a
-1000-executor cluster wants. Trailing edge: each key's series ends at its
-last observation (no extrapolation beyond the data).
+Fan-out is proportional to the OUTPUT (one row per filled grid point) and
+there is no grid join — the layout a 1000-executor cluster wants.
+Trailing edge: each key's series ends at its last observation (no
+extrapolation beyond the data).
 """
 
 from __future__ import annotations
@@ -41,7 +43,9 @@ def gap_fill_ffill(
     ``is_observed`` marks buckets that contained a real observation (the
     run head), filled rows carry the value forward. The last observation
     within a bucket wins, ordered by (``ts_col``, ``order_col``) — the
-    deterministic survivorship tiebreak (SURVEY.md §7.4).
+    deterministic survivorship tiebreak (SURVEY.md §7.4). Two exchanges:
+    the map-side-combined (key, bucket) groupBy, then a key exchange over
+    the (small) bucket summaries for the lead() window.
     """
     step_us = int(step_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))

@@ -333,8 +333,9 @@ _DAY_US = 86_400_000_000
 def ns_gap_fill_ffill(spark, sf_dir):
     """Forward-fill gap filling onto a daily grid (operators/gapfill.py):
     per-user last-observation-carried-forward with run-length explode — no
-    grid join, fan-out proportional to the output, one key shuffle (the
-    lead() sort reuses the groupBy exchange). Values pass through
+    grid join, fan-out proportional to the output; the raw-event exchange
+    is map-side-combined to one row per observed bucket and only those
+    summaries re-shuffle for the lead() window. Values pass through
     untouched (no arithmetic), so doubles stay engine-exact."""
     from ..operators.gapfill import gap_fill_ffill
 
@@ -342,6 +343,73 @@ def ns_gap_fill_ffill(spark, sf_dir):
         table(spark, sf_dir, "events"),
         "user_id", "ts", "value", "event_id",
         step_seconds=86_400,
+    )
+
+
+@parity(
+    "ns_linreg_corr",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag AS grp,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                             * (l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * (l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / ((n * sxx - sx * sx)) AS slope,
+           (sy - ((n * sxy - sx * sy) / ((n * sxx - sx * sx))) * sx) / n AS intercept,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM s
+    """,
+)
+def ns_linreg_corr(spark, sf_dir):
+    """Grouped Pearson correlation + OLS fit (quantity vs line revenue per
+    return flag) from EXACT decimal-pinned moment sums: per-row products
+    stay in DOUBLE (IEEE multiply is engine-identical), each product is
+    pinned to DECIMAL before SUM (exact, order-independent), and the
+    closed-form slope/intercept/corr are a fixed double expression over
+    those exact sums — so even the floating-point outputs hash-match. The
+    built-in ``corr``/``covar_samp`` aggregates are NOT used on the parity
+    surface (their running-merge accumulation is order-dependent); this is
+    the moment-sum formulation a distributed engine wants anyway: one
+    map-side-combinable aggregate, one row per group shuffled."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec(x)).cast("double").alias("sx"),
+        F.sum(_dec(y)).cast("double").alias("sy"),
+        F.sum(_dec(x * x)).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+        F.sum(_dec(x * y)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "grp",
+        n.cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr"),
     )
 
 
@@ -388,5 +456,12 @@ RELATIONAL_DIGEST_MEMBERS = [
     (
         "ns_gap_fill_ffill",
         [("key", "s"), ("bucket_us", "s"), ("value", "d"), ("is_observed", "s")],
+    ),
+    (
+        "ns_linreg_corr",
+        [
+            ("grp", "s"), ("n_rows", "s"), ("slope", "d"), ("intercept", "d"),
+            ("corr", "d"),
+        ],
     ),
 ]

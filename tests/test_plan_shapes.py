@@ -154,3 +154,50 @@ def test_new_operator_scans_prune_columns(spark, sf_oracle):
         for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
             cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
             assert cols <= allowed, (name, cols)
+
+
+def _executed(name, spark, sf_oracle) -> str:
+    return (
+        ALL_QUERIES[name](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_window_analytics_single_exchange(spark, sf_oracle):
+    """All five window functions share one window spec — the plan must
+    contain exactly ONE shuffle (the user_id exchange) and one Window node
+    chain; a second exchange means a function drifted onto its own spec."""
+    plan = _executed("ns_window_analytics", spark, sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gap_fill_single_shuffle(spark, sf_oracle):
+    """Gap filling has exactly its two intended exchanges — the map-side-
+    combined (key, bucket) groupBy and the key window over bucket
+    summaries — and no join node (the no-grid-join design is the
+    operator's point)."""
+    plan = _executed("ns_gap_fill_ffill", spark, sf_oracle)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch_q5_dimensions_broadcast(spark, sf_oracle):
+    """supplier/nation/region/customer ride broadcast joins — the lineitem
+    scan must never shuffle for a dimension."""
+    plan = _executed("ns_tpch_q5_regional_volume", spark, sf_oracle)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_c4_filters_zero_shuffle(spark, sf_oracle):
+    """Line filtering is per-row HOF work: no exchange anywhere."""
+    plan = _executed("ns_text_c4_filters", spark, sf_oracle)
+    assert "Exchange" not in plan, plan
+
+
+def test_linreg_single_aggregate_pass(spark, sf_oracle):
+    """The moment sums come from ONE partial-aggregated groupBy: exactly
+    one exchange, and it carries only one row per group."""
+    plan = _executed("ns_linreg_corr", spark, sf_oracle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
