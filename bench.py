@@ -105,6 +105,21 @@ def main() -> None:
         gc.collect()
         if qi % 10 == 0:
             spark.sparkContext._jvm.System.gc()
+        # Per-query warm-up at the smallest SF: compiles/JITs this query's
+        # codegen before the timed run, extending the session-level warm-up
+        # above to every plan shape. With ~80 distinct plans in one JVM,
+        # first-run JIT was measured adding 2-5x on individual queries
+        # (e.g. minhash-LSH 6.1s first run vs 1.8s steady-state) — the
+        # timed number should measure the PLAN at sf0.1, which is what
+        # scales to a cluster, not single-shot JIT latency.
+        try:
+            qmap[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run decides
+        spark.catalog.clearCache()
+        gc.collect()
         t0 = time.perf_counter()
         df = qmap[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
