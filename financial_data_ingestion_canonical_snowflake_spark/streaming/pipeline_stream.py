@@ -79,3 +79,131 @@ def stream_raw_to_canonical(
     return start_merge_stream(
         stream, sink, checkpoint_dir, available_now=available_now
     )
+
+
+class FullCanonicalSink:
+    """foreachBatch sink running the WHOLE canonical chain per micro-batch:
+    stage 03 (header transform) → 05a (CAN_TXN merge) → 04 (line flatten)
+    → 05b (CAN_TXN_LINE merge) → 06 (anomaly staging + merge) — the batch
+    pipeline's stage functions verbatim (plans/transform_headers.py,
+    plans/transform_lines.py, plans/anomaly.py, operators/merge.py), so an
+    incremental drain and a one-shot batch run of the same inputs produce
+    identical canonical tables (asserted in tests/test_streaming.py).
+
+    Cross-batch semantics match :func:`canonical_header_sink`'s note:
+    within-batch duplicates are flagged exactly like batch; duplicates
+    split across micro-batches are merged latest-wins but not re-flagged.
+    Stage 06 joins the POST-merge CAN_TXN (the reference's ordering
+    constraint, SURVEY §3 entry point 3), so line anomalies always see the
+    canonical rows this batch just merged. All three merges are idempotent
+    — replayed micro-batches (file-source restart) change nothing.
+    """
+
+    def __init__(
+        self,
+        can_txn: ParquetTable,
+        can_txn_line: ParquetTable,
+        can_txn_anomaly: ParquetTable,
+        source_system: str = "JSON",
+        join_mode: str = "faithful",
+        batch_ts: dt.datetime | None = None,
+    ):
+        self.can_txn = can_txn
+        self.can_txn_line = can_txn_line
+        self.can_txn_anomaly = can_txn_anomaly
+        self.source_system = source_system
+        self.join_mode = join_mode
+        self.batch_ts = batch_ts
+
+    def __call__(self, raw_batch: DataFrame, batch_id: int) -> None:
+        from ..plans.anomaly import anomaly_merge_source, stage_anomalies
+        from ..plans.pipeline import CAN_ANOMALY_COLS, CAN_LINE_COLS
+        from ..plans.transform_lines import transform_lines
+
+        spark = raw_batch.sparkSession
+        args: list[DataFrame | None] = [None, None, None]
+        args[_FMT_ARG[self.source_system]] = raw_batch
+        ts = (
+            F.lit(self.batch_ts).cast("timestamp")
+            if self.batch_ts
+            else F.current_timestamp()
+        )
+
+        # Each table merges through MergeSink — it picks the partition-
+        # scoped merge for hash-bucketed tables and the plain full-outer
+        # merge otherwise, exactly like the single-table streaming sinks.
+        stg_header = transform_headers(*args).cache()
+        hdr_source = (
+            stg_header.filter(F.col("rn") == 1)
+            .withColumn("is_valid", scalars_is_valid())
+            .withColumn("created_ts", ts)
+            .withColumn("updated_ts", ts)
+            .select(*CAN_TXN_COLS)
+        )
+        MergeSink(
+            self.can_txn,
+            keys=["canonical_txn_id"],
+            preserve=["created_ts"],
+            dedupe_order=[F.col("ingest_ts").desc(), F.col("src_file")],
+        )(hdr_source, batch_id)
+
+        stg_line = transform_lines(
+            *args, stg_header, join_mode=self.join_mode
+        ).cache()
+        MergeSink(
+            self.can_txn_line,
+            keys=["canonical_txn_id", "line_number"],
+            preserve=["created_ts"],
+            dedupe_order=[F.col("ingest_ts").desc(), F.col("attributes")],
+        )(
+            stg_line.withColumn("created_ts", ts)
+            .withColumn("updated_ts", ts)
+            .select(*CAN_LINE_COLS),
+            batch_id,
+        )
+
+        stg_anomaly = stage_anomalies(
+            stg_header, stg_line, self.can_txn.read(spark)
+        )
+        MergeSink(
+            self.can_txn_anomaly,
+            keys=[
+                "canonical_txn_id", "anomaly_code", "line_number",
+                "anomaly_detail",
+            ],
+        )(anomaly_merge_source(stg_anomaly, ts).select(*CAN_ANOMALY_COLS), batch_id)
+        stg_header.unpersist()
+        stg_line.unpersist()
+
+
+def stream_raw_to_full_canonical(
+    spark: SparkSession,
+    raw_dir: str,
+    can_txn: ParquetTable,
+    can_txn_line: ParquetTable,
+    can_txn_anomaly: ParquetTable,
+    checkpoint_dir: str,
+    source_system: str = "JSON",
+    join_mode: str = "faithful",
+    batch_ts: dt.datetime | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Stream a RAW bronze directory through the complete canonical chain
+    (headers + lines + anomalies), incrementally maintaining all three
+    canonical tables."""
+    stream = file_stream(
+        spark, raw_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    sink = FullCanonicalSink(
+        can_txn, can_txn_line, can_txn_anomaly,
+        source_system=source_system, join_mode=join_mode, batch_ts=batch_ts,
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

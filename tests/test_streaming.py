@@ -404,3 +404,78 @@ def test_stream_xml_ingest_matches_batch(spark, tmp_path):
     # multiple micro-batches actually happened (maxFilesPerTrigger=2 over
     # 5 fixture files) and every document still converted exactly once
     assert len({g[1] for g in got}) == 5
+
+
+def test_stream_full_canonical_chain_matches_batch(spark, tmp_path):
+    """Streaming the raw JSON bronze dir through the FULL canonical chain
+    (03 -> 05a -> 04 -> 05b -> 06) in one availableNow drain produces the
+    same CAN_TXN, CAN_TXN_LINE, and CAN_TXN_ANOMALY rows as the batch
+    pipeline, and a replayed micro-batch changes nothing."""
+    import datetime as dt
+    import os
+
+    from financial_data_ingestion_canonical_snowflake_spark import schemas
+    from financial_data_ingestion_canonical_snowflake_spark.examples import write_fixtures
+    from financial_data_ingestion_canonical_snowflake_spark.plans.pipeline import (
+        Pipeline,
+        PipelineConfig,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.pipeline_stream import (
+        FullCanonicalSink,
+        stream_raw_to_full_canonical,
+    )
+
+    batch_ts = dt.datetime(2026, 2, 1)
+    ingest_root = write_fixtures(os.path.join(tmp_path, "ingest"))
+    cfg = PipelineConfig(
+        ingest_root=ingest_root,
+        warehouse=os.path.join(tmp_path, "wh"),
+        batch_ts=batch_ts,
+    )
+    pipe = Pipeline(spark, cfg)
+    pipe.run_batch()
+
+    def _json_rows(table, src_col="source_system"):
+        df = table.read(spark)
+        if src_col in df.columns:
+            df = df.filter(F.col(src_col) == "JSON")
+        return sorted(map(tuple, df.collect()))
+
+    want_txn = _json_rows(pipe.can_txn)
+    json_ids = {r[0] for r in want_txn}
+    # CAN_TXN_LINE has no source_system column — restrict via JSON header ids
+    want_line = sorted(
+        map(
+            tuple,
+            pipe.can_txn_line.read(spark)
+            .filter(F.col("canonical_txn_id").isin(json_ids))
+            .collect(),
+        )
+    )
+    want_anom = _json_rows(pipe.can_txn_anomaly)
+    assert want_anom, "fixtures must exercise anomalies"
+
+    txn = ParquetTable(f"{tmp_path}/s_can_txn", schema=schemas.CAN_TXN)
+    line = ParquetTable(f"{tmp_path}/s_can_line", schema=schemas.CAN_TXN_LINE)
+    anom = ParquetTable(f"{tmp_path}/s_can_anom", schema=schemas.CAN_TXN_ANOMALY)
+    q = stream_raw_to_full_canonical(
+        spark,
+        pipe.raw_tables["JSON"].path,
+        txn, line, anom,
+        checkpoint_dir=f"{tmp_path}/ckpt_full",
+        source_system="JSON",
+        batch_ts=batch_ts,
+    )
+    q.awaitTermination(240)
+
+    assert sorted(map(tuple, txn.read(spark).collect())) == want_txn
+    assert sorted(map(tuple, line.read(spark).collect())) == want_line
+    assert sorted(map(tuple, anom.read(spark).collect())) == want_anom
+
+    # replay idempotency: re-running the whole raw dir as one batch through
+    # the sink changes none of the three tables
+    sink = FullCanonicalSink(txn, line, anom, source_system="JSON", batch_ts=batch_ts)
+    sink(spark.read.parquet(pipe.raw_tables["JSON"].path), batch_id=99)
+    assert sorted(map(tuple, txn.read(spark).collect())) == want_txn
+    assert sorted(map(tuple, line.read(spark).collect())) == want_line
+    assert sorted(map(tuple, anom.read(spark).collect())) == want_anom
