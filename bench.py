@@ -112,12 +112,17 @@ def main() -> None:
         # (e.g. minhash-LSH 6.1s first run vs 1.8s steady-state) — the
         # timed number should measure the PLAN at sf0.1, which is what
         # scales to a cluster, not single-shot JIT latency.
-        try:
-            qmap[name](spark, "/root/testdata/sf0.001").write.format(
-                "noop"
-            ).mode("overwrite").save()
-        except Exception:
-            pass  # warm-up is best-effort; the timed run decides
+        # EXCEPTION: the pipeline_e2e_* family memoizes its fixture run per
+        # session (parity_pipeline._run_pipeline) — a warm-up call would
+        # consume the real run and the timed call would only re-read the
+        # warehouse. Those stay cold: their first run IS the measurement.
+        if not name.startswith("pipeline_e2e"):
+            try:
+                qmap[name](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run decides
         spark.catalog.clearCache()
         gc.collect()
         t0 = time.perf_counter()
