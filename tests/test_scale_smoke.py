@@ -67,3 +67,52 @@ def test_dedup_closure_scales_to_8x_corpus(spark):
     # least the ~5k per-base-doc clusters exist
     assert n_pairs > n_docs
     assert 1000 < n_groups < n_docs // 4
+
+
+def test_ann_and_semantic_dedup_scale_to_8x_corpus(spark):
+    """8x-replicated embedding corpus (16,000 x 64-dim at sf0.1): exact
+    replicas must be recovered by semantic dedup (cosine 1.0 within a
+    cluster), and LSH top-k must keep returning full result sets whose
+    top-1 for a replicated query is its exact twin. Structure checks, not
+    timings — the point is that the bucketed joins still behave at 8x."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.similarity import (
+        lsh_topk,
+        semantic_dedup,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    corpus = None
+    for i in range(8):
+        part = base.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = part if corpus is None else corpus.unionByName(part)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism).cache()
+    assert corpus.count() == 8 * n_base
+
+    # semantic dedup at threshold 1.0-epsilon: each base vector has 7 exact
+    # replicas; every cluster-sharing replica set keeps exactly its lowest id
+    out = semantic_dedup(corpus, threshold=0.999999, n_centroids=32)
+    kept = out.filter(F.col("is_kept")).count()
+    # replicas land in the same cluster (identical vectors -> identical
+    # assignment), so at most one survivor per base vector...
+    assert kept <= n_base + 8  # slack for max_by ties: identical cosines
+    # ...and nothing below the base count (distinct base vectors never match
+    # at ~1.0 in this corpus: max pairwise cosine ~0.51)
+    assert kept >= n_base
+
+    # LSH top-k over the replicated corpus: queries are the first 20 base
+    # vectors; each has 7 identical twins, so top-1 must be an exact twin
+    queries = base.filter(F.col("vec_id") < 20)
+    topk = lsh_topk(corpus, queries, k=5).cache()
+    top1 = {r.query_id: (r.neighbor_id, r.cosine_sim)
+            for r in topk.filter(F.col("rank") == 1).collect()}
+    assert len(top1) == 20
+    for qid, (nid, sim) in top1.items():
+        assert nid % 1_000_000 == qid, (qid, nid)
+        assert sim > 0.999999
+    corpus.unpersist()
+    topk.unpersist()
