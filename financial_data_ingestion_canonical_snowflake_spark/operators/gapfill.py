@@ -49,7 +49,10 @@ def gap_fill_ffill(
     """
     step_us = int(step_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col))
-    bucket = (us - (us % F.lit(step_us))).alias("bucket_us")
+    # pmod, not %: % truncates toward zero, which would round pre-1970
+    # timestamps UP to the bucket above them; pmod gives floor semantics
+    # for any sign.
+    bucket = (us - F.pmod(us, F.lit(step_us))).alias("bucket_us")
     obs = (
         df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(

@@ -314,7 +314,8 @@ _DAY_US = 86_400_000_000
     oracle=f"""
     WITH obs AS (
         SELECT user_id AS key,
-               (epoch_us(ts) - (epoch_us(ts) % {_DAY_US})) AS bucket_us,
+               (epoch_us(ts)
+                - (((epoch_us(ts) % {_DAY_US}) + {_DAY_US}) % {_DAY_US})) AS bucket_us,
                MAX(struct_pack(u := epoch_us(ts), o := event_id, v := value)).v AS value
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
