@@ -414,6 +414,41 @@ def ns_linreg_corr(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_calendar_rollup",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def ns_calendar_rollup(spark, sf_dir):
+    """Calendar-dimension rollup: orders by truncated month, day-of-week,
+    and a weekend flag — the date-function group (date_trunc, dayofweek)
+    the reference never exercises but every BI workload does. Engine
+    convention pinned explicitly: Spark ``dayofweek`` is 1=Sunday..7,
+    DuckDB's is 0=Sunday..6 (+1 in the oracle). One aggregate exchange."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    dow = F.dayofweek("o_orderdate")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("order_month"),
+        dow.cast("long").alias("dow"),
+        F.when(dow.isin(1, 7), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_weekend"),
+    ).agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+
 # Digest-member specs consumed by parity_core's probe_digest_relational.
 RELATIONAL_DIGEST_MEMBERS = [
     (
@@ -463,6 +498,13 @@ RELATIONAL_DIGEST_MEMBERS = [
         [
             ("grp", "s"), ("n_rows", "s"), ("slope", "d"), ("intercept", "d"),
             ("corr", "d"),
+        ],
+    ),
+    (
+        "ns_calendar_rollup",
+        [
+            ("order_month", "s"), ("dow", "s"), ("is_weekend", "s"),
+            ("order_cnt", "s"), ("total_price", "d"),
         ],
     ),
 ]
