@@ -1,0 +1,113 @@
+"""Composed corpus curation: the operators a training-data pipeline chains
+on every refresh — quality gate → language gate → exact dedup → pack →
+shard export — as one callable with per-stage accounting.
+
+This is the PHYSICAL twin of the in-query funnel
+(plans/parity_text.py::ns_doc_curation_funnel, which certifies the same
+composition against the DuckDB oracle): it actually writes training shards
+and returns the read-back manifest. Each stage is the already-tested
+primitive (functions/text.py, operators/text_dedup.py,
+operators/export.py); this module only composes and accounts.
+
+Scale shape: the gates are zero-shuffle map work over ONE projected token
+column; dedup is one hash groupBy; pack+export is one shuffle
+(repartition on shard + per-partition sort). Nothing here collects rows —
+the report is a handful of scalar aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as tx
+from .export import export_shards, export_shards_jsonl
+
+
+def curate_and_export(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    *,
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    budget: int = 512,
+    num_shards: int = 8,
+    fmt: str = "parquet",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the curation funnel over ``df`` and export survivors as
+    training shards under ``out_dir``.
+
+    Gates, in order (each survivor count lands in the report):
+
+    1. quality — at least ``min_tokens`` tokens and ``min_alpha_ratio``
+       alphabetic characters;
+    2. language — n-gram heuristic language id in ``langs``;
+    3. exact dedup — survivor = min id per normalized-text hash.
+
+    Returns ``(manifest_df, report)`` where ``manifest_df`` is the
+    shard-manifest read back from disk (``fmt`` = "parquet" or "jsonl")
+    and ``report`` counts documents entering/surviving each stage.
+    """
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported shard format: {fmt}")
+
+    base = df.select(
+        F.col(id_col), F.col(text_col), tx.tokens(F.col(text_col)).alias("__toks")
+    )
+    stats = tx.quality_stats(F.col(text_col), toks=F.col("__toks"))
+    gated = base.filter(
+        (stats["n_tokens"] >= min_tokens)
+        & (stats["alpha_ratio"] >= min_alpha_ratio)
+    )
+    langed = gated.filter(
+        tx.language_id(F.col(text_col), toks=F.col("__toks")).isin(*langs)
+    )
+    normalized = langed.select(
+        id_col,
+        text_col,
+        tx.normalize_text(F.col(text_col)).alias("__norm"),
+        tx.bpe_ish_token_count(F.col(text_col), toks=F.col("__toks")).alias(
+            "tokens"
+        ),
+    )
+    # survivor = min id per normalized-text hash (operators/text_dedup.py
+    # exact_dedup semantics, inlined here to keep the already-computed
+    # token count on the survivor row without a second join)
+    from ..functions import scalars
+
+    h = scalars.sha256_hex(F.col("__norm"))
+    survivors = (
+        normalized.withColumn("__h", h)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(id_col, text_col, "tokens")
+        .cache()
+    )
+
+    report = {
+        "input_docs": base.count(),
+        "after_quality": gated.count(),
+        "after_language": langed.count(),
+        "after_dedup": survivors.count(),
+    }
+    if fmt == "parquet":
+        manifest = export_shards(
+            survivors.drop(text_col), id_col, "tokens", out_dir,
+            budget=budget, num_shards=num_shards,
+        )
+    else:
+        manifest = export_shards_jsonl(
+            survivors, id_col, "tokens", text_col, out_dir,
+            budget=budget, num_shards=num_shards,
+        )
+    survivors.unpersist()
+    return manifest, report
