@@ -62,9 +62,15 @@ def main() -> None:
         and not n.endswith(("_modes", "_digest"))
     ]
 
-    # Warm the JVM/codegen once on the smallest SF so per-query times measure
-    # the plan, not first-run JIT.
-    warm = qmap[names[0]](spark, "/root/testdata/sf0.001")
+    # Warm-up inputs: the smallest sibling SF of the bench dir (falls back
+    # to the bench dir itself).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+
+    # Warm the JVM/codegen once so per-query times measure the plan, not
+    # first-run JIT.
+    warm = qmap[names[0]](spark, warm_dir)
     warm.write.format("noop").mode("overwrite").save()
     # Also spin up the Arrow/Python worker pool once: the first pandas-UDF
     # query otherwise pays several seconds of per-core worker startup that
@@ -82,6 +88,10 @@ def main() -> None:
         .save()
     )
 
+    # Warm-up failures are counted and reported — a silent warm-up no-op
+    # would revert every number to the cold-JIT regime while looking
+    # identical in the output JSON.
+    warmup_failures: list[str] = []
     timings: dict[str, float] = {}
     for qi, name in enumerate(names):
         # Isolate queries from one another (outside the timed region):
@@ -118,11 +128,11 @@ def main() -> None:
         # warehouse. Those stay cold: their first run IS the measurement.
         if not name.startswith("pipeline_e2e"):
             try:
-                qmap[name](spark, "/root/testdata/sf0.001").write.format(
+                qmap[name](spark, warm_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
             except Exception:
-                pass  # warm-up is best-effort; the timed run decides
+                warmup_failures.append(name)  # best-effort, but visible
         spark.catalog.clearCache()
         gc.collect()
         t0 = time.perf_counter()
@@ -152,6 +162,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "warmup_failures": warmup_failures,
                 "table_rows": table_rows,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -59,13 +59,17 @@ def curate_and_export(
         F.col(id_col), F.col(text_col), tx.tokens(F.col(text_col)).alias("__toks")
     )
     stats = tx.quality_stats(F.col(text_col), toks=F.col("__toks"))
-    gated = base.filter(
-        (stats["n_tokens"] >= min_tokens)
-        & (stats["alpha_ratio"] >= min_alpha_ratio)
+    q_ok = (stats["n_tokens"] >= min_tokens) & (
+        stats["alpha_ratio"] >= min_alpha_ratio
     )
-    langed = gated.filter(
-        tx.language_id(F.col(text_col), toks=F.col("__toks")).isin(*langs)
+    l_ok = tx.language_id(F.col(text_col), toks=F.col("__toks")).isin(*langs)
+    # Both gate flags project in ONE pass so the funnel report is a single
+    # conditional aggregation — not one full corpus re-scan per counter.
+    flagged = base.select(
+        id_col, text_col, "__toks",
+        q_ok.alias("__q_ok"), (q_ok & l_ok).alias("__ql_ok"),
     )
+    langed = flagged.filter(F.col("__ql_ok"))
     normalized = langed.select(
         id_col,
         text_col,
@@ -93,10 +97,15 @@ def curate_and_export(
         .cache()
     )
 
+    gate_row = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__q_ok").cast("long")).alias("q"),
+        F.sum(F.col("__ql_ok").cast("long")).alias("ql"),
+    ).first()
     report = {
-        "input_docs": base.count(),
-        "after_quality": gated.count(),
-        "after_language": langed.count(),
+        "input_docs": gate_row["n"],
+        "after_quality": int(gate_row["q"] or 0),
+        "after_language": int(gate_row["ql"] or 0),
         "after_dedup": survivors.count(),
     }
     if fmt == "parquet":

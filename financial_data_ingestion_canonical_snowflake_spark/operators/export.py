@@ -116,12 +116,20 @@ def jsonl_manifest(
     spark: SparkSession, out_dir: str, id_col: str, token_col: str, *, schema: str
 ) -> DataFrame:
     """Per-shard manifest of an exported JSONL directory (partition
-    discovery supplies ``shard``; every line must parse under ``schema``)."""
+    discovery supplies ``shard``).
+
+    ``n_docs`` counts only lines that PARSE under ``schema``; a corrupt or
+    truncated line lands in ``bad_lines`` instead, so a manifest whose
+    totals reconcile cannot be hiding unparseable rows (callers asserting
+    ``sum(n_docs) == corpus`` would otherwise pass while a training
+    data-loader crashes on the broken line)."""
     back = spark.read.text(out_dir).select(
         "shard", F.from_json("value", schema).alias("j")
     )
+    parsed = F.col("j").isNotNull()
     return back.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(parsed.cast("long")).cast("long").alias("n_docs"),
+        F.sum((~parsed).cast("long")).cast("long").alias("bad_lines"),
         F.sum(f"j.{token_col}").cast("long").alias("n_tokens"),
         F.countDistinct("j.seq_id").cast("long").alias("n_sequences"),
         F.min(f"j.{id_col}").cast("long").alias("first_doc"),

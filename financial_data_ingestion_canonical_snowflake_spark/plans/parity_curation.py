@@ -358,6 +358,7 @@ def ns_pack_export_digest(spark, sf_dir):
     READ BACK off disk — so the digest certifies the physical write path
     (one file per shard, packing order, corpus preserved), not just the
     plan."""
+    import shutil
     import tempfile
 
     from ..operators.export import export_shards, export_shards_jsonl
@@ -368,16 +369,33 @@ def ns_pack_export_digest(spark, sf_dir):
         "doc_id", "text", tx.bpe_ish_token_count(F.col("text")).alias("tokens")
     )
     cols = ["shard", "n_docs", "n_tokens", "n_sequences", "first_doc", "last_doc"]
+
+    def _materialized_manifest(manifest):
+        # Pin the (shard-count-sized) manifest rows so the scratch export
+        # directory can be deleted immediately — repeated driver/bench
+        # invocations previously leaked one full shard export per call.
+        return spark.createDataFrame(manifest.select(*cols).collect(), cols)
+
     out_dir = tempfile.mkdtemp(prefix="fincan_export_digest_")
-    manifest = export_shards(
-        docs.drop("text"), "doc_id", "tokens", out_dir,
-        budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
-    ).select(*cols)
+    try:
+        manifest = _materialized_manifest(
+            export_shards(
+                docs.drop("text"), "doc_id", "tokens", out_dir,
+                budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
+            )
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     jsonl_dir = tempfile.mkdtemp(prefix="fincan_export_jsonl_digest_")
-    jsonl = export_shards_jsonl(
-        docs, "doc_id", "tokens", "text", jsonl_dir,
-        budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
-    ).select(*cols)
+    try:
+        jsonl = _materialized_manifest(
+            export_shards_jsonl(
+                docs, "doc_id", "tokens", "text", jsonl_dir,
+                budget=_PACK_BUDGET, num_shards=_PACK_SHARDS,
+            )
+        )
+    finally:
+        shutil.rmtree(jsonl_dir, ignore_errors=True)
     return (
         digest_frame(pack, "ns_pack_sequences")
         .unionByName(digest_frame(manifest, "ns_export_shards"))

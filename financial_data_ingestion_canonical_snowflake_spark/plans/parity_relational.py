@@ -238,10 +238,12 @@ def ns_sliding_window_agg(spark, sf_dir):
     """,
 )
 def ns_tpch_q5_regional_volume(spark, sf_dir):
-    """TPC-H Q5 shape (local-supplier volume): a 6-table join where only the
-    lineitem⋈orders⋈customer chain is fact-sized — supplier/nation/region
-    broadcast, and the region filter prunes through the broadcast before the
-    fact scan aggregates. The c_nationkey = s_nationkey "local supplier"
+    """TPC-H Q5 shape (local-supplier volume): a 6-table join where the
+    lineitem⋈orders⋈customer chain is fact-sized (hinted broadcasts only on
+    the true dimensions supplier/nation/region — customer is left to AQE,
+    which broadcasts it at fixture scale and shuffles it at real scale),
+    and the region filter prunes through the broadcast before the fact
+    scan aggregates. The c_nationkey = s_nationkey "local supplier"
     predicate rides the supplier join, never a separate pass."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -252,7 +254,9 @@ def ns_tpch_q5_regional_volume(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is FACT-sized (scales with the corpus) — no broadcast
+        # hint; AQE promotes it at fixture scale, shuffles it at real scale
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),

@@ -269,6 +269,7 @@ def test_export_shards_jsonl_roundtrip(spark, sf_oracle, tmp_path):
     ).collect()
     assert len(manifest) == 4
     assert sum(r["n_docs"] for r in manifest) == docs.count()
+    assert all(r["bad_lines"] == 0 for r in manifest)
 
     # one JSONL file per shard; lines parse and are in packing order
     seen = {}

@@ -184,10 +184,12 @@ def test_gap_fill_single_shuffle(spark, sf_oracle):
 
 
 def test_tpch_q5_dimensions_broadcast(spark, sf_oracle):
-    """supplier/nation/region/customer ride broadcast joins — the lineitem
-    scan must never shuffle for a dimension."""
+    """The true dimensions (supplier/nation/region) ride broadcast joins —
+    the lineitem scan must never shuffle for a dimension. (customer is
+    fact-sized and deliberately NOT hinted; AQE may broadcast it at
+    fixture scale, so only 3 broadcasts are required.)"""
     plan = _executed("ns_tpch_q5_regional_volume", spark, sf_oracle)
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
 
 
 def test_c4_filters_zero_shuffle(spark, sf_oracle):

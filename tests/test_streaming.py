@@ -466,7 +466,7 @@ def test_stream_full_canonical_chain_matches_batch(spark, tmp_path):
         source_system="JSON",
         batch_ts=batch_ts,
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not drain within 240s"
 
     assert sorted(map(tuple, txn.read(spark).collect())) == want_txn
     assert sorted(map(tuple, line.read(spark).collect())) == want_line
