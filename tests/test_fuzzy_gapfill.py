@@ -91,3 +91,91 @@ def test_gap_fill_single_observation_key(spark):
     ).select("k", F.timestamp_micros("us").alias("ts"), "o", "v")
     out = gap_fill_ffill(df, "k", "ts", "v", "o", step_seconds=3600).collect()
     assert len(out) == 1 and out[0].is_observed and out[0].value == 3.3
+
+
+# ------------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=20),     # bucket index
+        st.integers(min_value=0, max_value=5),      # order tiebreak
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@_H
+@given(_obs)
+def test_gap_fill_matches_python_reference(spark, obs):
+    rows = [
+        (k, b * _HOUR_US + o, o, float(v))  # distinct ts per (bucket, order)
+        for k, b, o, v in obs
+    ]
+    # dedupe exact (k, ts) collisions — the operator tiebreaks on order,
+    # the reference below does the same
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "k long, us long, o long, v double",
+    ).filter(F.col("k").isNotNull()).select(
+        "k", F.timestamp_micros("us").alias("ts"), "o", "v"
+    )
+    got = {
+        (r.key, r.bucket_us): (r.value, r.is_observed)
+        for r in gap_fill_ffill(
+            df, "k", "ts", "v", "o", step_seconds=3600
+        ).collect()
+    }
+
+    # python reference: per key, last (ts, o) per bucket wins; forward fill
+    # between consecutive observed buckets
+    per_key: dict[int, dict[int, tuple]] = {}
+    for k, b, o, v in obs:
+        cur = per_key.setdefault(k, {})
+        ts = b * _HOUR_US + o
+        if b not in cur or (ts, o) > cur[b][:2]:
+            cur[b] = (ts, o, float(v))
+    want = {}
+    for k, buckets in per_key.items():
+        bs = sorted(buckets)
+        for i, b in enumerate(bs):
+            end = bs[i + 1] - 1 if i + 1 < len(bs) else b
+            for fill in range(b, end + 1):
+                want[(k, fill * _HOUR_US)] = (
+                    buckets[b][2], fill == b
+                )
+    # float32 hypothesis values round-trip exactly through double
+    assert got == want
+
+
+@_H
+@given(st.lists(st.sampled_from(
+    ["good line here ok yes.", "bad", "no punct line words here",
+     "slow line with words here.", ""]), min_size=0, max_size=12))
+def test_c4_counters_partition_lines(spark, lines):
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        c4_line_filters,
+    )
+
+    df = spark.createDataFrame([(1, lines)], "doc_id long, lines array<string>")
+    stats = c4_line_filters(F.col("lines"), min_words=4, blocklist=("slow",))
+    row = df.select(
+        F.size(stats["kept_lines"]).alias("kept"),
+        stats["n_lines"].alias("n"),
+        stats["n_short"].alias("s"),
+        stats["n_nopunct"].alias("p"),
+        stats["n_blocklist"].alias("b"),
+    ).first()
+    assert row.n == len(lines)
+    assert row.n == row.kept + row.s + row.p + row.b
