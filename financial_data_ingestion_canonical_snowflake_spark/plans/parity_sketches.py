@@ -64,8 +64,12 @@ def ns_sketch_hll_users(spark, sf_dir):
     # md5 register hashing is CPU-bound map work and the fixture parquet is
     # one row group (single-core scan locally) — spread rows first; at real
     # scale inputs arrive in many row groups (parity_text._docs2 concession)
-    ev = table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
+    # localCheckpoint: the scan+repartition feeds BOTH the exact branch
+    # and the sketch branch — materialize once instead of twice
+    ev = (
+        table(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_ndv")
@@ -135,7 +139,11 @@ def ns_sketch_cms_tokens(spark, sf_dir):
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = d.select("lang", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    # the exploded token frame feeds BOTH the counter matrix and the exact
+    # top-k branch — checkpoint so tokenize+explode runs once, not twice
+    toks = d.select(
+        "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=True)
     state = cms_state(toks, ["lang"], "token")
     w = Window.partitionBy("lang").orderBy(F.desc("exact_cnt"), F.asc("token"))
     top = (

@@ -143,6 +143,11 @@ def test_new_operator_scans_prune_columns(spark, sf_oracle):
         ("ns_cohort_retention", {"ts", "user_id"}),
         ("ns_vector_quantize_int8", {"vec_id", "embedding"}),
         ("ns_source_token_divergence", {"text", "source"}),
+        ("ns_fuzzy_match_pairs", {"p_partkey", "p_name"}),
+        ("ns_gap_fill_ffill", {"user_id", "ts", "value", "event_id"}),
+        ("ns_calendar_rollup", {"o_orderdate", "o_totalprice"}),
+        ("ns_text_c4_filters", {"doc_id", "text"}),
+        ("ns_linreg_corr", {"l_returnflag", "l_quantity", "l_extendedprice", "l_discount"}),
     ]
     for name, allowed in cases:
         plan = (
