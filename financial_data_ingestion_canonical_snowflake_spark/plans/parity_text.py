@@ -774,6 +774,62 @@ def ns_text_c4_filters(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_vocab_coverage",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle="""
+    WITH t AS (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+    ranked AS (
+        SELECT token, cnt, total_tokens,
+               CAST(row_number() OVER w AS BIGINT) AS rank,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS cum_cnt
+        FROM counts CROSS JOIN tot
+        WINDOW w AS (ORDER BY cnt DESC, token ASC)
+    )
+    SELECT rank, token, cnt, total_tokens,
+           CAST(floor((cum_cnt * 1000000) / total_tokens) AS BIGINT)
+               AS coverage_ppm
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def ns_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary induction report: the top-V corpus tokens
+    with cumulative coverage (integer parts-per-million — engine-exact).
+    The quantity a tokenizer build reads to size its vocabulary (coverage
+    at V ⇒ OOV rate = 1 − coverage). One token-wide groupBy shuffle; the
+    ranked cumsum runs on the VOCABULARY (counts table), which is
+    vocabulary-sized, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.withColumn("total_tokens", total)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank", "token", "cnt", "total_tokens",
+            F.floor((F.col("cum_cnt") * F.lit(1_000_000)) / F.col("total_tokens"))
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-slot composite: the text-analysis family in ONE oracle-paired entry
 # (SURVEY.md §8 50-entry driver window). Each member probe's full result set
@@ -829,6 +885,13 @@ _TEXT_DIGEST = [
     (
         "ns_chunk_dedup",
         [("content_hash", "s"), ("survivor_id", "s"), ("dup_cnt", "s")],
+    ),
+    (
+        "ns_vocab_coverage",
+        [
+            ("rank", "s"), ("token", "s"), ("cnt", "s"),
+            ("total_tokens", "s"), ("coverage_ppm", "s"),
+        ],
     ),
     (
         "ns_profile_columns",
