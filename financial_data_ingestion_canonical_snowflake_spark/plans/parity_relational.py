@@ -453,6 +453,47 @@ def ns_calendar_rollup(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_expectations",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - SUM(CASE WHEN o_custkey IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+               CAST(COUNT(*) - SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(COUNT(*) - SUM(CASE WHEN o_totalprice > 0
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v3
+        FROM orders
+    )
+    SELECT 'custkey_not_null' AS rule, n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM agg
+    UNION ALL SELECT 'status_accepted', n, v1, v1 = 0 FROM agg
+    UNION ALL SELECT 'totalprice_positive', n, v2, v2 = 0 FROM agg
+    UNION ALL SELECT 'orderkey_unique', n, v3, v3 = 0 FROM agg
+    """,
+)
+def ns_expectations(spark, sf_dir):
+    """Declarative data-quality expectations (operators/expectations.py):
+    not-null, accepted-values, range, and key-uniqueness rules evaluated
+    in ONE aggregate pass (conditional sums + a distinct count), exploded
+    into one report row per rule. NULL predicate results count as
+    violations — a NULL comparison is a failed expectation, not a pass."""
+    from ..operators.expectations import check_expectations
+
+    o = table(spark, sf_dir, "orders")
+    return check_expectations(
+        o,
+        rules=[
+            ("custkey_not_null", F.col("o_custkey").isNotNull()),
+            ("status_accepted", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+        ],
+        unique_keys=[("orderkey_unique", ["o_orderkey"])],
+    )
+
+
 # Digest-member specs consumed by parity_core's probe_digest_relational.
 RELATIONAL_DIGEST_MEMBERS = [
     (
@@ -510,5 +551,9 @@ RELATIONAL_DIGEST_MEMBERS = [
             ("order_month", "s"), ("dow", "s"), ("is_weekend", "s"),
             ("order_cnt", "s"), ("total_price", "d"),
         ],
+    ),
+    (
+        "ns_expectations",
+        [("rule", "s"), ("n_rows", "s"), ("n_violations", "s"), ("passed", "s")],
     ),
 ]

@@ -179,3 +179,34 @@ def test_c4_counters_partition_lines(spark, lines):
     ).first()
     assert row.n == len(lines)
     assert row.n == row.kept + row.s + row.p + row.b
+
+
+def test_expectations_counts_and_null_semantics(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, None, -1.0), (None, "X", None), (1, "F", 5.0)],
+        "k long, s string, v double",
+    )
+    rep = {
+        r.rule: r
+        for r in check_expectations(
+            df,
+            rules=[
+                ("k_not_null", F.col("k").isNotNull()),
+                ("s_accepted", F.col("s").isin("O", "F")),
+                ("v_positive", F.col("v") > 0),
+            ],
+            unique_keys=[("k_unique", ["k"])],
+        ).collect()
+    }
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert rep["k_not_null"].n_violations == 1
+    # NULL membership/comparison counts as violation, not a pass
+    assert rep["s_accepted"].n_violations == 2
+    assert rep["v_positive"].n_violations == 2
+    # k values: 1, 2, NULL, 1 -> 3 distinct (NULL is a key value) -> 1 surplus
+    assert rep["k_unique"].n_violations == 1
+    assert not rep["k_unique"].passed
