@@ -334,6 +334,51 @@ _MANIFEST_DIGEST_COLS = [
 ]
 
 
+
+_MIXTURE_PPM = {
+    **{f"src{i}": 2_250_000 for i in range(5)},     # 2.25 epochs: upweighted
+    **{f"src{i}": 1_000_000 for i in range(5, 10)},  # 1 epoch: as-is
+    **{f"src{i}": 400_000 for i in range(10, 15)},   # 0.4 epoch: downsampled
+    # src15..src19 absent -> dropped
+}
+
+_MIXTURE_RATES_SQL = ", ".join(
+    f"('{s}', {ppm})" for s, ppm in sorted(_MIXTURE_PPM.items())
+)
+
+
+@parity(
+    "ns_apply_mixture",
+    driver=False,  # driver slot: folded into ns_pack_export_digest
+    oracle=f"""
+    WITH rates(source, ppm) AS (VALUES {_MIXTURE_RATES_SQL}),
+    d AS (
+        SELECT doc_id, documents.source, ppm,
+               (ppm // 1000000)
+               + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::BIGINT
+                            % 1000000) < (ppm % 1000000)
+                      THEN 1 ELSE 0 END AS copies
+        FROM documents JOIN rates ON documents.source = rates.source
+    )
+    SELECT doc_id, source, CAST(t.i AS BIGINT) AS copy_idx
+    FROM d, UNNEST(generate_series(0, copies - 1)) AS t(i)
+    WHERE copies > 0
+    """,
+)
+def ns_apply_mixture(spark, sf_dir):
+    """Materialize a training-source mixture (operators/mixture.py):
+    upweighted sources replicate (integer epochs), downsampled sources keep
+    the md5-bucket fraction, absent sources drop — the APPLY step for the
+    reweighting ns_source_mixture computes. Deterministic (no RNG), zero
+    shuffle, fan-out = output size."""
+    from ..operators.mixture import apply_source_mixture
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return apply_source_mixture(docs, "doc_id", "source", _MIXTURE_PPM).select(
+        "doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
 def _pack_export_oracle() -> str:
     from .registry import ALL_ORACLE_SQL, digest_sql
 
@@ -345,6 +390,12 @@ def _pack_export_oracle() -> str:
         # JSONL writer: identical manifest contract, distinct physical path
         + digest_sql(
             "ns_export_shards_jsonl", _EXPORT_MANIFEST_SQL, _MANIFEST_DIGEST_COLS
+        )
+        + "\nUNION ALL\n"
+        + digest_sql(
+            "ns_apply_mixture",
+            ALL_ORACLE_SQL["ns_apply_mixture"],
+            [("doc_id", "s"), ("source", "s"), ("copy_idx", "s")],
         )
     )
 
@@ -400,6 +451,11 @@ def ns_pack_export_digest(spark, sf_dir):
         digest_frame(pack, "ns_pack_sequences")
         .unionByName(digest_frame(manifest, "ns_export_shards"))
         .unionByName(digest_frame(jsonl, "ns_export_shards_jsonl"))
+        .unionByName(
+            digest_frame(
+                ALL_QUERIES["ns_apply_mixture"](spark, sf_dir), "ns_apply_mixture"
+            )
+        )
     )
 
 

@@ -616,3 +616,35 @@ def test_funnel_strictly_after_and_tiebreak(spark):
         ).collect()
     }
     assert out == {1: 2, 2: 1}
+
+
+def test_apply_mixture_epoch_math(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.mixture import (
+        apply_source_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)] + [(i + 100, "b") for i in range(100)]
+        + [(i + 200, "c") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = apply_source_mixture(
+        df, "doc_id", "source",
+        {"a": 3_000_000, "b": 500_000},  # c absent -> dropped
+    )
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # a: exactly 3 copies each; b: ~half via md5 bucket; c: gone
+    assert per["a"] == 300
+    assert 20 <= per.get("b", 0) <= 80
+    assert "c" not in per
+    # copy_idx dense per doc: doc in 'a' has copies 0,1,2
+    a_copies = sorted(
+        r.copy_idx for r in out.filter(F.col("doc_id") == 0).collect()
+    )
+    assert a_copies == [0, 1, 2]
+    # deterministic: second run identical
+    out2 = apply_source_mixture(
+        df, "doc_id", "source", {"a": 3_000_000, "b": 500_000}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
