@@ -40,7 +40,10 @@ def check_expectations(
     names: list[str] = []
     for name, pred in rules:
         ok = F.when(pred, F.lit(1)).otherwise(F.lit(0))
-        aggs.append((n_rows - F.sum(ok).cast("long")).alias(f"__v_{len(names)}"))
+        # coalesce: SUM over zero rows is NULL — an empty (violation-free)
+        # load must report 0 violations / passed, not NULL
+        viol = n_rows - F.coalesce(F.sum(ok), F.lit(0)).cast("long")
+        aggs.append(viol.alias(f"__v_{len(names)}"))
         names.append(name)
     for name, cols in unique_keys or []:
         key = F.struct(*[F.col(c) for c in cols])

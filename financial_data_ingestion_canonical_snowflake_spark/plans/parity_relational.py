@@ -465,7 +465,9 @@ def ns_calendar_rollup(spark, sf_dir):
                                         THEN 1 ELSE 0 END) AS BIGINT) AS v1,
                CAST(COUNT(*) - SUM(CASE WHEN o_totalprice > 0
                                         THEN 1 ELSE 0 END) AS BIGINT) AS v2,
-               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v3
+               -- ROW() wrapper: NULL keys count as one distinct value,
+               -- matching the operator's struct-counted semantics
+               CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT) AS v3
         FROM orders
     )
     SELECT 'custkey_not_null' AS rule, n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM agg

@@ -68,6 +68,8 @@ def ns_sketch_hll_users(spark, sf_dir):
     # and the sketch branch — materialize once instead of twice
     ev = (
         table(spark, sf_dir, "events")
+        .select("event_type", "user_id")  # project BEFORE the checkpoint —
+        # lineage truncation would otherwise materialize all six columns
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )

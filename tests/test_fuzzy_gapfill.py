@@ -119,12 +119,16 @@ _obs = st.lists(
 @_H
 @given(_obs)
 def test_gap_fill_matches_python_reference(spark, obs):
+    # collapse exact (k, bucket, order) collisions first (last drawn wins)
+    # — the operator's (ts, order) tiebreak is only deterministic when the
+    # tiebreak key is unique, which real event streams guarantee via ids
+    uniq = {}
+    for k, b, o, v in obs:
+        uniq[(k, b, o)] = float(v)
     rows = [
-        (k, b * _HOUR_US + o, o, float(v))  # distinct ts per (bucket, order)
-        for k, b, o, v in obs
+        (k, b * _HOUR_US + o, o, v)  # distinct ts per (bucket, order)
+        for (k, b, o), v in uniq.items()
     ]
-    # dedupe exact (k, ts) collisions — the operator tiebreaks on order,
-    # the reference below does the same
     df = spark.createDataFrame(
         rows or [(None, None, None, None)],
         "k long, us long, o long, v double",
@@ -141,11 +145,11 @@ def test_gap_fill_matches_python_reference(spark, obs):
     # python reference: per key, last (ts, o) per bucket wins; forward fill
     # between consecutive observed buckets
     per_key: dict[int, dict[int, tuple]] = {}
-    for k, b, o, v in obs:
+    for (k, b, o), v in uniq.items():
         cur = per_key.setdefault(k, {})
         ts = b * _HOUR_US + o
         if b not in cur or (ts, o) > cur[b][:2]:
-            cur[b] = (ts, o, float(v))
+            cur[b] = (ts, o, v)
     want = {}
     for k, buckets in per_key.items():
         bs = sorted(buckets)
