@@ -316,6 +316,64 @@ def minhash_lsh_pairs_incremental(
     return _dedupe_scored_pairs(cross.unionByName(within_new), min_matching)
 
 
+def frequent_line_removal(
+    df: DataFrame,
+    id_col: str,
+    lines_col: str,
+    max_doc_freq: int = 10,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the RefinedWeb/Dolma line-dedup
+    pass): a line whose normalized form (lower + trim) appears in more than
+    ``max_doc_freq`` DISTINCT documents is dropped from every document; the
+    surviving lines reassemble in original order.
+
+    Scale posture: the line-frequency aggregate is the only corpus-wide
+    shuffle keyed by line (md5 of the normalized line — the shuffle carries a
+    32-char key, never the line text). The *drop set* (lines OVER the cap) is
+    small in kind even when massive in volume — boilerplate is by definition
+    few distinct strings — so it broadcasts into a map-side anti-join; the
+    reassembly then shuffles each document's kept lines once, keyed by
+    document. The exploded frame feeds both the frequency pass and the
+    anti-join, so it persists for the job (MEMORY_AND_DISK, LRU-evicted).
+
+    Returns ``(id, n_lines, n_kept, n_dropped, kept_text)`` — one row per
+    input document, including documents whose every line was dropped.
+    """
+    base = df.select(F.col(id_col).alias("__doc"), F.col(lines_col).alias("__lines"))
+    exploded = (
+        base.select("__doc", F.posexplode("__lines").alias("pos", "line"))
+        .withColumn("lkey", F.md5(F.lower(F.trim(F.col("line")))))
+        .persist()
+    )
+    drop_keys = (
+        exploded.groupBy("lkey")
+        .agg(F.count_distinct("__doc").alias("line_df"))
+        .filter(F.col("line_df") > max_doc_freq)
+        .select("lkey")
+    )
+    kept = exploded.join(F.broadcast(drop_keys), "lkey", "left_anti")
+    agg = kept.groupBy("__doc").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__kept_text"),
+    )
+    sizes = base.select("__doc", F.size("__lines").cast("long").alias("n_lines"))
+    return sizes.join(agg, "__doc", "left").select(
+        F.col("__doc").alias(id_col),
+        "n_lines",
+        F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("__kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -496,6 +496,99 @@ def ns_expectations(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_scd2_dimension",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH src AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    chg AS (
+        SELECT user_id, event_type, ts, event_id FROM src
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version_n,
+           event_type AS state,
+           CAST(epoch_us(ts) AS BIGINT) AS eff_from_us,
+           CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS eff_to_us,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ns_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from a change stream: per
+    user, consecutive equal states collapse (lag), each surviving change
+    opens a version effective [eff_from, eff_to) with eff_to = the next
+    change's timestamp (lead) and NULL marking the current version. Both
+    window passes share one (user_id, ts, event_id) sort — the change
+    filter preserves partitioning AND order, so Catalyst plans ONE
+    exchange for the whole build. Epoch-micro integer rendering keeps the
+    surface engine-exact."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    eff_from = F.unix_micros(F.col("ts"))
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.col("event_type").alias("state"),
+        eff_from.alias("eff_from_us"),
+        F.lead(eff_from).over(w).alias("eff_to_us"),
+        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+@parity(
+    "ns_rolling_range_agg",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS value_sum_1h
+    FROM events WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ns_rolling_range_agg(spark, sf_dir):
+    """Time-range rolling window (RANGE BETWEEN INTERVAL '1 hour' PRECEDING):
+    per-user trailing-hour event count and spend at every event. The frame
+    is value-based (epoch micros), not row-based — gaps and ties behave
+    identically in both engines because RANGE includes all order-key peers.
+    One (user_id)-partitioned sort; the frame evaluates as a sliding
+    accumulator within each sorted partition, never a per-row rescan."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tsu = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tsu)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cnt_1h"),
+        F.sum(_dec(F.col("value"))).over(w).cast("double").alias("value_sum_1h"),
+    )
+
+
 # Digest-member specs consumed by parity_core's probe_digest_relational.
 RELATIONAL_DIGEST_MEMBERS = [
     (
@@ -557,5 +650,19 @@ RELATIONAL_DIGEST_MEMBERS = [
     (
         "ns_expectations",
         [("rule", "s"), ("n_rows", "s"), ("n_violations", "s"), ("passed", "s")],
+    ),
+    (
+        "ns_scd2_dimension",
+        [
+            ("user_id", "s"), ("version_n", "s"), ("state", "s"),
+            ("eff_from_us", "s"), ("eff_to_us", "s"), ("is_current", "s"),
+        ],
+    ),
+    (
+        "ns_rolling_range_agg",
+        [
+            ("event_id", "s"), ("user_id", "s"), ("cnt_1h", "s"),
+            ("value_sum_1h", "d"),
+        ],
     ),
 ]

@@ -775,6 +775,69 @@ def ns_text_c4_filters(spark, sf_dir):
 
 
 @parity(
+    "ns_text_line_dedup",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_append(
+                   string_split(replace(text, ' value ', '.' || chr(10)), chr(10)),
+                   'subscribe to our newsletter today.') AS lines
+        FROM documents
+    ),
+    ln AS (
+        SELECT doc_id,
+               UNNEST(lines) AS line,
+               generate_subscripts(lines, 1) AS pos
+        FROM base
+    ),
+    keyed AS (
+        SELECT doc_id, pos, line, md5(lower(trim(line))) AS lkey FROM ln
+    ),
+    drop_keys AS (
+        SELECT lkey FROM keyed GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 25
+    ),
+    kept AS (
+        SELECT k.doc_id, k.pos, k.line
+        FROM keyed k
+        WHERE NOT EXISTS (SELECT 1 FROM drop_keys d WHERE d.lkey = k.lkey)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS kept_text
+        FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(len(b.lines) AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(b.lines) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(a.kept_text, '') AS kept_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def ns_text_line_dedup(spark, sf_dir):
+    """Corpus-level frequent-line removal (operators/text_dedup.py
+    frequent_line_removal — the RefinedWeb/Dolma boilerplate-line pass):
+    lines appearing in more than 25 distinct documents drop from every
+    document, survivors reassemble in order. The driver corpus is
+    single-line, so line structure injects in-query (' value ' → '.\\n',
+    the c4-filter pattern) plus a universal footer line appended to every
+    document — guaranteed cross-corpus boilerplate the pass must remove.
+    One line-key shuffle + a broadcast anti-join + one per-doc reassembly
+    shuffle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.split(
+                F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")), "\n"
+            ),
+            F.array(F.lit("subscribe to our newsletter today.")),
+        ).alias("lines"),
+    )
+    return td.frequent_line_removal(docs, "doc_id", "lines", max_doc_freq=25)
+
+
+@parity(
     "ns_vocab_coverage",
     driver=False,  # driver slot: folded into ns_text_digest
     oracle="""
@@ -885,6 +948,13 @@ _TEXT_DIGEST = [
     (
         "ns_chunk_dedup",
         [("content_hash", "s"), ("survivor_id", "s"), ("dup_cnt", "s")],
+    ),
+    (
+        "ns_text_line_dedup",
+        [
+            ("doc_id", "s"), ("n_lines", "s"), ("n_kept", "s"),
+            ("n_dropped", "s"), ("kept_text", "s"),
+        ],
     ),
     (
         "ns_vocab_coverage",
