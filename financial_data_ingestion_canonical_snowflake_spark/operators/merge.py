@@ -60,6 +60,7 @@ def merge_upsert(
     dedupe_order: Sequence | None = None,
     set_on_update: dict | None = None,
     set_on_insert: dict | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE emulation: returns the post-merge table as a DataFrame.
 
@@ -70,12 +71,46 @@ def merge_upsert(
     - unmatched source rows -> inserted
     - ``set_on_update`` / ``set_on_insert``: column->Column overrides applied
       to matched / inserted rows (e.g. ``updated_ts = current_timestamp()``).
+    - ``evolve_schema=True`` merges mismatched schemas instead of asserting:
+      columns only in the source APPEND to the table (typed NULL for
+      pre-existing rows), columns missing from the source are PRESERVED from
+      the target (the source simply didn't speak to them — Delta
+      ``mergeSchema`` semantics); a column present on both sides with
+      different types raises. The scoped/hive-layout variant deliberately
+      does NOT take this flag: evolving a partitioned table's schema requires
+      a table rewrite, not a partition swap.
 
     NULL key values match null-safely (reference M3 uses
     ``COALESCE(line_number, -1)`` to the same effect,
     sql/06_anomaly_detection.sql:36-39).
     """
     keys = list(keys)
+    if evolve_schema:
+        t_types = dict(target.dtypes)
+        s_types = dict(source.dtypes)
+        conflicts = {
+            c: (t_types[c], s_types[c])
+            for c in t_types
+            if c in s_types and t_types[c] != s_types[c]
+        }
+        if conflicts:
+            raise ValueError(
+                f"merge_upsert(evolve_schema=True): type conflicts {conflicts}; "
+                "cast the source to the table types first"
+            )
+        bad_keys = [k for k in keys if k not in t_types or k not in s_types]
+        if bad_keys:
+            raise ValueError(
+                f"merge_upsert(evolve_schema=True): merge keys {bad_keys} must "
+                "exist on both sides — schema evolution never invents keys"
+            )
+        added = [c for c in source.columns if c not in t_types]
+        unspoken = [c for c in target.columns if c not in s_types]
+        for c in added:
+            target = target.withColumn(c, F.lit(None).cast(s_types[c]))
+        for c in unspoken:
+            source = source.withColumn(c, F.lit(None).cast(t_types[c]))
+        preserve = list(preserve) + [c for c in unspoken if c not in preserve]
     out_cols = list(target.columns)
     assert set(out_cols) == set(source.columns), (
         f"merge_upsert requires aligned schemas; target={out_cols} source={source.columns}"
@@ -113,6 +148,68 @@ def merge_upsert(
             base = F.when(inserted, set_on_insert[c]).otherwise(base)
         projections.append(base.alias(c))
     return joined.select(*projections)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC feed between two snapshots of a keyed table: one row per key whose
+    state changed, ``change_type`` in ('insert', 'update', 'delete').
+
+    Row values are the NEW side's (the state after the change); deletes carry
+    the OLD side's last-known values. Unchanged keys (every compared column
+    null-safely equal) emit nothing. Pair with ``ParquetTable.
+    read_generation`` to derive the change feed between any two retained
+    generations — the inverse of MERGE: ``merge_upsert(old, diff-as-upserts)
+    minus deletes == new`` (pytest-proven).
+
+    Scale posture: ONE null-safe key shuffle (the full-outer join both
+    engines' CDC implementations bottom out in); the change predicate
+    evaluates map-side post-join. At 100 TB diff partition-by-partition
+    (hive layout makes untouched partitions byte-identical — skip them by
+    file listing) rather than whole-table.
+    """
+    keys = list(keys)
+    data_cols = [c for c in old.columns if c not in keys]
+    assert old.columns == new.columns, (
+        f"snapshot_diff requires identical schemas; old={old.columns} new={new.columns}"
+    )
+    cmp_cols = list(compare_cols) if compare_cols is not None else data_cols
+    o = old.select(
+        F.lit(True).alias(_T_PRESENT), *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+    )
+    n = new.select(
+        F.lit(True).alias(_S_PRESENT), *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys],
+    )
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(_T_PRESENT).isNotNull()
+    in_new = F.col(_S_PRESENT).isNotNull()
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in cmp_cols],
+        F.lit(True),
+    )
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    out = j.withColumn("change_type", change).filter(F.col("change_type").isNotNull())
+    side = lambda c: F.when(  # noqa: E731 — row values follow the change side
+        F.col("change_type") == "delete", F.col(f"__o_{c}")
+    ).otherwise(F.col(f"__n_{c}"))
+    return out.select(
+        *[side(k).alias(k) for k in keys],
+        "change_type",
+        *[side(c).alias(c) for c in data_cols],
+    )
 
 
 def merge_upsert_scoped(

@@ -572,8 +572,10 @@ def ns_rolling_range_agg(spark, sf_dir):
     per-user trailing-hour event count and spend at every event. The frame
     is value-based (epoch micros), not row-based — gaps and ties behave
     identically in both engines because RANGE includes all order-key peers.
-    One (user_id)-partitioned sort; the frame evaluates as a sliding
-    accumulator within each sorted partition, never a per-row rescan."""
+    One (user_id)-partitioned sort; Spark's sliding frame replays the
+    buffered frame when its lower bound advances (no retraction), so cost
+    is O(rows x avg frame width) — bounded here by an hour of per-user
+    events, the practical case for trailing-window features."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     tsu = F.unix_micros(F.col("ts"))
     w = (
@@ -586,6 +588,75 @@ def ns_rolling_range_agg(spark, sf_dir):
         "user_id",
         F.count(F.lit(1)).over(w).cast("long").alias("cnt_1h"),
         F.sum(_dec(F.col("value"))).over(w).cast("double").alias("value_sum_1h"),
+    )
+
+
+@parity(
+    "ns_snapshot_diff_cdc",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH cols AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    )
+    SELECT o_orderkey, 'delete' AS change_type, o_custkey, o_orderstatus,
+           o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us,
+           o_orderpriority
+    FROM cols WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT o_orderkey, 'update', o_custkey, o_orderstatus,
+           o_totalprice + 10.0,
+           CAST(epoch_us(o_orderdate) AS BIGINT), o_orderpriority
+    FROM cols WHERE o_orderkey % 13 <> 0 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'insert', o_custkey, 'N', o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT), o_orderpriority
+    FROM cols WHERE o_orderkey % 17 = 0
+    """,
+)
+def ns_snapshot_diff_cdc(spark, sf_dir):
+    """Generation-diff CDC feed (operators/merge.py snapshot_diff): one
+    null-safe full-outer key join between two snapshots, change predicate
+    map-side, one row per inserted/updated/deleted key (deletes carry the
+    old values). The new snapshot derives in-query from orders — %13 keys
+    deleted, %5 prices bumped +10.0 (IEEE-exact both engines), %17 keys
+    re-inserted shifted — so the oracle can state the expected feed
+    directly. The diff is the inverse of MERGE: applying it to the old
+    snapshot reproduces the new one (pytest-proven round trip)."""
+    from ..operators.merge import snapshot_diff
+
+    o = table(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    new = upd.select(*o.columns).unionByName(ins)
+    d = snapshot_diff(o, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        # o_orderdate may arrive TIMESTAMP_NTZ (driver parquet encoding
+        # varies — see registry.table); cast under the pinned UTC session
+        # so epoch micros agree with DuckDB's naive epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_date_us"
+        ),
+        "o_orderpriority",
     )
 
 
@@ -663,6 +734,14 @@ RELATIONAL_DIGEST_MEMBERS = [
         [
             ("event_id", "s"), ("user_id", "s"), ("cnt_1h", "s"),
             ("value_sum_1h", "d"),
+        ],
+    ),
+    (
+        "ns_snapshot_diff_cdc",
+        [
+            ("o_orderkey", "s"), ("change_type", "s"), ("o_custkey", "s"),
+            ("o_orderstatus", "s"), ("o_totalprice", "d"),
+            ("order_date_us", "s"), ("o_orderpriority", "s"),
         ],
     ),
 ]

@@ -363,3 +363,105 @@ def test_graph_stats_matches_bruteforce(spark, edges):
     assert (row["max_degree"] or 0) == (max(deg.values()) if deg else 0)
     assert (row["n_wedges"] or 0) == sum(d * (d - 1) // 2 for d in deg.values())
     assert (row["n_triangles"] or 0) == tris
+
+
+_line = st.sampled_from(["footer", "menu", "alpha", "beta gamma", "  Footer ", ""])
+_doc_lines = st.lists(_line, min_size=0, max_size=6)
+
+
+@SETTINGS
+@given(docs=st.lists(_doc_lines, min_size=1, max_size=10),
+       cap=st.integers(min_value=0, max_value=5))
+def test_frequent_line_removal_matches_python_reference(spark, docs, cap):
+    """frequent_line_removal == a pure-Python doc-frequency reference on
+    random corpora (normalization collisions, empty lines, all-dropped
+    docs included)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        frequent_line_removal,
+    )
+
+    rows = [(i, lines) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    got = {
+        r["doc_id"]: r
+        for r in frequent_line_removal(df, "doc_id", "lines", max_doc_freq=cap).collect()
+    }
+
+    norm = lambda s: s.strip().lower()  # noqa: E731
+    doc_freq: dict[str, set[int]] = {}
+    for i, lines in rows:
+        for ln in lines:
+            doc_freq.setdefault(norm(ln), set()).add(i)
+    dropped = {k for k, v in doc_freq.items() if len(v) > cap}
+
+    assert set(got) == {i for i, _ in rows}
+    for i, lines in rows:
+        kept = [ln for ln in lines if norm(ln) not in dropped]
+        assert got[i]["n_lines"] == len(lines)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["n_dropped"] == len(lines) - len(kept)
+        assert got[i]["kept_text"] == "\n".join(kept)
+
+
+_ev = st.tuples(
+    st.integers(min_value=0, max_value=3),          # user
+    st.integers(min_value=0, max_value=50),         # ts offset (seconds)
+    st.sampled_from(["a", "b", "c"]),               # state
+)
+
+
+@SETTINGS
+@given(events=st.lists(_ev, min_size=1, max_size=30))
+def test_scd2_matches_python_reference(spark, events):
+    """The SCD2 build (lag-collapse + lead-close) == a pure-Python fold over
+    random change streams, including duplicate timestamps (event_id breaks
+    ties deterministically)."""
+    from pyspark.sql.window import Window
+
+    # tz-aware instants: naive datetimes would convert through the HOST
+    # timezone in .timestamp() but the SESSION timezone in Spark — aware
+    # datetimes are unambiguous on both paths
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (eid, u, base + dt.timedelta(seconds=s), state)
+        for eid, (u, s, state) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        df.withColumn("prev", F.lag("state").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("version_n"),
+            "state",
+            F.unix_micros(F.col("ts")).alias("eff_from_us"),
+            F.lead(F.unix_micros(F.col("ts"))).over(w).alias("eff_to_us"),
+        )
+    )
+    got = {
+        (r["user_id"], r["version_n"]): (r["state"], r["eff_from_us"], r["eff_to_us"])
+        for r in changes.collect()
+    }
+
+    # python reference: sort by (ts, event_id) per user, collapse runs
+    expect = {}
+    byu: dict[int, list] = {}
+    for eid, u, ts, state in rows:
+        byu.setdefault(u, []).append((ts, eid, state))
+    for u, evs in byu.items():
+        evs.sort()
+        versions = []
+        for ts, _eid, state in evs:
+            if not versions or versions[-1][0] != state:
+                versions.append((state, ts))
+        for i, (state, ts) in enumerate(versions):
+            eff_to = (
+                int(versions[i + 1][1].timestamp() * 1_000_000)
+                if i + 1 < len(versions)
+                else None
+            )
+            expect[(u, i + 1)] = (state, int(ts.timestamp() * 1_000_000), eff_to)
+    assert got == expect
