@@ -40,6 +40,32 @@ def part_expr(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
 
+def _flagged_outer_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    flag_a: str,
+    flag_b: str,
+    prefix_a: str,
+    prefix_b: str,
+) -> DataFrame:
+    """Null-safe full-outer key join with presence flags and prefixed
+    aliases — the scaffolding MERGE and snapshot-diff both bottom out in
+    (a lit(True) flag survives the outer join as the presence test; raw
+    columns can't, a legitimately-NULL column reads as 'absent')."""
+    fa = a.select(
+        F.lit(True).alias(flag_a), *[F.col(c).alias(f"{prefix_a}{c}") for c in a.columns]
+    )
+    fb = b.select(
+        F.lit(True).alias(flag_b), *[F.col(c).alias(f"{prefix_b}{c}") for c in b.columns]
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"{prefix_a}{k}").eqNullSafe(F.col(f"{prefix_b}{k}")) for k in keys],
+    )
+    return fa.join(fb, cond, "full_outer")
+
+
 def dedupe_source(df: DataFrame, keys: Sequence[str], order_cols: Sequence) -> DataFrame:
     """Keep one row per key, ordered by ``order_cols`` (first row wins)."""
     from pyspark.sql.window import Window
@@ -104,6 +130,21 @@ def merge_upsert(
                 f"merge_upsert(evolve_schema=True): merge keys {bad_keys} must "
                 "exist on both sides — schema evolution never invents keys"
             )
+        # withColumn resolves case-INsensitively under the default
+        # spark.sql.caseSensitive=false, so a case-mismatched pair
+        # ("status" vs "Status") would silently null out real data via the
+        # appended-column path — reject it before any column is touched
+        case_clash = {
+            (c, o)
+            for c in t_types
+            for o in s_types
+            if c != o and c.lower() == o.lower()
+        }
+        if case_clash:
+            raise ValueError(
+                f"merge_upsert(evolve_schema=True): case-conflicting columns "
+                f"{sorted(case_clash)}; rename one side first"
+            )
         added = [c for c in source.columns if c not in t_types]
         unspoken = [c for c in target.columns if c not in s_types]
         for c in added:
@@ -118,17 +159,15 @@ def merge_upsert(
     if dedupe_order is not None:
         source = dedupe_source(source, keys, dedupe_order)
 
-    t = target.select(
-        F.lit(True).alias(_T_PRESENT), *[F.col(c).alias(f"__t_{c}") for c in out_cols]
+    joined = _flagged_outer_join(
+        target.select(*out_cols),
+        source.select(*out_cols),
+        keys,
+        _T_PRESENT,
+        _S_PRESENT,
+        "__t_",
+        "__s_",
     )
-    s = source.select(
-        F.lit(True).alias(_S_PRESENT), *[F.col(c).alias(f"__s_{c}") for c in out_cols]
-    )
-    cond = reduce(
-        lambda a, b: a & b,
-        [F.col(f"__t_{k}").eqNullSafe(F.col(f"__s_{k}")) for k in keys],
-    )
-    joined = t.join(s, cond, "full_outer")
 
     matched = F.col(_T_PRESENT).isNotNull() & F.col(_S_PRESENT).isNotNull()
     inserted = F.col(_T_PRESENT).isNull()
@@ -177,18 +216,14 @@ def snapshot_diff(
     assert old.columns == new.columns, (
         f"snapshot_diff requires identical schemas; old={old.columns} new={new.columns}"
     )
+    assert "change_type" not in old.columns, (
+        "snapshot_diff emits a 'change_type' column; rename the input's "
+        "own change_type first"
+    )
     cmp_cols = list(compare_cols) if compare_cols is not None else data_cols
-    o = old.select(
-        F.lit(True).alias(_T_PRESENT), *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+    j = _flagged_outer_join(
+        old, new, keys, _T_PRESENT, _S_PRESENT, "__o_", "__n_"
     )
-    n = new.select(
-        F.lit(True).alias(_S_PRESENT), *[F.col(c).alias(f"__n_{c}") for c in new.columns]
-    )
-    cond = reduce(
-        lambda a, b: a & b,
-        [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys],
-    )
-    j = o.join(n, cond, "full_outer")
     in_old = F.col(_T_PRESENT).isNotNull()
     in_new = F.col(_S_PRESENT).isNotNull()
     same = reduce(

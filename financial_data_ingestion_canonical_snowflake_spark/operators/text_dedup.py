@@ -337,11 +337,20 @@ def frequent_line_removal(
     anti-join, so it persists for the job (MEMORY_AND_DISK, LRU-evicted).
 
     Returns ``(id, n_lines, n_kept, n_dropped, kept_text)`` — one row per
-    input document, including documents whose every line was dropped.
+    input document, including documents whose every line was dropped. A
+    NULL lines array reads as zero lines; NULL line elements normalize to
+    the empty string (so they count, drop, and reassemble like any other
+    line instead of vanishing from ``array_join`` while still being
+    counted).
     """
-    base = df.select(F.col(id_col).alias("__doc"), F.col(lines_col).alias("__lines"))
+    base = df.select(
+        F.col(id_col).alias("__doc"),
+        F.coalesce(F.col(lines_col), F.array()).alias("__lines"),
+    )
     exploded = (
-        base.select("__doc", F.posexplode("__lines").alias("pos", "line"))
+        base.select("__doc", F.posexplode("__lines").alias("pos", "__raw"))
+        .withColumn("line", F.coalesce(F.col("__raw"), F.lit("")))
+        .drop("__raw")
         .withColumn("lkey", F.md5(F.lower(F.trim(F.col("line")))))
         .persist()
     )

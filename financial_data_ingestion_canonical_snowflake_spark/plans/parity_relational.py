@@ -522,36 +522,17 @@ def ns_expectations(spark, sf_dir):
     """,
 )
 def ns_scd2_dimension(spark, sf_dir):
-    """Slowly-changing-dimension type-2 build from a change stream: per
-    user, consecutive equal states collapse (lag), each surviving change
-    opens a version effective [eff_from, eff_to) with eff_to = the next
-    change's timestamp (lead) and NULL marking the current version. Both
-    window passes share one (user_id, ts, event_id) sort — the change
-    filter preserves partitioning AND order, so Catalyst plans ONE
-    exchange for the whole build. Epoch-micro integer rendering keeps the
-    surface engine-exact."""
+    """Slowly-changing-dimension type-2 build (operators/scd.py
+    scd2_build) from the events change stream: per user, consecutive
+    equal states collapse (lag), each surviving change opens a version
+    effective [eff_from, eff_to) with eff_to = the next change's
+    timestamp (lead) and NULL marking the current version; event_id
+    breaks timestamp ties. One shared (user_id) exchange; epoch-micro
+    integers keep the surface engine-exact."""
+    from ..operators.scd import scd2_build
+
     ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.select("user_id", "event_type", "ts", "event_id")
-        .withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(
-            F.col("prev_type").isNull()
-            | (F.col("prev_type") != F.col("event_type"))
-        )
-    )
-    eff_from = F.unix_micros(F.col("ts"))
-    return changes.select(
-        "user_id",
-        F.row_number().over(w).cast("long").alias("version_n"),
-        F.col("event_type").alias("state"),
-        eff_from.alias("eff_from_us"),
-        F.lead(eff_from).over(w).alias("eff_to_us"),
-        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("is_current"),
-    )
+    return scd2_build(ev, "user_id", "event_type", "ts", "event_id")
 
 
 @parity(
@@ -591,6 +572,28 @@ def ns_rolling_range_agg(spark, sf_dir):
     )
 
 
+def cdc_orders_scenario(o):
+    """Deterministic 'new snapshot' of orders for the CDC parity surface:
+    %13 keys deleted, %5 prices bumped +10.0 (IEEE-exact both engines),
+    %17 keys re-inserted key-shifted. Shared by ns_snapshot_diff_cdc and
+    the MERGE-inverse round-trip test so the two can never drift apart."""
+    upd = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return upd.select(*o.columns).unionByName(ins)
+
+
 @parity(
     "ns_snapshot_diff_cdc",
     driver=False,  # driver slot: folded into probe_digest_relational
@@ -628,22 +631,7 @@ def ns_snapshot_diff_cdc(spark, sf_dir):
     from ..operators.merge import snapshot_diff
 
     o = table(spark, sf_dir, "orders")
-    upd = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0)
-        ).otherwise(F.col("o_totalprice")),
-    )
-    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
-    )
-    new = upd.select(*o.columns).unionByName(ins)
-    d = snapshot_diff(o, new, ["o_orderkey"])
+    d = snapshot_diff(o, cdc_orders_scenario(o), ["o_orderkey"])
     return d.select(
         "o_orderkey",
         "change_type",

@@ -37,24 +37,13 @@ def test_snapshot_diff_classifies_changes(spark):
 def test_snapshot_diff_merge_round_trip(spark, sf_oracle):
     """Applying the diff to the old snapshot reproduces the new one:
     upserts via merge_upsert, deletes via anti-join."""
+    from financial_data_ingestion_canonical_snowflake_spark.plans.parity_relational import (
+        cdc_orders_scenario,
+    )
     from financial_data_ingestion_canonical_snowflake_spark.plans.registry import table
 
     o = table(spark, sf_oracle, "orders")
-    upd = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0)
-        ).otherwise(F.col("o_totalprice")),
-    )
-    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
-    )
-    new = upd.select(*o.columns).unionByName(ins)
+    new = cdc_orders_scenario(o)  # the SAME scenario the registered query diffs
     diff = snapshot_diff(o, new, ["o_orderkey"]).persist()
     upserts = diff.filter(F.col("change_type") != "delete").drop("change_type")
     deletes = diff.filter(F.col("change_type") == "delete").select("o_orderkey")
@@ -125,3 +114,14 @@ def test_evolve_schema_rejects_type_conflicts_and_missing_keys(spark):
     keyless = spark.createDataFrame([("A",)], "status string")
     with pytest.raises(ValueError, match="merge keys"):
         merge_upsert(target, keyless, ["k"], evolve_schema=True)
+    # case-mismatched names would silently null real data through the
+    # case-insensitive withColumn path — rejected up front
+    cased = spark.createDataFrame([(1, "B")], "k long, Status string")
+    with pytest.raises(ValueError, match="case-conflicting"):
+        merge_upsert(target, cased, ["k"], evolve_schema=True)
+
+
+def test_snapshot_diff_rejects_reserved_column(spark):
+    df = spark.createDataFrame([(1, "x")], "k long, change_type string")
+    with pytest.raises(AssertionError, match="change_type"):
+        snapshot_diff(df, df, ["k"])

@@ -59,14 +59,39 @@ def test_frequent_line_removal_order_survives_multiline(spark):
     assert r["n_dropped"] == 0
 
 
+def test_frequent_line_removal_null_lines_and_null_array(spark):
+    rows = [
+        (1, ["keep me", None]),
+        (2, [None, "also kept"]),
+        (3, [None]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    # NULL elements normalize to "" -> doc-frequency 3 > cap -> dropped
+    out = {r["doc_id"]: r for r in
+           frequent_line_removal(df, "doc_id", "lines", max_doc_freq=2).collect()}
+    assert out[1]["kept_text"] == "keep me" and out[1]["n_kept"] == 1
+    assert out[2]["kept_text"] == "also kept" and out[2]["n_dropped"] == 1
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0
+    assert out[4]["n_lines"] == 0 and out[4]["kept_text"] == ""
+    # under a high cap the NULL line is KEPT as an empty line (counts and
+    # text agree: array_join would have silently dropped a NULL element)
+    high = {r["doc_id"]: r for r in
+            frequent_line_removal(df, "doc_id", "lines", max_doc_freq=10).collect()}
+    assert high[1]["n_kept"] == 2 and high[1]["kept_text"] == "keep me\n"
+    assert high[3]["n_kept"] == 1 and high[3]["kept_text"] == ""
+
+
 def test_frequent_line_removal_plan_broadcasts_drop_set(spark):
     plan = _plan(
         frequent_line_removal(_docs(spark), "doc_id", "lines", max_doc_freq=2)
     )
     # drop set applies as a broadcast LEFT ANTI (map-side), never a
     # corpus-wide shuffled anti-join
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan.split("LeftAnti")[0] or True
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert not re.search(r"SortMergeJoin .*LeftAnti", plan)
 
 
 def test_scd2_versions_partition_event_stream(spark, sf_oracle):

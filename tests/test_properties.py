@@ -365,7 +365,9 @@ def test_graph_stats_matches_bruteforce(spark, edges):
     assert (row["n_triangles"] or 0) == tris
 
 
-_line = st.sampled_from(["footer", "menu", "alpha", "beta gamma", "  Footer ", ""])
+_line = st.sampled_from(
+    ["footer", "menu", "alpha", "beta gamma", "  Footer ", "", None]
+)
 _doc_lines = st.lists(_line, min_size=0, max_size=6)
 
 
@@ -387,7 +389,8 @@ def test_frequent_line_removal_matches_python_reference(spark, docs, cap):
         for r in frequent_line_removal(df, "doc_id", "lines", max_doc_freq=cap).collect()
     }
 
-    norm = lambda s: s.strip().lower()  # noqa: E731
+    # NULL elements normalize to "" in the operator contract
+    norm = lambda s: ("" if s is None else s).strip().lower()  # noqa: E731
     doc_freq: dict[str, set[int]] = {}
     for i, lines in rows:
         for ln in lines:
@@ -396,7 +399,7 @@ def test_frequent_line_removal_matches_python_reference(spark, docs, cap):
 
     assert set(got) == {i for i, _ in rows}
     for i, lines in rows:
-        kept = [ln for ln in lines if norm(ln) not in dropped]
+        kept = [("" if ln is None else ln) for ln in lines if norm(ln) not in dropped]
         assert got[i]["n_lines"] == len(lines)
         assert got[i]["n_kept"] == len(kept)
         assert got[i]["n_dropped"] == len(lines) - len(kept)
@@ -413,10 +416,11 @@ _ev = st.tuples(
 @SETTINGS
 @given(events=st.lists(_ev, min_size=1, max_size=30))
 def test_scd2_matches_python_reference(spark, events):
-    """The SCD2 build (lag-collapse + lead-close) == a pure-Python fold over
-    random change streams, including duplicate timestamps (event_id breaks
-    ties deterministically)."""
-    from pyspark.sql.window import Window
+    """The SHIPPED SCD2 operator (operators/scd.py scd2_build — the same
+    code ns_scd2_dimension registers) == a pure-Python fold over random
+    change streams, including duplicate timestamps (the seq column breaks
+    ties deterministically) and the is_current flag."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.scd import scd2_build
 
     # tz-aware instants: naive datetimes would convert through the HOST
     # timezone in .timestamp() but the SESSION timezone in Spark — aware
@@ -429,21 +433,11 @@ def test_scd2_matches_python_reference(spark, events):
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, state string"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        df.withColumn("prev", F.lag("state").over(w))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
-        .select(
-            "user_id",
-            F.row_number().over(w).alias("version_n"),
-            "state",
-            F.unix_micros(F.col("ts")).alias("eff_from_us"),
-            F.lead(F.unix_micros(F.col("ts"))).over(w).alias("eff_to_us"),
-        )
-    )
     got = {
-        (r["user_id"], r["version_n"]): (r["state"], r["eff_from_us"], r["eff_to_us"])
-        for r in changes.collect()
+        (r["user_id"], r["version_n"]): (
+            r["state"], r["eff_from_us"], r["eff_to_us"], r["is_current"]
+        )
+        for r in scd2_build(df, "user_id", "state", "ts", "event_id").collect()
     }
 
     # python reference: sort by (ts, event_id) per user, collapse runs
@@ -458,10 +452,11 @@ def test_scd2_matches_python_reference(spark, events):
             if not versions or versions[-1][0] != state:
                 versions.append((state, ts))
         for i, (state, ts) in enumerate(versions):
+            last = i + 1 == len(versions)
             eff_to = (
-                int(versions[i + 1][1].timestamp() * 1_000_000)
-                if i + 1 < len(versions)
-                else None
+                None if last else int(versions[i + 1][1].timestamp() * 1_000_000)
             )
-            expect[(u, i + 1)] = (state, int(ts.timestamp() * 1_000_000), eff_to)
+            expect[(u, i + 1)] = (
+                state, int(ts.timestamp() * 1_000_000), eff_to, 1 if last else 0
+            )
     assert got == expect

@@ -1,0 +1,91 @@
+"""Streaming SCD2 maintenance == batch scd2_build over everything ingested
+(streaming/scd2_stream.py), across micro-batch boundaries and a checkpoint
+restart."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.scd import scd2_build
+from financial_data_ingestion_canonical_snowflake_spark.operators.storage import (
+    ParquetTable,
+)
+from financial_data_ingestion_canonical_snowflake_spark.streaming.scd2_stream import (
+    Scd2Sink,
+    stream_scd2,
+)
+
+_T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ev(eid, user, secs, state):
+    return (eid, user, _T0 + dt.timedelta(seconds=secs), state)
+
+
+# in-order per key; state runs collapse within AND across batches
+_BATCH_1 = [_ev(0, 1, 0, "a"), _ev(1, 1, 10, "a"), _ev(2, 2, 5, "x")]
+_BATCH_2 = [_ev(3, 1, 20, "b"), _ev(4, 2, 15, "x"), _ev(5, 3, 7, "q")]
+_BATCH_3 = [_ev(6, 1, 30, "b"), _ev(7, 2, 25, "y"), _ev(8, 1, 40, "a")]
+
+_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def _write_batch(spark, src, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _sorted_rows(df):
+    cols = ["user_id", "version_n", "state", "eff_from_us", "eff_to_us", "is_current"]
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_scd2_matches_batch_and_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    table = ParquetTable(str(tmp_path / "scd2"))
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, _BATCH_1)
+    _write_batch(spark, src, _BATCH_2)
+    q = stream_scd2(spark, src, table, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    sink = Scd2Sink(table, "user_id", "event_type", "ts", "event_id")
+    batch_now = scd2_build(
+        spark.createDataFrame(_BATCH_1 + _BATCH_2, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_now)
+
+    # restart from the same checkpoint with a late file: only batch 3 folds
+    _write_batch(spark, src, _BATCH_3)
+    q2 = stream_scd2(spark, src, table, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    batch_all = scd2_build(
+        spark.createDataFrame(_BATCH_1 + _BATCH_2 + _BATCH_3, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_all)
+
+    # exactly one open version per key; cross-batch run (1,'b') collapsed
+    rows = {(r["user_id"], r["version_n"]): r for r in sink.versions(spark).collect()}
+    open_by_key = {}
+    for (u, _v), r in rows.items():
+        open_by_key[u] = open_by_key.get(u, 0) + r["is_current"]
+    assert set(open_by_key.values()) == {1}
+    assert rows[(1, 2)]["state"] == "b" and rows[(1, 3)]["state"] == "a"
+
+
+def test_stream_scd2_replayed_batch_is_idempotent(spark, tmp_path):
+    """Re-applying a micro-batch over the already-folded table (the
+    at-least-once crash window) recomputes identical versions."""
+    src = str(tmp_path / "events_src")
+    table = ParquetTable(str(tmp_path / "scd2"))
+    sink = Scd2Sink(table, "user_id", "event_type", "ts", "event_id")
+
+    b1 = spark.createDataFrame(_BATCH_1, _SCHEMA)
+    b2 = spark.createDataFrame(_BATCH_2, _SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+    first = _sorted_rows(sink.versions(spark))
+    sink(b2, 1)  # replay
+    assert _sorted_rows(sink.versions(spark)) == first
