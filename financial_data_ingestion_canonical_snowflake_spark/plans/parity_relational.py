@@ -572,6 +572,65 @@ def ns_rolling_range_agg(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_set_ops",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH o_set AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         f_set AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT o_custkey, 'both' AS membership FROM (
+        SELECT o_custkey FROM o_set INTERSECT SELECT o_custkey FROM f_set)
+    UNION ALL
+    SELECT o_custkey, 'open_only' FROM (
+        SELECT o_custkey FROM o_set EXCEPT SELECT o_custkey FROM f_set)
+    UNION ALL
+    SELECT o_custkey, 'filled_only' FROM (
+        SELECT o_custkey FROM f_set EXCEPT SELECT o_custkey FROM o_set)
+    """,
+)
+def ns_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set algebra: customers holding both open and
+    filled orders vs each exclusively. Spark's ``intersect``/``subtract``
+    compile to LeftSemi/LeftAnti over aggregated (distinct) inputs —
+    set semantics without a manual dedupe, partial aggregation intact."""
+    o = table(spark, sf_dir, "orders")
+    o_set = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    f_set = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    lab = lambda df, m: df.select("o_custkey", F.lit(m).alias("membership"))  # noqa: E731
+    return (
+        lab(o_set.intersect(f_set), "both")
+        .unionByName(lab(o_set.subtract(f_set), "open_only"))
+        .unionByName(lab(f_set.subtract(o_set), "filled_only"))
+    )
+
+
+@parity(
+    "ns_window_rank_fracs",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def ns_window_rank_fracs(spark, sf_dir):
+    """Fractional ranking windows (percent_rank = (rank-1)/(n-1),
+    cume_dist = peers<=row / n): per-priority price position of every
+    order. The order key includes o_orderkey so ranks are tie-free and
+    both engines evaluate the identical IEEE division; rendered through
+    the digest's DECIMAL(28,6) pinning."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 def cdc_orders_scenario(o):
     """Deterministic 'new snapshot' of orders for the CDC parity surface:
     %13 keys deleted, %5 prices bumped +10.0 (IEEE-exact both engines),
@@ -731,5 +790,10 @@ RELATIONAL_DIGEST_MEMBERS = [
             ("o_orderstatus", "s"), ("o_totalprice", "d"),
             ("order_date_us", "s"), ("o_orderpriority", "s"),
         ],
+    ),
+    ("ns_set_ops", [("o_custkey", "s"), ("membership", "s")]),
+    (
+        "ns_window_rank_fracs",
+        [("o_orderkey", "s"), ("o_orderpriority", "s"), ("pr", "d"), ("cd", "d")],
     ),
 ]

@@ -11,6 +11,7 @@ dedup operators produce non-trivial matches that the oracle must agree on.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as tx
 from ..operators import text_dedup as td
@@ -838,6 +839,51 @@ def ns_text_line_dedup(spark, sf_dir):
 
 
 @parity(
+    "ns_text_bpe_pairs",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT UNNEST(CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' '))
+            ELSE [] END) AS pair
+        FROM toks
+    ),
+    counts AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
+           pair, cnt
+    FROM counts
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def ns_text_bpe_pairs(spark, sf_dir):
+    """The BPE-training primitive: corpus-wide adjacent token-pair counts
+    (the pair a byte-pair-encoding round would merge next is the top row).
+    Tokens project once; pairs are the existing 2-gram shingle HOF (zero
+    shuffle until the pair groupBy); ranked top-20 with tie-break on the
+    pair string so the surface is deterministic."""
+    toksed = table(spark, sf_dir, "documents").select(
+        tx.tokens(F.col("text")).alias("toks")
+    )
+    pairs = toksed.select(
+        F.explode(tx.shingles_from_tokens(F.col("toks"), 2)).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "pair", "cnt")
+    )
+
+
+@parity(
     "ns_vocab_coverage",
     driver=False,  # driver slot: folded into ns_text_digest
     oracle="""
@@ -956,6 +1002,7 @@ _TEXT_DIGEST = [
             ("n_dropped", "s"), ("kept_text", "s"),
         ],
     ),
+    ("ns_text_bpe_pairs", [("rank", "s"), ("pair", "s"), ("cnt", "s")]),
     (
         "ns_vocab_coverage",
         [
