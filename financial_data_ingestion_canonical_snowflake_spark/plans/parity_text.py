@@ -875,11 +875,12 @@ def ns_text_bpe_pairs(spark, sf_dir):
         F.explode(tx.shingles_from_tokens(F.col("toks"), 2)).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (each map task
+    # pre-trims to its own top 20); the rank window then runs on 20 rows
+    top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(20)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "pair", "cnt")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "pair", "cnt"
     )
 
 

@@ -208,3 +208,51 @@ def test_linreg_single_aggregate_pass(spark, sf_oracle):
     one exchange, and it carries only one row per group."""
     plan = _executed("ns_linreg_corr", spark, sf_oracle)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session3_operator_scans_prune_columns(spark, sf_oracle):
+    """The continuation-session operators read only the columns they use."""
+    import re
+
+    # FileScan metadata truncates at 100 chars by default — wide schemas
+    # would otherwise never close the struct<...> and the regex misparses
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    cases = [
+        ("ns_text_line_dedup", {"doc_id", "text"}),
+        ("ns_scd2_dimension", {"user_id", "event_type", "ts", "event_id"}),
+        ("ns_rolling_range_agg", {"event_id", "user_id", "ts", "value"}),
+        ("ns_snapshot_diff_cdc", {
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        }),
+        ("ns_set_ops", {"o_custkey", "o_orderstatus"}),
+        ("ns_window_rank_fracs", {"o_orderkey", "o_orderpriority", "o_totalprice"}),
+        ("ns_text_bpe_pairs", {"text"}),
+    ]
+    for name, allowed in cases:
+        plan = _executed(name, spark, sf_oracle)
+        for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+            cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
+            assert cols <= allowed, (name, cols)
+
+
+def test_rolling_range_single_exchange(spark, sf_oracle):
+    """The time-range rolling window plans ONE (user_id) exchange and one
+    Window node — the frame is evaluated inside the sorted partition."""
+    plan = _executed("ns_rolling_range_agg", spark, sf_oracle)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_bpe_pairs_trims_topk_below_exchange(spark, sf_oracle):
+    """The global top-20 compiles to TakeOrderedAndProject — each map task
+    pre-trims to its own top 20 instead of shuffling every pair; the rank
+    window then runs over 20 rows."""
+    plan = _executed("ns_text_bpe_pairs", spark, sf_oracle)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_set_ops_compile_to_semi_anti_joins(spark, sf_oracle):
+    """intersect/subtract must become LeftSemi/LeftAnti joins over the
+    distinct inputs — set algebra without a manual dedupe-and-join."""
+    plan = _executed("ns_set_ops", spark, sf_oracle)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
