@@ -884,6 +884,24 @@ def ns_text_bpe_pairs(spark, sf_dir):
     )
 
 
+@parity("ns_text_bpe_learn", driver=False)  # rows-only: iterative trainer
+def ns_text_bpe_learn(spark, sf_dir):
+    """Full BPE merge-rule induction (operators/bpe.py bpe_learn — the
+    Sennrich word-frequency formulation: ONE corpus shuffle, then
+    vocabulary-sized merge rounds). Iterative driver-coordinated loop, so
+    rows-only by nature (like ns_sim_ivf_kmeans); exactness vs the classic
+    algorithm is property-proven in tests/test_bpe.py. Returns the ordered
+    merge-rule table."""
+    from ..operators.bpe import bpe_learn
+
+    docs = table(spark, sf_dir, "documents")
+    merges, _segs = bpe_learn(docs, "text", n_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [(m["round"], m["a"], m["b"], m["merged"], m["cnt"]) for m in merges],
+        "round long, a string, b string, merged string, cnt long",
+    )
+
+
 @parity(
     "ns_vocab_coverage",
     driver=False,  # driver slot: folded into ns_text_digest
