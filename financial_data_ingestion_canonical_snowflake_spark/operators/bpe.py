@@ -88,6 +88,62 @@ def _apply_merge(segs: DataFrame, a: str, b: str) -> DataFrame:
     return segs.select("word", "freq", folded.alias("symbols"))
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    segs: DataFrame,
+) -> DataFrame:
+    """Encode a corpus with a learned segmentation table: each word maps to
+    its symbol sequence via a BROADCAST join of the vocabulary (the
+    dictionary is vocabulary-sized — it broadcasts at any corpus scale);
+    out-of-vocabulary words fall back to their raw character sequence plus
+    the end-of-word marker. Token order is preserved through a
+    (pos, symbols) sort in the per-document re-aggregation — the one
+    corpus shuffle, keyed by document.
+
+    Returns ``(id, bpe_tokens, n_bpe_tokens)``.
+    """
+    word = F.col("word")
+    char_fallback = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(END_OF_WORD)),
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "pos", "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    joined = toks.join(
+        F.broadcast(segs.select("word", "symbols")), "word", "left"
+    ).select(
+        "__doc", "pos", F.coalesce(F.col("symbols"), char_fallback).alias("symbols")
+    )
+    return (
+        joined.groupBy("__doc")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "symbols"))),
+                    lambda s: s["symbols"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "bpe_tokens",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str,

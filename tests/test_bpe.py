@@ -90,3 +90,33 @@ def test_bpe_matches_python_reference(spark, texts, n):
     assert [(m["a"], m["b"], m["merged"], m["cnt"]) for m in merges] == ref_merges
     got = {r["word"]: (r["freq"], list(r["symbols"])) for r in segs.collect()}
     assert got == {w: (ref_vocab[w], ref_segs[w]) for w in ref_vocab}
+
+
+def test_bpe_encode_known_and_oov(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    train = spark.createDataFrame(
+        [("low low low", ), ("low low lower", ), ("lower", )], "text string"
+    )
+    _merges, segs = bpe_learn(train, "text", n_merges=3, min_freq=2)
+    corpus = spark.createDataFrame(
+        [(1, "low lower"), (2, "Low UNSEEN")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(corpus, "doc_id", "text", segs).collect()}
+    assert list(got[1]["bpe_tokens"]) == [
+        "low" + END_OF_WORD, "low", "e", "r", END_OF_WORD
+    ]
+    # case-folded "low" hits the vocab; OOV falls back to chars + marker
+    assert list(got[2]["bpe_tokens"]) == [
+        "low" + END_OF_WORD, "u", "n", "s", "e", "e", "n", END_OF_WORD
+    ]
+    assert got[2]["n_bpe_tokens"] == 8
+
+    # the dictionary side must BROADCAST (vocabulary-sized at any corpus scale)
+    plan = (
+        bpe_encode(corpus, "doc_id", "text", segs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -116,3 +116,45 @@ def test_ann_and_semantic_dedup_scale_to_8x_corpus(spark):
         assert sim > 0.999999
     corpus.unpersist()
     topk.unpersist()
+
+
+def test_line_dedup_scales_to_8x_corpus(spark):
+    """Frequent-line removal over an 8x corpus (40k docs): the injected
+    universal footer must disappear from EVERY document while per-doc
+    content lines survive — and the drop-set broadcast keeps the pass at
+    two shuffles regardless of corpus size."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        frequent_line_removal,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = [
+        base.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"), "text"
+        )
+        for i in range(8)
+    ]
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    with_lines = docs.select(
+        "doc_id",
+        F.concat(
+            F.split(F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")), "\n"),
+            F.array(F.lit("subscribe to our newsletter today.")),
+        ).alias("lines"),
+    )
+    out = frequent_line_removal(with_lines, "doc_id", "lines", max_doc_freq=100)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_dropped")).alias("dropped"),
+        F.sum((F.col("n_dropped") >= 1).cast("long")).alias("docs_losing_footer"),
+        F.sum(F.col("kept_text").contains("subscribe to our newsletter").cast("long")).alias(
+            "footer_survivors"
+        ),
+    ).collect()[0]
+    assert agg["n_docs"] == 8 * 5000
+    assert agg["docs_losing_footer"] == agg["n_docs"]  # footer gone everywhere
+    assert agg["footer_survivors"] == 0
