@@ -17,17 +17,30 @@ rounds never stack k nested plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import text as tx
 
 END_OF_WORD = "</w>"
 
 
+def _char_symbols(word: Column) -> Column:
+    """A word's seed segmentation: its character sequence plus the
+    end-of-word marker (shared by training seed and encoder OOV fallback)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
 def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, freq) over whitespace tokens of lowercased text — the one
-    corpus-wide pass BPE training needs."""
+    """(word, freq) over whitespace tokens of lowercased text (the shared
+    tokenizer, empty tokens dropped) — the one corpus-wide pass BPE
+    training needs."""
     return (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+        df.select(F.explode(tx.tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -37,13 +50,8 @@ def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
 def seed_segmentation(vocab: DataFrame) -> DataFrame:
     """(word, freq, symbols): each word as its character sequence plus the
     end-of-word marker."""
-    word = F.col("word")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: word.substr(i, F.lit(1)),
-    )
     return vocab.select(
-        "word", "freq", F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("symbols")
+        "word", "freq", _char_symbols(F.col("word")).alias("symbols")
     )
 
 
@@ -102,45 +110,38 @@ def bpe_encode(
     (pos, symbols) sort in the per-document re-aggregation — the one
     corpus shuffle, keyed by document.
 
-    Returns ``(id, bpe_tokens, n_bpe_tokens)``.
+    Returns ``(id, bpe_tokens, n_bpe_tokens)`` — one row per input
+    document, including documents with NULL/empty/whitespace-only text
+    (empty token array), per the repo's one-row-per-input convention.
     """
-    word = F.col("word")
-    char_fallback = F.concat(
-        F.transform(
-            F.sequence(F.lit(1), F.length(word)),
-            lambda i: word.substr(i, F.lit(1)),
-        ),
-        F.array(F.lit(END_OF_WORD)),
-    )
+    ids = df.select(F.col(id_col).alias("__doc"))
     toks = (
         df.select(
             F.col(id_col).alias("__doc"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
-                "pos", "word"
-            ),
+            F.posexplode(tx.tokens(F.col(text_col))).alias("pos", "word"),
         )
         .filter(F.col("word") != "")
     )
     joined = toks.join(
         F.broadcast(segs.select("word", "symbols")), "word", "left"
     ).select(
-        "__doc", "pos", F.coalesce(F.col("symbols"), char_fallback).alias("symbols")
+        "__doc",
+        "pos",
+        F.coalesce(F.col("symbols"), _char_symbols(F.col("word"))).alias("symbols"),
     )
-    return (
-        joined.groupBy("__doc")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "symbols"))),
-                    lambda s: s["symbols"],
-                )
-            ).alias("bpe_tokens")
-        )
-        .select(
-            F.col("__doc").alias(id_col),
-            "bpe_tokens",
-            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        )
+    agg = joined.groupBy("__doc").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "symbols"))),
+                lambda s: s["symbols"],
+            )
+        ).alias("bpe_tokens")
+    )
+    empty = F.array().cast("array<string>")
+    return ids.join(agg, "__doc", "left").select(
+        F.col("__doc").alias(id_col),
+        F.coalesce("bpe_tokens", empty).alias("bpe_tokens"),
+        F.size(F.coalesce("bpe_tokens", empty)).cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -863,11 +863,13 @@ def ns_text_line_dedup(spark, sf_dir):
     """,
 )
 def ns_text_bpe_pairs(spark, sf_dir):
-    """The BPE-training primitive: corpus-wide adjacent token-pair counts
-    (the pair a byte-pair-encoding round would merge next is the top row).
-    Tokens project once; pairs are the existing 2-gram shingle HOF (zero
-    shuffle until the pair groupBy); ranked top-20 with tie-break on the
-    pair string so the surface is deterministic."""
+    """Corpus-wide adjacent WORD-pair counts — the merge-count primitive
+    applied at word granularity (classic subword BPE counts within-word
+    character pairs instead: that trainer is ns_text_bpe_learn, verified
+    against a Python reference). Tokens project once; pairs are the
+    existing 2-gram shingle HOF (zero shuffle until the pair groupBy);
+    ranked top-20 with tie-break on the pair string so the surface is
+    deterministic."""
     toksed = table(spark, sf_dir, "documents").select(
         tx.tokens(F.col("text")).alias("toks")
     )

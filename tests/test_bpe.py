@@ -120,3 +120,20 @@ def test_bpe_encode_known_and_oov(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_encode_keeps_tokenless_docs(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    train = spark.createDataFrame([("low",)], "text string")
+    _m, segs = bpe_learn(train, "text", n_merges=1, min_freq=1)
+    corpus = spark.createDataFrame(
+        [(1, "low"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(corpus, "doc_id", "text", segs).collect()}
+    assert set(got) == {1, 2, 3, 4}  # one row per input doc, always
+    for d in (2, 3, 4):
+        assert got[d]["n_bpe_tokens"] == 0 and list(got[d]["bpe_tokens"]) == []

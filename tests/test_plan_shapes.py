@@ -215,7 +215,10 @@ def test_session3_operator_scans_prune_columns(spark, sf_oracle):
     import re
 
     # FileScan metadata truncates at 100 chars by default — wide schemas
-    # would otherwise never close the struct<...> and the regex misparses
+    # would otherwise never close the struct<...> and the regex misparses.
+    # Restored afterwards: other tests in this session parse plan strings
+    # and must not become order-dependent on the longer rendering.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     cases = [
         ("ns_text_line_dedup", {"doc_id", "text"}),
@@ -229,11 +232,14 @@ def test_session3_operator_scans_prune_columns(spark, sf_oracle):
         ("ns_window_rank_fracs", {"o_orderkey", "o_orderpriority", "o_totalprice"}),
         ("ns_text_bpe_pairs", {"text"}),
     ]
-    for name, allowed in cases:
-        plan = _executed(name, spark, sf_oracle)
-        for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
-            cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
-            assert cols <= allowed, (name, cols)
+    try:
+        for name, allowed in cases:
+            plan = _executed(name, spark, sf_oracle)
+            for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+                cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
+                assert cols <= allowed, (name, cols)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 def test_rolling_range_single_exchange(spark, sf_oracle):
