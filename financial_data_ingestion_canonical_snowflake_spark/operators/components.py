@@ -144,6 +144,85 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list (src, dst) — fixed-iteration
+    power method (Page et al. 1999; the standard distributed formulation).
+
+    Per round: contributions = ranks ⋈ edges on src (rank/out_degree to
+    each dst), new rank = (1-d)/N + d·(Σ contribs + dangling_mass/N),
+    where dangling mass (rank parked on sink nodes) redistributes
+    uniformly so total rank stays 1. ONE join + one groupBy per round,
+    both hash-partitioned on node id; out-degrees compute once and
+    persist; an eager ``localCheckpoint`` every ``checkpoint_every``
+    rounds keeps the plan flat. The dangling-mass aggregate is a 1-row
+    collect per round — the same driver-coordinated loop shape as
+    ``connected_components`` and the IVF k-means trainer.
+
+    Float caveat: shuffle-order of the contribution sum makes low-order
+    bits run-dependent; exactness vs a Python reference is proven to 1e-9
+    in tests (rows-only verification, like every iterative trainer here).
+
+    Returns (node, rank); ranks sum to 1 over the node set.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # out-degree key renamed up front: edges feeds both this aggregate and
+    # the contribution join, and a shared `src` lineage would be ambiguous
+    out_deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .select(F.col("src").alias("__od_node"), "out_deg")
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for r in range(n_iter):
+        with_deg = ranks.join(
+            out_deg, ranks.node == F.col("__od_node"), "left"
+        )
+        # rank parked on sinks (no out-edges) redistributes uniformly
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ranks.join(out_deg, ranks.node == F.col("__od_node"))
+            .join(edges, F.col("node") == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (r + 1) % checkpoint_every == 0 or r + 1 == n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

@@ -694,6 +694,29 @@ def _graph_stats_oracle() -> str:
     driver=False,  # driver slot: folded into ns_text_digest
     oracle=_graph_stats_oracle(),
 )
+@parity("ns_dedup_pagerank", driver=False)  # rows-only: iterative float loop
+def ns_dedup_pagerank(spark, sf_dir):
+    """PageRank centrality of the near-dup pair graph (operators/
+    components.py pagerank): the documents most entangled in duplicate
+    clusters rank highest — a curation signal for which survivor to keep
+    (or which boilerplate hub to drop). Undirected graph -> each pair
+    contributes both directions. Iterative power method, rows-only by
+    nature (shuffle-order float sums); exactness vs a Python reference
+    proven to 1e-9 in tests/test_components.py."""
+    from ..operators.components import pagerank
+
+    pairs = td.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        shingle_len=3, min_jaccard=0.6, max_shingle_freq=None,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(both, n_iter=8)
+    return pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
+
+
 def ns_dedup_graph_stats(spark, sf_dir):
     """Structural report of the near-dup pair graph (operators/
     components.py graph_stats): node/edge counts, max degree, wedges and

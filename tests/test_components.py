@@ -88,3 +88,44 @@ def test_graph_stats_known_graph(spark):
     assert row["max_degree"] == 3
     assert row["n_wedges"] == 1 + 1 + 3 + 0
     assert row["n_triangles"] == 1
+
+
+def test_pagerank_matches_python_reference(spark):
+    """pagerank == a pure-Python power iteration to 1e-9, on a graph with
+    a sink (dangling node), a hub, and an isolated-pair component."""
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (4, 1), (5, 6)]
+    # node 6 is a sink (no out-edges): dangling mass redistributes
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        pagerank,
+    )
+
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    pr = {v: 1.0 / n for v in nodes}
+    damping = 0.85
+    for _ in range(12):
+        dangling = sum(pr[v] for v in nodes if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                nxt[d] += damping * pr[s] / len(ds)
+        pr = nxt
+    assert set(got) == set(pr)
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-9, (v, got[v], pr[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_graph(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        pagerank,
+    )
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, n_iter=3).count() == 0
