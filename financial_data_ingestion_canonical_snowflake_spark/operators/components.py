@@ -169,6 +169,11 @@ def pagerank(
 
     Returns (node, rank); ranks sum to 1 over the node set.
     """
+    # The edge list is consumed 1 + 2*n_iter times (degree aggregate +
+    # contribution join per round) and often arrives as an EXPENSIVE plan
+    # (e.g. a near-dup candidate join); an eager localCheckpoint runs that
+    # plan exactly once AND truncates it from every round's analysis.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -178,43 +183,51 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    # out-degree key renamed up front: edges feeds both this aggregate and
-    # the contribution join, and a shared `src` lineage would be ambiguous
-    out_deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .select(F.col("src").alias("__od_node"), "out_deg")
-        .persist()
+    # Static per-round inputs, built ONCE: edges pre-joined with the
+    # source's out-degree (so each round needs a single rank join), and
+    # the sink-node set (dangling-mass detection without re-deriving
+    # degrees per round).
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_w = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
     )
+    sinks = nodes.join(
+        edges_w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for r in range(n_iter):
-        with_deg = ranks.join(
-            out_deg, ranks.node == F.col("__od_node"), "left"
-        )
-        # rank parked on sinks (no out-edges) redistributes uniformly
+        # rank parked on sinks redistributes uniformly; the 1-row
+        # aggregate rides the round's plan as a broadcast scalar, so
+        # rounds BETWEEN checkpoints schedule no Spark action at all —
+        # n_iter rounds cost ~n_iter/checkpoint_every actions
         dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            ranks.join(sinks, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
-        contribs = (
-            ranks.join(out_deg, ranks.node == F.col("__od_node"))
-            .join(edges, F.col("node") == edges.src)
+        summed = (
+            ranks.join(edges_w, ranks.node == edges_w.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
         )
-        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )

@@ -699,21 +699,22 @@ def ns_dedup_pagerank(spark, sf_dir):
     """PageRank centrality of the near-dup pair graph (operators/
     components.py pagerank): the documents most entangled in duplicate
     clusters rank highest — a curation signal for which survivor to keep
-    (or which boilerplate hub to drop). Undirected graph -> each pair
+    (or which boilerplate hub to drop). Edges from the MinHash-LSH
+    candidate pairs (the cheapest generator); undirected -> each pair
     contributes both directions. Iterative power method, rows-only by
     nature (shuffle-order float sums); exactness vs a Python reference
     proven to 1e-9 in tests/test_components.py."""
     from ..operators.components import pagerank
 
-    pairs = td.ngram_jaccard_pairs(
+    pairs = td.minhash_lsh_pairs(
         _docs2(spark, sf_dir), "doc_id", "text",
-        shingle_len=3, min_jaccard=0.6, max_shingle_freq=None,
+        num_hashes=NUM_HASHES, bands=BANDS, min_matching=8,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(both, n_iter=8)
+    pr = pagerank(both, n_iter=3, checkpoint_every=3)
     return pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
 
 
