@@ -910,6 +910,25 @@ def ns_text_bpe_pairs(spark, sf_dir):
     )
 
 
+@parity("ns_text_compression_ratio", driver=False)  # rows-only: zlib kernel
+def ns_text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (operators/quality_kernels.py —
+    the Gopher/Dolma curation heuristic): repetitive or templated text
+    compresses far below natural prose. Arrow-batched zlib kernel, no
+    shuffle; rows-only (no zlib in DuckDB), byte-exactness vs direct zlib
+    calls pytest-pinned. Returns the 50 most-compressible docs
+    (boilerplate suspects) deterministically."""
+    from ..operators.quality_kernels import compression_ratio
+
+    docs = table(spark, sf_dir, "documents")
+    out = compression_ratio(docs, "doc_id", "text")
+    return (
+        out.filter(F.col("compression_ratio").isNotNull())
+        .orderBy(F.col("compression_ratio").asc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
 @parity("ns_text_bpe_learn", driver=False)  # rows-only: iterative trainer
 def ns_text_bpe_learn(spark, sf_dir):
     """Full BPE merge-rule induction (operators/bpe.py bpe_learn — the
