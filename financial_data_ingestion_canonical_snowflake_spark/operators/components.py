@@ -157,11 +157,11 @@ def pagerank(
     each dst), new rank = (1-d)/N + d·(Σ contribs + dangling_mass/N),
     where dangling mass (rank parked on sink nodes) redistributes
     uniformly so total rank stays 1. ONE join + one groupBy per round,
-    both hash-partitioned on node id; out-degrees compute once and
-    persist; an eager ``localCheckpoint`` every ``checkpoint_every``
-    rounds keeps the plan flat. The dangling-mass aggregate is a 1-row
-    collect per round — the same driver-coordinated loop shape as
-    ``connected_components`` and the IVF k-means trainer.
+    both hash-partitioned on node id; out-degrees pre-join the edge list
+    once; an eager ``localCheckpoint`` every ``checkpoint_every`` rounds
+    keeps the plan flat. The dangling-mass aggregate rides each round's
+    plan as a broadcast scalar (crossJoin of a 1-row frame) — rounds
+    BETWEEN checkpoints schedule no Spark action at all.
 
     Float caveat: shuffle-order of the contribution sum makes low-order
     bits run-dependent; exactness vs a Python reference is proven to 1e-9
@@ -182,7 +182,9 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
     # Static per-round inputs, built ONCE: edges pre-joined with the
     # source's out-degree (so each round needs a single rank join), and
     # the sink-node set (dangling-mass detection without re-deriving
@@ -233,6 +235,10 @@ def pagerank(
         )
         if (r + 1) % checkpoint_every == 0 or r + 1 == n_iter:
             ranks = ranks.localCheckpoint(eager=True)
+    # the final eager checkpoint materialized ranks — the loop-state
+    # caches can release their executor storage now
+    nodes.unpersist()
+    sinks.unpersist()
     return ranks
 
 

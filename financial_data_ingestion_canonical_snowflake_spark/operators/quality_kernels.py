@@ -33,9 +33,11 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     import pandas as pd
 
+    # id passes through untouched — carry ITS type, not an assumed long
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", id_type),
             T.StructField("raw_len", T.LongType()),
             T.StructField("compressed_len", T.LongType()),
             T.StructField("compression_ratio", T.DoubleType()),

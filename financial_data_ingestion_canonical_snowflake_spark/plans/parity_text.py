@@ -689,11 +689,6 @@ def _graph_stats_oracle() -> str:
     """
 
 
-@parity(
-    "ns_dedup_graph_stats",
-    driver=False,  # driver slot: folded into ns_text_digest
-    oracle=_graph_stats_oracle(),
-)
 @parity("ns_dedup_pagerank", driver=False)  # rows-only: iterative float loop
 def ns_dedup_pagerank(spark, sf_dir):
     """PageRank centrality of the near-dup pair graph (operators/
@@ -718,6 +713,11 @@ def ns_dedup_pagerank(spark, sf_dir):
     return pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
 
 
+@parity(
+    "ns_dedup_graph_stats",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_graph_stats_oracle(),
+)
 def ns_dedup_graph_stats(spark, sf_dir):
     """Structural report of the near-dup pair graph (operators/
     components.py graph_stats): node/edge counts, max degree, wedges and
