@@ -910,6 +910,90 @@ def ns_text_bpe_pairs(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_corpus_datacard",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, lang, n_chars,
+               sha256(text) AS h,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS n_toks
+        FROM documents
+    ),
+    core AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        FROM per_doc
+    ),
+    langs AS (
+        SELECT lang, COUNT(*) AS c FROM per_doc GROUP BY 1
+    ),
+    top_lang AS (
+        SELECT lang, c FROM langs ORDER BY c DESC, lang ASC LIMIT 1
+    )
+    SELECT n_docs, n_distinct_texts,
+           CAST(CAST(n_docs - n_distinct_texts AS DECIMAL(18,6))
+                / n_docs AS DOUBLE) AS exact_dup_frac,
+           total_chars, total_tokens,
+           CAST(CAST(total_tokens AS DECIMAL(18,6)) / n_docs AS DOUBLE)
+               AS mean_tokens_per_doc,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM langs) AS n_langs,
+           (SELECT lang FROM top_lang) AS top_lang,
+           CAST(CAST((SELECT c FROM top_lang) AS DECIMAL(18,6))
+                / n_docs AS DOUBLE) AS top_lang_frac
+    FROM core
+    """,
+)
+def ns_corpus_datacard(spark, sf_dir):
+    """One-row corpus data card — the summary a training-data team stamps
+    on a dataset release: document/dedup counts, token and char totals,
+    language concentration. ONE scan feeds a single aggregate (count +
+    count_distinct + sums); the language distribution is a 5-ish-row agg
+    joined back as a broadcast. Ratios pin through DECIMAL division then
+    DOUBLE, the registry rule."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(F.filter(tx.tokens(F.col("text")), lambda t: t != "")).alias(
+            "n_toks"
+        ),
+    )
+    core = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_distinct_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    langs = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    top = langs.orderBy(F.col("c").desc(), F.col("lang").asc()).limit(1)
+    n_langs = langs.agg(F.count(F.lit(1)).alias("n_langs"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    return (
+        core.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(n_langs))
+        .select(
+            "n_docs",
+            "n_distinct_texts",
+            (dec(F.col("n_docs") - F.col("n_distinct_texts")) / F.col("n_docs"))
+            .cast("double")
+            .alias("exact_dup_frac"),
+            "total_chars",
+            "total_tokens",
+            (dec(F.col("total_tokens")) / F.col("n_docs"))
+            .cast("double")
+            .alias("mean_tokens_per_doc"),
+            "n_langs",
+            F.col("lang").alias("top_lang"),
+            (dec(F.col("c")) / F.col("n_docs")).cast("double").alias("top_lang_frac"),
+        )
+    )
+
+
 @parity("ns_text_compression_ratio", driver=False)  # rows-only: zlib kernel
 def ns_text_compression_ratio(spark, sf_dir):
     """Compression-ratio quality signal (operators/quality_kernels.py —
@@ -1067,6 +1151,15 @@ _TEXT_DIGEST = [
         ],
     ),
     ("ns_text_bpe_pairs", [("rank", "s"), ("pair", "s"), ("cnt", "s")]),
+    (
+        "ns_corpus_datacard",
+        [
+            ("n_docs", "s"), ("n_distinct_texts", "s"), ("exact_dup_frac", "d"),
+            ("total_chars", "s"), ("total_tokens", "s"),
+            ("mean_tokens_per_doc", "d"), ("n_langs", "s"),
+            ("top_lang", "s"), ("top_lang_frac", "d"),
+        ],
+    ),
     (
         "ns_vocab_coverage",
         [
