@@ -631,6 +631,68 @@ def ns_window_rank_fracs(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_session_window_native",
+    driver=False,  # driver slot: folded into probe_digest_relational
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               CAST(value AS DECIMAL(18,6)) AS val
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    lagged AS (
+        SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM e
+    ),
+    marked AS (
+        -- session_window merges when the next event starts BEFORE the
+        -- current window's end (strict <): a gap of exactly 30 min opens
+        -- a NEW session ([start, end) windows), hence >= here — one
+        -- boundary tighter than the gap-based operator's > rule
+        SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS win_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def ns_session_window_native(spark, sf_dir):
+    """Spark's BUILT-IN ``session_window`` (the native alternative to the
+    lag-mark sessionizer): dynamic-gap windows merged inside the aggregate
+    itself — one groupBy, no window-function pre-pass, and the same
+    operator works unchanged under Structured Streaming with state-store
+    merging. Window end extends ``gap`` past the last event (the oracle
+    mirrors MAX(ts) + 30 min) and merging is strict-< on the gap, one
+    boundary tighter than the ``>`` rule of the lag-based twin."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def cdc_orders_scenario(o):
     """Deterministic 'new snapshot' of orders for the CDC parity surface:
     %13 keys deleted, %5 prices bumped +10.0 (IEEE-exact both engines),
@@ -792,6 +854,13 @@ RELATIONAL_DIGEST_MEMBERS = [
         ],
     ),
     ("ns_set_ops", [("o_custkey", "s"), ("membership", "s")]),
+    (
+        "ns_session_window_native",
+        [
+            ("user_id", "s"), ("win_start", "s"), ("win_end", "s"),
+            ("n_events", "s"), ("total_value", "d"),
+        ],
+    ),
     (
         "ns_window_rank_fracs",
         [("o_orderkey", "s"), ("o_orderpriority", "s"), ("pr", "d"), ("cd", "d")],
