@@ -479,3 +479,34 @@ def test_stream_full_canonical_chain_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, txn.read(spark).collect())) == want_txn
     assert sorted(map(tuple, line.read(spark).collect())) == want_line
     assert sorted(map(tuple, anom.read(spark).collect())) == want_anom
+
+
+def test_streaming_session_window_matches_batch(spark, events_dir, tmp_path):
+    """The SAME session_window aggregate runs unchanged under a real
+    readStream (state-store session merging) and equals the batch result —
+    the claim ns_session_window_native's docstring makes, proven on a
+    complete-mode drain."""
+    def session_agg(df):
+        return (
+            df.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            )
+            .select(
+                "user_id", F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "n_events", "total_value",
+            )
+        )
+
+    stream = file_stream(spark, events_dir, max_files_per_trigger=2).withWatermark(
+        "ts", "2 hours"
+    )
+    got = _drain(session_agg(stream), tmp_path, mode="complete")
+    want = session_agg(spark.read.parquet(events_dir))
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["ws"], r["we"], r["n_events"], str(r["total_value"]))
+        for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
