@@ -645,11 +645,12 @@ def ns_window_rank_fracs(spark, sf_dir):
         FROM e
     ),
     marked AS (
-        -- session_window merges when the next event starts BEFORE the
-        -- current window's end (strict <): a gap of exactly 30 min opens
-        -- a NEW session ([start, end) windows), hence >= here — one
-        -- boundary tighter than the gap-based operator's > rule
-        SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        -- session_window merges when the next event starts AT OR BEFORE
+        -- the current window's end (inclusive — verified empirically on
+        -- Spark 4.1.2: two events exactly 30 min apart form ONE session),
+        -- so a new session opens only on gap > 30 min, matching the
+        -- lag-based sessionizer's rule
+        SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
                        THEN 1 ELSE 0 END AS new_s
         FROM lagged
     ),
@@ -672,8 +673,9 @@ def ns_session_window_native(spark, sf_dir):
     itself — one groupBy, no window-function pre-pass, and the same
     operator works unchanged under Structured Streaming with state-store
     merging. Window end extends ``gap`` past the last event (the oracle
-    mirrors MAX(ts) + 30 min) and merging is strict-< on the gap, one
-    boundary tighter than the ``>`` rule of the lag-based twin."""
+    mirrors MAX(ts) + 30 min); merging is INCLUSIVE at the exact-gap
+    boundary (two events exactly ``gap`` apart share a session —
+    empirically verified), the same rule as the lag-based twin."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     return (
         e.groupBy(

@@ -22,7 +22,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.sketches import hll_estimate, hll_merge, hll_state
 from ..operators.storage import ParquetTable

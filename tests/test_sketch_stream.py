@@ -65,7 +65,7 @@ def test_stream_hll_equals_batch_and_survives_restart(spark, tmp_path):
 def test_stream_hll_replay_idempotent(spark, tmp_path):
     """Re-applying a micro-batch (the at-least-once crash window) cannot
     change the registers — max-merge is idempotent."""
-    events = table(spark, SF_SMOKE, "events").limit(500)
+    events = table(spark, SF_SMOKE, "events").filter("event_id < 500")
     t = ParquetTable(str(tmp_path / "hll"))
     sink = HllSink(t, ["event_type"], "user_id")
     sink(events, 0)

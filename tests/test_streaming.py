@@ -510,3 +510,22 @@ def test_streaming_session_window_matches_batch(spark, events_dir, tmp_path):
         for r in df.collect()
     )
     assert as_rows(got) == as_rows(want)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Two events exactly `gap` apart MERGE into one session (inclusive
+    boundary — the rule the ns_session_window_native oracle mirrors with
+    its `> gap` new-session predicate)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [(1, t0, 1), (1, t0 + dt.timedelta(minutes=30), 2)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 2
