@@ -262,3 +262,25 @@ def test_set_ops_compile_to_semi_anti_joins(spark, sf_oracle):
     distinct inputs — set algebra without a manual dedupe-and-join."""
     plan = _executed("ns_set_ops", spark, sf_oracle)
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_hot_queries_stay_jvm_side(spark, sf_oracle):
+    """The 'UDFs are the slow path' discipline, pinned: no Python eval
+    node (Arrow or row) may appear in the hot relational/text/vector
+    queries — the only sanctioned kernel sites are XML conversion,
+    multimodal codecs, the sessionize state fold, and the zlib quality
+    kernel, none of which these plans touch. (Codegen-span checks are
+    unreliable pre-execution under AQE — isFinalPlan=false prints no
+    WholeStageCodegen labels — so only the Python-node absence is
+    pinned.)"""
+    hot = [
+        "a1_pricing_summary", "j1_revenue_by_segment", "w1_survivor_dedupe",
+        "f8_canonical_id_derivation", "m2_merge_composite_key",
+        "ns_text_quality_stats", "ns_dedup_minhash_lsh", "ns_sim_lsh_topk",
+        "ns_asof_directions", "ns_sessionize_batch", "ns_scd2_dimension",
+        "ns_rolling_range_agg", "ns_snapshot_diff_cdc", "ns_text_line_dedup",
+        "ns_session_window_native", "ns_corpus_datacard",
+    ]
+    for name in hot:
+        plan = _executed(name, spark, sf_oracle)
+        assert "EvalPython" not in plan, f"{name}: Python eval node crept in"
