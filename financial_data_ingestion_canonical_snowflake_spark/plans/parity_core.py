@@ -1236,6 +1236,48 @@ def ns_iqr_outliers(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_map_roundtrip",
+    driver=False,  # driver slot: folded into probe_digest_variant
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 5 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) * 2 AS BIGINT) AS boosted_cnt
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id % 5 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def ns_map_roundtrip(spark, sf_dir):
+    """MAP-typed column surface (the one nested type the variant family
+    didn't yet exercise): per-event-type bucket counts built into a map
+    (``map_from_entries`` over a sorted entry list — deterministic key
+    order), transformed value-wise (``transform_values``, x2), filtered
+    key-wise (``map_filter``, drop bucket 0), then melted back with
+    ``explode`` so the oracle stays a plain GROUP BY the round trip must
+    reproduce. Map HOFs evaluate map-side; the only shuffles are the two
+    aggregates."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy(
+        "event_type", (F.col("user_id") % 5).alias("ub")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    asmap = counts.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("ub", "cnt")))
+        ).alias("m")
+    )
+    boosted = asmap.select(
+        "event_type",
+        F.map_filter(
+            F.transform_values("m", lambda _k, v: v * 2),
+            lambda k, _v: k != 0,
+        ).alias("m"),
+    )
+    return boosted.select(
+        "event_type", F.explode("m").alias("user_bucket", "boosted_cnt")
+    )
+
+
 # --------------------------------------------------------------------------
 # Digest composites: the single-operator probes above stay runnable (bench,
 # tests) but occupy ONE driver slot per family — the driver verifies only
@@ -1304,6 +1346,10 @@ _DIGEST_VARIANT = [
     ("v6_array_subscript", [("p_partkey", "s"), ("third_word", "s"), ("dyn_word", "s")]),
     ("v7_posexplode_outer_lines", [("p_partkey", "s"), ("word", "s"), ("line_number", "s")]),
     ("v8_explode_inner", [("code", "s"), ("txn_cnt", "s")]),
+    (
+        "ns_map_roundtrip",
+        [("event_type", "s"), ("user_bucket", "s"), ("boosted_cnt", "s")],
+    ),
 ]
 
 
