@@ -1251,8 +1251,9 @@ def ns_iqr_outliers(spark, sf_dir):
 def ns_map_roundtrip(spark, sf_dir):
     """MAP-typed column surface (the one nested type the variant family
     didn't yet exercise): per-event-type bucket counts built into a map
-    (``map_from_entries`` over a sorted entry list — deterministic key
-    order), transformed value-wise (``transform_values``, x2), filtered
+    (``map_from_entries`` over a sorted entry list — stable iteration
+    order for human inspection; every comparison path is itself
+    order-insensitive), transformed value-wise (``transform_values``, x2), filtered
     key-wise (``map_filter``, drop bucket 0), then melted back with
     ``explode`` so the oracle stays a plain GROUP BY the round trip must
     reproduce. Map HOFs evaluate map-side; the only shuffles are the two
@@ -1374,7 +1375,8 @@ def probe_digest_scalar(spark, sf_dir):
 
 @parity("probe_digest_variant", oracle=_digest_oracle(_DIGEST_VARIANT))
 def probe_digest_variant(spark, sf_dir):
-    """V1-V8 semi-structured probes in one driver slot (array construct /
-    compact, JSON path + typed VARIANT access, subscripts, inner and OUTER
-    flatten)."""
+    """V1-V8 semi-structured probes plus the MAP round trip
+    (ns_map_roundtrip) in one driver slot: array construct / compact, JSON
+    path + typed VARIANT access, subscripts, inner and OUTER flatten, and
+    map build/transform/filter/melt-back."""
     return _digest_union(spark, sf_dir, _DIGEST_VARIANT)
