@@ -306,6 +306,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iter: int = 5,
+    exact_means: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means coarse quantizer for ``ivf_topk``.
 
@@ -327,6 +328,15 @@ def kmeans_centroids(
     Empty clusters keep their previous centroid. At 100 TB each round is a
     full corpus pass (the standard k-means cost); train on a stratified
     sample (``functions.text.sample_bucket``) when a pass is too dear.
+
+    ``exact_means=True`` pins each per-(centroid, dim) mean through an
+    order-independent DECIMAL(38,12) sum before one double division —
+    bit-identical on any partitioning AND in the DuckDB oracle twin
+    (plans/parity_vector.py unrolls the same fixed rounds in SQL), which
+    is what lets the trained quantizer's output be cross-engine
+    hash-certified. Default ``False`` keeps the cheaper native ``avg``
+    for production use where last-ulp reproducibility across cluster
+    sizes doesn't matter.
 
     Returns ``(id_col = 0..k-1, vec_col array<double>)`` — plugs directly
     into ``ivf_topk(centroids=...)``.
@@ -374,10 +384,18 @@ def kmeans_centroids(
                 ).alias("centroid_id"),
                 F.first("__v").alias("__v"),
             )
+            mean_col = (
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                if exact_means
+                else F.avg("val")
+            )
             means = (
                 best.select("centroid_id", F.posexplode("__v").alias("pos", "val"))
                 .groupBy("centroid_id", "pos")
-                .agg(F.avg("val").alias("m"))
+                .agg(mean_col.alias("m"))
                 .collect()
             )
             by_cluster: dict[int, dict[int, float]] = {}

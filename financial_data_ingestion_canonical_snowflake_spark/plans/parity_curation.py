@@ -59,6 +59,7 @@ def _rep_cols(n: int) -> str:
 
 @parity(
     "ns_repetition_signals",
+    driver=False,  # driver slot: folded into ns_curation_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     grams AS (
@@ -461,6 +462,7 @@ def ns_pack_export_digest(spark, sf_dir):
 
 @parity(
     "ns_source_mixture",
+    driver=False,  # driver slot: folded into ns_curation_digest
     oracle=f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
     per_src AS (
@@ -525,6 +527,7 @@ def ns_source_mixture(spark, sf_dir):
 
 @parity(
     "ns_source_token_divergence",
+    driver=False,  # driver slot: folded into ns_curation_digest
     oracle=f"""
     WITH toks AS (
         SELECT source, UNNEST({_TOKS}) AS token FROM documents
@@ -594,3 +597,62 @@ def ns_source_token_divergence(spark, sf_dir):
             F.sum(diff.cast("decimal(18,6)")).cast("double") * F.lit(0.5)
         ).alias("tv_distance"),
     )
+
+
+# --------------------------------------------------------------------------
+# Curation digest composite: one driver slot certifying the full result
+# sets of four previously-standalone curation probes (round-7 window
+# headroom — the driver verifies only the first 50 oracle-paired entries,
+# and the window was 50/50 full in r6).
+# --------------------------------------------------------------------------
+
+_CURATION_DIGEST = [
+    (
+        "ns_repetition_signals",
+        [
+            ("doc_id", "s"),
+            ("n_2grams", "s"), ("dup_2gram_frac", "d"), ("top_2gram_frac", "d"),
+            ("n_3grams", "s"), ("dup_3gram_frac", "d"), ("top_3gram_frac", "d"),
+            ("repetitive", "s"),
+        ],
+    ),
+    (
+        "ns_sample_stratified",
+        [
+            ("lang", "s"), ("sampled_docs", "s"),
+            ("min_doc_id", "s"), ("max_doc_id", "s"),
+        ],
+    ),
+    (
+        "ns_source_mixture",
+        [
+            ("source", "s"), ("n_docs", "s"), ("n_tokens", "s"),
+            ("token_share", "d"), ("sample_prob", "d"), ("epochs", "d"),
+        ],
+    ),
+    (
+        "ns_source_token_divergence",
+        [
+            ("source", "s"), ("n_tokens", "s"), ("vocab_seen", "s"),
+            ("vocab_corpus", "s"), ("tv_distance", "d"),
+        ],
+    ),
+]
+
+
+def _curation_digest_oracle() -> str:
+    from .registry import digest_union_oracle
+
+    return digest_union_oracle(_CURATION_DIGEST)
+
+
+@parity("ns_curation_digest", oracle=_curation_digest_oracle())
+def ns_curation_digest(spark, sf_dir):
+    """Curation family in one driver slot: per-doc repetition signals
+    (Gopher), deterministic stratified sampling, temperature-based source
+    mixture, and per-source token-distribution divergence — each member
+    probe's full result set content-checksummed identically in Spark and
+    DuckDB (registry.digest_frame / digest_sql)."""
+    from .registry import digest_union
+
+    return digest_union(spark, sf_dir, _CURATION_DIGEST)

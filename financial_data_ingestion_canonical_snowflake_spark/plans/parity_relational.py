@@ -280,6 +280,7 @@ def ns_tpch_q5_regional_volume(spark, sf_dir):
                list_extract(string_split(p_name, ' '), -1)
                    || '|' || substr(p_name, 1, 1) AS block
         FROM part WHERE p_name IS NOT NULL
+        QUALIFY COUNT(*) OVER (PARTITION BY block) <= 1000
     )
     SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS INT) AS distance
@@ -297,7 +298,15 @@ def ns_fuzzy_match_pairs(spark, sf_dir):
     standard blocking recall tradeoff (production runs multiple blocking
     passes). Scored with built-in ``levenshtein`` (JVM codegen, exact
     integer — engine-identical by definition) behind a length-difference
-    prefilter. One shuffle on the block key; never all-pairs."""
+    prefilter. One shuffle on the block key; never all-pairs.
+
+    ``max_block_width=1000`` is active by default here (oracle mirrors it
+    with QUALIFY): a degenerate block — one key covering a large corpus
+    slice — is |block|² on a single shuffle partition at scale, the same
+    hole ``max_bucket_width`` closes for LSH buckets. At this fixture's
+    cardinality no block comes near the cap, so the capped and uncapped
+    results are identical (the degenerate-block behavior itself is pinned
+    by tests/test_fuzzy_gapfill.py's 10k-identical-names test)."""
     from ..operators.fuzzy import blocked_fuzzy_pairs
 
     p = table(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
@@ -306,7 +315,9 @@ def ns_fuzzy_match_pairs(spark, sf_dir):
         F.lit("|"),
         F.substring(F.col("p_name"), 1, 1),
     )
-    return blocked_fuzzy_pairs(p, "p_partkey", "p_name", block, max_distance=2)
+    return blocked_fuzzy_pairs(
+        p, "p_partkey", "p_name", block, max_distance=2, max_block_width=1000
+    )
 
 
 _DAY_US = 86_400_000_000

@@ -1198,6 +1198,7 @@ def ns_text_digest(spark, sf_dir):
 
 @parity(
     "ns_sample_stratified",
+    driver=False,  # driver slot: folded into ns_curation_digest
     oracle=f"""
     WITH bucketed AS (
         SELECT lang, doc_id, {_md5h('CAST(doc_id AS VARCHAR)', 100)} AS bucket

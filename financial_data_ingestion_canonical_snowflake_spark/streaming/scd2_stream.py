@@ -25,9 +25,12 @@ points, but interior repeats collapsed away in earlier batches are gone —
 a late event landing inside a long-collapsed run can coarsen history
 relative to a from-scratch rebuild over the full event log. In-order
 delivery per key (the watermarked-stream contract) gives exact equality
-with the batch build; schedule a periodic rebuild where late data beyond
-the watermark matters — the standard compaction story for incrementally
-maintained state.
+with the batch build; where late data beyond the watermark matters, run
+:func:`rebuild_scd2` periodically — it re-collapses the version table from
+the retained event log (the standard compaction story for incrementally
+maintained state), and ``tests/test_streaming_scd2.py`` proves the
+post-rebuild state equals the batch ``scd2_build`` after an out-of-order
+late event coarsened the incrementally-folded history.
 """
 
 from __future__ import annotations
@@ -99,6 +102,47 @@ class Scd2Sink:
         else:
             merged = recomputed
         self.table.overwrite_atomic(merged)
+
+    def rebuild(self, events: DataFrame) -> None:
+        """Periodic rebuild: re-collapse the version table from the
+        retained event log, discarding the incrementally-folded state.
+
+        This is the executable mitigation of the module's late-data
+        caveat: an out-of-order event folded after its run was collapsed
+        can coarsen history, and only a from-scratch re-collapse over the
+        full retained log restores the exact batch semantics. Cost is one
+        batch ``scd2_build`` over the retained events (one shuffle on the
+        key) — schedule it at the cadence your late-data SLA requires,
+        and size the event-log retention window to cover the oldest
+        lateness you need to repair; events already expired from the log
+        are beyond what any rebuild can recover.
+        """
+        rebuilt = scd2_build(
+            events.select(self.key_col, self.state_col, self.ts_col, self.seq_col),
+            self.key_col,
+            self.state_col,
+            self.ts_col,
+            self.seq_col,
+            with_seq=True,
+        )
+        self.table.overwrite_atomic(rebuilt)
+
+
+def rebuild_scd2(
+    spark: SparkSession,
+    source_dir: str,
+    table: ParquetTable,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> None:
+    """Re-collapse ``table`` from the full retained event log under
+    ``source_dir`` (the same directory :func:`stream_scd2` ingests). See
+    :meth:`Scd2Sink.rebuild` for the late-data contract."""
+    Scd2Sink(table, key_col, state_col, ts_col, seq_col).rebuild(
+        spark.read.parquet(source_dir)
+    )
 
 
 def stream_scd2(

@@ -57,6 +57,32 @@ def test_fuzzy_block_width_cap(spark):
     assert uncapped.count() == 20
 
 
+def test_fuzzy_degenerate_block_capped(spark):
+    """10k identical names share one block — the |block|² hole (~50M
+    candidate pairs) that max_block_width exists to close, mirroring
+    tests/test_similarity.py's 10k-identical-docs LSH-cap test. With the
+    cap the degenerate block is dropped entirely (zero pairs from it,
+    bounded work); clean blocks under the cap are unaffected."""
+    rows = [(i, "degenerate common name") for i in range(10_000)]
+    rows += [(20_000, "rare widget"), (20_001, "race widget")]  # dist 1
+    df = spark.createDataFrame(rows, "id long, name string")
+    block = F.element_at(F.split(F.col("name"), " "), -1)
+    capped = blocked_fuzzy_pairs(
+        df, "id", "name", block, max_distance=2, max_block_width=1000
+    ).collect()
+    got = {(r.id_a, r.id_b): r.distance for r in capped}
+    assert got == {(20_000, 20_001): 1}
+    # cap wider than every block -> identical to uncapped on a small slice
+    small = spark.createDataFrame(rows[:50] + rows[-2:], "id long, name string")
+    with_cap = blocked_fuzzy_pairs(
+        small, "id", "name", block, max_distance=2, max_block_width=1000
+    )
+    without = blocked_fuzzy_pairs(small, "id", "name", block, max_distance=2)
+    assert sorted(map(tuple, with_cap.collect())) == sorted(
+        map(tuple, without.collect())
+    )
+
+
 def _events_df(spark):
     # one key, observations in hours 0, 1, and 4 (gap of 2 buckets);
     # hour 1 has two observations — later (ts, order) wins

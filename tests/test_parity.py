@@ -39,8 +39,12 @@ def test_every_query_has_oracle_or_is_flagged():
 def test_driver_surface_fits_verification_window():
     """The correctness driver checks only the FIRST 50 oracle-paired
     registrations (SURVEY.md §8) — the driver-facing registry must never
-    grow past that window again."""
-    assert len(entrymod.queries()) <= 50
+    grow past that window again. The bound is 48, not 50: the window
+    filled to exactly 50 in rounds 5 AND 6, and both times a new probe
+    nearly landed (twice DID land, mid-r6) outside the verified window
+    before being caught. Two spare slots is the minimum working headroom;
+    fold probes into digest composites before adding driver entries."""
+    assert len(entrymod.queries()) <= 48
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ORACLE_SQL.keys()))

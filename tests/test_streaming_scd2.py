@@ -12,6 +12,7 @@ from financial_data_ingestion_canonical_snowflake_spark.operators.storage import
 )
 from financial_data_ingestion_canonical_snowflake_spark.streaming.scd2_stream import (
     Scd2Sink,
+    rebuild_scd2,
     stream_scd2,
 )
 
@@ -73,6 +74,50 @@ def test_stream_scd2_matches_batch_and_survives_restart(spark, tmp_path):
         open_by_key[u] = open_by_key.get(u, 0) + r["is_current"]
     assert set(open_by_key.values()) == {1}
     assert rows[(1, 2)]["state"] == "b" and rows[(1, 3)]["state"] == "a"
+
+
+def test_stream_scd2_rebuild_repairs_late_data_coarsening(spark, tmp_path):
+    """The documented late-data caveat, exercised then repaired: an event
+    older than an already-collapsed run folds in coarsened (the interior
+    repeat that ended the run is gone), and rebuild_scd2 over the retained
+    event log restores the exact batch scd2_build history."""
+    src = str(tmp_path / "events_src")
+    table = ParquetTable(str(tmp_path / "scd2"))
+    sink = Scd2Sink(table, "user_id", "event_type", "ts", "event_id")
+
+    # batch 1 collapses user 1 to ONE 'a' run [0, inf); batch 2 then lands
+    # t=10 'b' INSIDE that collapsed run, out of order
+    early = [_ev(0, 1, 0, "a"), _ev(1, 1, 20, "a")]
+    late = [_ev(2, 1, 10, "b")]
+    sink(spark.createDataFrame(early, _SCHEMA), 0)
+    sink(spark.createDataFrame(late, _SCHEMA), 1)
+
+    batch_truth = scd2_build(
+        spark.createDataFrame(early + late, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    # the incremental fold COARSENED history: a[0,10) b[10,inf) — the
+    # return to 'a' at t=20 was collapsed away before the late event hit
+    assert _sorted_rows(sink.versions(spark)) != _sorted_rows(batch_truth)
+    assert sink.versions(spark).count() == 2
+    assert batch_truth.count() == 3
+
+    # periodic rebuild from the retained log restores batch semantics
+    _write_batch(spark, src, early)
+    _write_batch(spark, src, late)
+    rebuild_scd2(spark, src, table)
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
+
+    # rebuild is idempotent and leaves further incremental folds working
+    rebuild_scd2(spark, src, table)
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
+    more = [_ev(3, 1, 30, "c")]
+    sink(spark.createDataFrame(more, _SCHEMA), 2)
+    batch_more = scd2_build(
+        spark.createDataFrame(early + late + more, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_more)
 
 
 def test_stream_scd2_replayed_batch_is_idempotent(spark, tmp_path):
