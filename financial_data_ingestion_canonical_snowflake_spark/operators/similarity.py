@@ -300,6 +300,46 @@ def semantic_dedup(
     )
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (ties to the lowest centroid
+    id): ``(id_col, centroid_id)`` — the quantizer's public surface, shared
+    by IVF inverted-list builds and the k-means trainer's own rounds.
+
+    Same scale shape as the trainer's assignment step: the k centroids ride
+    a broadcast crossJoin, scoring is map-side, and the max_by groupBy
+    collapses a vector's k candidate rows map-side so the only exchange
+    carries one row per vector.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).cast("int").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .crossJoin(c)
+        .select(
+            id_col,
+            "centroid_id",
+            vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n")),
+        ).alias("centroid_id")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -206,6 +206,137 @@ def ns_sim_ivf_kmeans(spark, sf_dir):
     )
 
 
+N_KMEANS_ITER = 2
+
+
+def _kmeans_assign_sql(k: int, n_iter: int) -> str:
+    """DuckDB twin of the DETERMINISTIC k-means trainer + final assignment.
+
+    The trainer (operators/similarity.py:kmeans_centroids with
+    ``exact_means=True``) is a fixed bounded iteration — md5-seeded init,
+    ``n_iter`` Lloyd rounds — so rather than being "non-SQL-expressible"
+    it UNROLLS: one CTE pair (assign{r} -> cents{r+1}) per round. Means
+    pin through an order-independent DECIMAL(38,12) sum and ONE double
+    division on both engines, so the trained centroids are bit-identical
+    and the final assignment + per-cluster counts + centroid checksums
+    hash-match exactly.
+    """
+    cos = _sql_cos("e.v", "c.cent_vec")
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cents0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT)
+                   AS centroid_id,
+               v AS cent_vec
+        FROM (
+            SELECT vec_id, v,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM e ORDER BY h, vec_id LIMIT {k}
+        )
+    )"""
+    for r in range(n_iter):
+        sql += f""",
+    assign{r} AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos} DESC, c.centroid_id) AS rn
+            FROM e CROSS JOIN cents{r} c
+        ) WHERE rn = 1
+    ),
+    means{r} AS (
+        SELECT centroid_id, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM (
+            SELECT centroid_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos
+            FROM assign{r}
+        )
+        GROUP BY 1, 2
+    ),
+    cents{r + 1} AS (
+        SELECT c.centroid_id, COALESCE(n.nv, c.cent_vec) AS cent_vec
+        FROM cents{r} c LEFT JOIN (
+            SELECT centroid_id, list(m ORDER BY pos) AS nv
+            FROM means{r} GROUP BY 1
+        ) n USING (centroid_id)
+    )"""
+    return sql + f""",
+    final_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos} DESC, c.centroid_id) AS rn
+            FROM e CROSS JOIN cents{n_iter} c
+        ) WHERE rn = 1
+    ),
+    checks AS (
+        -- scale 6, NOT 12: trained means are quotients of scale-12
+        -- decimal sums, so their doubles sit right at 12-decimal rounding
+        -- boundaries where the engines' double->decimal conversions can
+        -- disagree by 1e-12 (observed); at scale 6 the boundary is 1e6x
+        -- away and the rounding is engine-identical
+        SELECT centroid_id,
+               CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS cent_checksum
+        FROM (SELECT centroid_id, unnest(cent_vec) AS val FROM cents{n_iter})
+        GROUP BY 1
+    )
+    SELECT a.vec_id, a.centroid_id,
+           CAST(COUNT(*) OVER (PARTITION BY a.centroid_id) AS BIGINT)
+               AS n_members,
+           cent_checksum
+    FROM final_assign a JOIN checks USING (centroid_id)
+    """
+
+
+@parity(
+    "ns_sim_kmeans_assign",
+    oracle=_kmeans_assign_sql(N_CENTROIDS, N_KMEANS_ITER),
+)
+def ns_sim_kmeans_assign(spark, sf_dir):
+    """Value-certification of the TRAINED k-means quantizer: every corpus
+    vector's final cluster assignment, its cluster's member count, and a
+    decimal-pinned checksum of the trained centroid vector itself — all
+    hash-compared against a DuckDB twin that re-derives the identical
+    centroids by unrolling the same md5-seeded, exact-mean Lloyd rounds in
+    SQL. Companion to ns_sim_ivf_kmeans (which exercises the production
+    avg-mean trainer rows-only): together the trainer's math is pinned by
+    tests/test_similarity.py and its OUTPUT is cross-engine certified
+    here."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(
+        emb, n_centroids=N_CENTROIDS, n_iter=N_KMEANS_ITER, exact_means=True
+    )
+    assign = sim.assign_to_centroids(emb, cents)
+    checks = (
+        cents.select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            # scale 6 — see the oracle's checks CTE comment
+            F.sum(F.col("val").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("cent_checksum")
+        )
+    )
+    from pyspark.sql import Window
+
+    return (
+        assign.withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("centroid_id")).cast("long"),
+        )
+        .join(F.broadcast(checks), "centroid_id")
+        .select("vec_id", "centroid_id", "n_members", "cent_checksum")
+    )
+
+
 _SQL_PROBES = "list_prepend(bucket, list_transform(generate_series(0, %d), j -> xor(bucket, CAST(1 AS BIGINT) << j)))" % (NUM_PLANES - 1)
 
 

@@ -38,6 +38,27 @@ def test_kmeans_centroids_deterministic(spark, sf_oracle):
     assert va == vb  # no RNG anywhere -> bit-identical retrain
 
 
+def test_kmeans_exact_means_close_to_avg_and_assign_total(spark, sf_oracle):
+    """exact_means pins the per-dim mean through a decimal sum — the
+    centroids must agree with the native-avg trainer to float-accumulation
+    noise (they compute the same mathematical mean), and the public
+    assign_to_centroids must label every vector exactly once."""
+    emb = table(spark, sf_oracle, "embeddings")
+    a = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2).collect()
+    b = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2, exact_means=True).collect()
+    va = {r["vec_id"]: r["embedding"] for r in a}
+    vb = {r["vec_id"]: r["embedding"] for r in b}
+    assert va.keys() == vb.keys()
+    for k in va:
+        assert max(abs(x - y) for x, y in zip(va[k], vb[k])) < 1e-9
+    cents = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2, exact_means=True)
+    assign = sim.assign_to_centroids(emb, cents)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    assert assign.filter(~assign.centroid_id.isin(0, 1, 2, 3)).count() == 0
+
+
 def test_kmeans_ivf_recall_beats_lowest_id_quantizer(spark, sf_oracle):
     emb = table(spark, sf_oracle, "embeddings")
     # queries DISJOINT from both quantizers' candidate centroids: the
