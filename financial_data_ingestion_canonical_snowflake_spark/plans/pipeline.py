@@ -72,6 +72,13 @@ class PipelineConfig:
     # also register the OPS views as durable catalog objects (reference
     # sql/07_ops_views.sql creates durable views, not session temp views)
     durable_views: bool = False
+    # scheduled-maintenance vacuum: when not None, every run_batch first
+    # sweeps crash-stranded .tmp-*/.old-* swap directories (and surplus
+    # .gen-* snapshots) older than this many seconds from ALL pipeline
+    # tables — a long-lived deployment otherwise accumulates disk from
+    # interrupted atomic swaps. Age-gating protects any swap in flight;
+    # None (default) leaves maintenance to an external schedule.
+    vacuum_min_age_seconds: float | None = None
 
 
 class Pipeline:
@@ -137,10 +144,13 @@ class Pipeline:
             raw = read_raw(self.spark, resolved, self.cfg.ingest_root, self._ts())
             if loaded is not None:
                 raw = raw.join(F.broadcast(loaded), "src_file", "left_anti")
-            return spec, raw.cache()
+            raw = raw.cache()
+            # declare the audit aggregate here too: py4j analysis calls
+            # release the GIL, so the three specs' Catalyst work overlaps
+            return spec, raw, build_load_audit(raw, spec.file_type, self._ts())
 
         def land(item) -> None:
-            spec, raw = item
+            spec, raw, _audit = item
             good = raw.filter(F.col("_load_error").isNull()).drop("_load_error")
             self.raw_tables[spec.file_type].append(good)
             raw.unpersist()
@@ -152,10 +162,7 @@ class Pipeline:
             # across all specs: it answers "anything loaded?" per spec and
             # re-lands as a single-partition append instead of a
             # shuffle-width write.
-            audit_frames = [
-                build_load_audit(raw, spec.file_type, self._ts())
-                for spec, raw in prepared
-            ]
+            audit_frames = [audit for _spec, _raw, audit in prepared]
             audit_union = audit_frames[0]
             for f in audit_frames[1:]:
                 audit_union = audit_union.unionByName(f)
@@ -169,7 +176,7 @@ class Pipeline:
             for item in prepared:
                 has_rows = loaded_by_type.get(item[0].file_type, 0) > 0
                 (active if has_rows else skipped).append(item)
-            for _, raw in skipped:
+            for _, raw, _a in skipped:
                 raw.unpersist()
             list(ex.map(land, active))
         # audit rows land for EVERY spec that saw files — including fully
@@ -186,8 +193,32 @@ class Pipeline:
         return {k: t.read(self.spark) if t.exists() else None for k, t in self.raw_tables.items()}
 
     # ------------------------------------------------------------------
+    def _tables(self) -> list[ParquetTable]:
+        return [
+            *self.raw_tables.values(),
+            self.raw_load_audit,
+            self.can_txn,
+            self.can_txn_line,
+            self.can_txn_anomaly,
+        ]
+
+    def vacuum(self) -> list[str]:
+        """Sweep crash-stranded swap directories from every pipeline table
+        (operators.storage.vacuum); no-op unless
+        ``cfg.vacuum_min_age_seconds`` is set. Returns deleted paths."""
+        if self.cfg.vacuum_min_age_seconds is None:
+            return []
+        from ..operators.storage import vacuum as _vacuum
+
+        deleted: list[str] = []
+        for t in self._tables():
+            deleted.extend(_vacuum(t, self.cfg.vacuum_min_age_seconds))
+        return deleted
+
+    # ------------------------------------------------------------------
     def run_batch(self) -> dict:
         """Stages 01-08; returns the smoke-test artifacts."""
+        vacuumed = self.vacuum()  # maintenance first: age-gated, crash-safe
         raw = self.ingest()
         ts = self._ts()
 
@@ -282,6 +313,7 @@ class Pipeline:
             "smoke_counts": smoke_counts(can_txn_df, can_line_df, anomaly_df),
             "views": views,
             "probes": smoke_probes(views),
+            "vacuumed": vacuumed,
         }
         stg_header.unpersist()
         stg_line.unpersist()

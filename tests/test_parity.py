@@ -47,6 +47,26 @@ def test_driver_surface_fits_verification_window():
     assert len(entrymod.queries()) <= 48
 
 
+def test_operator_catalog_matches_registry():
+    """docs/OPERATORS.md is generated from the live registry
+    (tools/gen_operator_catalog.py); a query added or renamed without
+    regenerating the catalog must fail the suite, not silently drift."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import gen_operator_catalog as gen
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(root, "docs", "OPERATORS.md")) as f:
+        on_disk = f.read()
+    assert on_disk == gen.render(), (
+        "docs/OPERATORS.md is stale — run: python tools/gen_operator_catalog.py"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ALL_ORACLE_SQL.keys()))
 def test_oracle_parity(spark, sf_oracle, oracle_con, name):
     df = ALL_QUERIES[name](spark, sf_oracle)

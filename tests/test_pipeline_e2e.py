@@ -294,3 +294,56 @@ def test_idempotency_and_incremental(spark, fixture_root, tmp_path_factory):
         import os
 
         os.remove(f"{fixture_root}/client_c/json/txn_1006.json")
+
+
+def test_vacuum_removes_crash_stranded_swap_dirs(spark, fixture_root, tmp_path_factory):
+    """A crash mid-swap strands a `.tmp-*` (half-written candidate) or
+    `.old-*` (displaced version) directory next to the table root. With
+    cfg.vacuum_min_age_seconds set, the NEXT run_batch sweeps them before
+    ingesting — the wired-in maintenance analog of Delta VACUUM — and the
+    batch's results are unaffected."""
+    import os
+
+    wh = str(tmp_path_factory.mktemp("warehouse_vac"))
+    cfg = PipelineConfig(
+        ingest_root=fixture_root, warehouse=wh, batch_ts=TS1,
+        vacuum_min_age_seconds=0.0,
+    )
+    pipe = Pipeline(spark, cfg)
+    r1 = pipe.run_batch()
+    assert r1["vacuumed"] == []  # nothing stranded on a fresh warehouse
+    n_txn = pipe.can_txn.read(spark).count()
+
+    # simulate a crashed swap: stranded candidate + displaced-version dirs
+    stray_tmp = pipe.can_txn.path + ".tmp-deadbeef"
+    stray_old = pipe.can_txn_line.path + ".old-cafef00d"
+    for d in (stray_tmp, stray_old):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-orphan.parquet"), "w") as f:
+            f.write("x")
+    # age past the gate (min_age 0 still requires mtime strictly in the past)
+    past = 1_000_000_000
+    for d in (stray_tmp, stray_old):
+        os.utime(d, (past, past))
+
+    pipe2 = Pipeline(
+        spark,
+        PipelineConfig(
+            ingest_root=fixture_root, warehouse=wh, batch_ts=TS2,
+            vacuum_min_age_seconds=0.0,
+        ),
+    )
+    r2 = pipe2.run_batch()
+    assert sorted(r2["vacuumed"]) == sorted([stray_tmp, stray_old])
+    assert not os.path.exists(stray_tmp) and not os.path.exists(stray_old)
+    assert pipe2.can_txn.read(spark).count() == n_txn  # results unaffected
+
+    # default config leaves maintenance off: stray survives a plain run
+    os.makedirs(stray_tmp)
+    os.utime(stray_tmp, (past, past))
+    pipe3 = Pipeline(
+        spark,
+        PipelineConfig(ingest_root=fixture_root, warehouse=wh, batch_ts=TS2),
+    )
+    r3 = pipe3.run_batch()
+    assert r3["vacuumed"] == [] and os.path.exists(stray_tmp)

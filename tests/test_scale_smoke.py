@@ -158,3 +158,153 @@ def test_line_dedup_scales_to_8x_corpus(spark):
     assert agg["n_docs"] == 8 * 5000
     assert agg["docs_losing_footer"] == agg["n_docs"]  # footer gone everywhere
     assert agg["footer_survivors"] == 0
+
+
+def test_fuzzy_matching_scales_to_8x_with_cap(spark):
+    """8x part-name corpus (160k names at sf0.1) where each copy's names
+    get a distinct trailing token — copies land in DISTINCT blocks, so
+    candidate work grows 8x (linear), never 64x (quadratic), and the pair
+    set is exactly 8 copies of the base pair set. A 5,000-row degenerate
+    block (one shared name) is injected on top: max_block_width must drop
+    it entirely instead of scoring its 12.5M pairs on one partition."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    ).filter(F.col("name").isNotNull())
+    block = F.concat(
+        F.element_at(F.split(F.col("name"), " "), -1),
+        F.lit("|"),
+        F.substring(F.col("name"), 1, 1),
+    )
+    # suffix WITHOUT a space: the last token (the blocking key's first
+    # half) gains a per-copy tag, so each copy reproduces the base block
+    # partition under a disjoint key space — and identical suffixes on
+    # both sides of a pair leave the edit distance unchanged
+    parts = [
+        base.select(
+            (F.col("id") + i * 10_000_000).alias("id"),
+            F.concat(F.col("name"), F.lit(f"_t{i}")).alias("name"),
+        )
+        for i in range(8)
+    ]
+    # base = one copy measured under the same blocking (copies are
+    # isomorphic by construction, so 8x base is exact)
+    n_base_pairs = blocked_fuzzy_pairs(
+        parts[0], "id", "name", block, max_distance=1, max_block_width=1000
+    ).count()
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    degenerate = spark.range(5000).select(
+        (F.col("id") + 900_000_000).alias("id"),
+        F.lit("identical degenerate entity").alias("name"),
+    )
+    corpus = corpus.unionByName(degenerate).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = blocked_fuzzy_pairs(
+        corpus, "id", "name", block, max_distance=1, max_block_width=1000
+    )
+    got = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("id_a") >= 900_000_000).cast("long")).alias("degen"),
+    ).collect()[0]
+    # suffixing every name with the same per-copy token shifts no
+    # distances: each copy contributes exactly the base pair set
+    assert got["n"] == 8 * n_base_pairs
+    assert got["degen"] == 0  # the 5k-wide block was dropped, not scored
+
+
+def test_gap_fill_scales_to_8x_event_stream(spark):
+    """8x event stream (800k events at sf0.1), shifted user-id space per
+    copy: gap-fill's output must be exactly 8x the base grid (fan-out
+    proportional to the OUTPUT, no dense cross-join grid), with identical
+    observed/filled composition per copy."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.gapfill import (
+        gap_fill_ffill,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (
+        table as load,
+    )
+
+    base = load(spark, "/root/testdata/sf0.1", "events").select(
+        "user_id", "ts", "value", "event_id"
+    ).filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    b = gap_fill_ffill(
+        base, "user_id", "ts", "value", "event_id", step_seconds=86_400
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_observed").cast("long")).alias("observed"),
+    ).collect()[0]
+
+    parts = [
+        base.select(
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            "ts", "value", "event_id",
+        )
+        for i in range(8)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(spark.sparkContext.defaultParallelism)
+    g = gap_fill_ffill(
+        big, "user_id", "ts", "value", "event_id", step_seconds=86_400
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("is_observed").cast("long")).alias("observed"),
+    ).collect()[0]
+    assert g["rows"] == 8 * b["rows"]
+    assert g["observed"] == 8 * b["observed"]
+
+
+def test_bm25_and_unigram_lm_scale_to_8x_vocab_growth(spark):
+    """Text scoring under corpus + vocabulary growth: 8 copies of the sf0.1
+    documents, each with a copy-specific prefix token (vocab grows by 8
+    terms; doc frequency of every base term grows 8x). BM25 must still
+    produce a full, strictly-ordered top-k — and because every copy of a
+    doc has identical tf/dl and all dfs scale together, the top-k must be
+    the 8 replicas of the base top-1 ranking ahead of everything else when
+    k=8. Unigram-LM self-scoring must emit one row per doc with zero OOV
+    (every token is in its own vocab)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.scoring import (
+        bm25_topk,
+        unigram_lm_scores,
+        unigram_table,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+    parts = [
+        base.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.concat(F.lit(f"copytag{i} "), F.col("text")).alias("text"),
+        )
+        for i in range(8)
+    ]
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).persist()
+    try:
+        top_base = bm25_topk(base, "doc_id", "text", ["spark", "join", "vector"], k=1)
+        base_top1 = top_base.collect()[0]["id"]
+        top = bm25_topk(docs, "doc_id", "text", ["spark", "join", "vector"], k=8)
+        rows = top.collect()
+        assert [r["rank"] for r in rows] == list(range(1, 9))
+        assert {r["id"] % 1_000_000 for r in rows} == {base_top1}
+
+        vocab = unigram_table(docs, "text")
+        scored = unigram_lm_scores(docs, "doc_id", "text", vocab=vocab)
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("oov_tokens").alias("oov")
+        ).collect()[0]
+        assert agg["n"] == 8 * n_base
+        assert agg["oov"] == 0
+    finally:
+        docs.unpersist()
