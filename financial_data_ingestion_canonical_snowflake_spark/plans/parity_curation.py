@@ -599,11 +599,88 @@ def ns_source_token_divergence(spark, sf_dir):
     )
 
 
+# DSIR-shaped importance weighting (operators/importance.py): target =
+# English docs with doc_id % 5 = 0 (a deterministic "clean corpus" proxy),
+# raw = everything else; 2-gram features hashed into 2^16 buckets.
+_IMP_BITS = 16
+_IMP_B = 1 << _IMP_BITS
+_IMP_IS_TARGET = "(COALESCE(lang, '') = 'en' AND doc_id % 5 = 0)"
+
+
+@parity(
+    "ns_importance_weights",
+    driver=False,  # driver slot: folded into ns_curation_digest
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_IMP_IS_TARGET} AS is_target, {_TOKS} AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, is_target,
+               (('0x' || substr(md5(g), 1, 15))::BIGINT % {_IMP_B}) AS bucket
+        FROM (SELECT doc_id, is_target, UNNEST({_sh(2)}) AS g FROM toks)
+    ),
+    tgt AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt
+        FROM f WHERE is_target GROUP BY 1
+    ),
+    ttot AS (SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) AS t_total FROM tgt),
+    rawf AS (SELECT doc_id, bucket FROM f WHERE NOT is_target),
+    rtab AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM rawf GROUP BY 1
+    ),
+    rtot AS (SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_total FROM rtab),
+    ratios AS (
+        SELECT r.bucket, COALESCE(t.t_cnt, 0) AS t_cnt, r.r_cnt,
+               (CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)
+                    / CAST(tt.t_total + {_IMP_B} AS DOUBLE))
+               / (CAST(r.r_cnt + 1 AS DOUBLE)
+                    / CAST(rt.r_total + {_IMP_B} AS DOUBLE)) AS ratio
+        FROM rtab r LEFT JOIN tgt t USING (bucket)
+        CROSS JOIN ttot tt CROSS JOIN rtot rt
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(t_cnt) AS BIGINT) AS sum_target_cnt,
+           CAST(SUM(r_cnt) AS BIGINT) AS sum_raw_cnt,
+           CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_ratio
+    FROM rawf JOIN ratios USING (bucket)
+    GROUP BY 1
+    """,
+)
+def ns_importance_weights(spark, sf_dir):
+    """DSIR-shaped data selection: per raw document, the mean smoothed
+    probability ratio of its hashed 2-gram features under the target
+    corpus vs the raw corpus (higher = more target-like; the resampling
+    weight of importance-resampling data selection). Feature tables are
+    bounded by the 2^16 hash space and broadcast; the raw side shuffles
+    once for the per-doc aggregate. Per-feature ratios pin through
+    DECIMAL(18,6) before the order-insensitive sum; the production
+    log-likelihood-ratio score (``log_weight=True``) stays off the
+    hash-checked surface (ln is not cross-engine bit-pinned)."""
+    from ..operators.importance import importance_weights
+
+    d = table(spark, sf_dir, "documents")
+    is_target = (F.coalesce(F.col("lang"), F.lit("")) == "en") & (
+        F.col("doc_id") % 5 == 0
+    )
+    return importance_weights(
+        d.filter(~is_target),
+        d.filter(is_target),
+        "doc_id",
+        "text",
+        shingle_len=2,
+        hash_bits=_IMP_BITS,
+    )
+
+
 # --------------------------------------------------------------------------
 # Curation digest composite: one driver slot certifying the full result
 # sets of four previously-standalone curation probes (round-7 window
 # headroom — the driver verifies only the first 50 oracle-paired entries,
-# and the window was 50/50 full in r6).
+# and the window was 50/50 full in r6) plus the round-7 DSIR importance
+# weights.
 # --------------------------------------------------------------------------
 
 _CURATION_DIGEST = [
@@ -635,6 +712,13 @@ _CURATION_DIGEST = [
         [
             ("source", "s"), ("n_tokens", "s"), ("vocab_seen", "s"),
             ("vocab_corpus", "s"), ("tv_distance", "d"),
+        ],
+    ),
+    (
+        "ns_importance_weights",
+        [
+            ("doc_id", "s"), ("n_features", "s"), ("sum_target_cnt", "s"),
+            ("sum_raw_cnt", "s"), ("mean_ratio", "d"),
         ],
     ),
 ]

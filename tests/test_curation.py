@@ -648,3 +648,45 @@ def test_apply_mixture_epoch_math(spark):
         df, "doc_id", "source", {"a": 3_000_000, "b": 500_000}
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_importance_weights_discriminate_target_like_docs(spark):
+    """DSIR-shaped weighting: raw docs sharing the target corpus's n-grams
+    must score a higher mean ratio than docs from a disjoint vocabulary,
+    and the integer anchors must reflect the bag feature counts."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.importance import (
+        importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "the quick brown fox naps"),      # target-like
+            (101, "zzz qqq www eee rrr ttt yyy"),   # disjoint vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in importance_weights(raw, target, "doc_id", "text").collect()
+    }
+    assert set(rows) == {100, 101}
+    # 5 tokens -> 4 bigram features each; 7 tokens -> 6
+    assert rows[100].n_features == 4
+    assert rows[101].n_features == 6
+    assert rows[100].mean_ratio > rows[101].mean_ratio
+    # disjoint-vocab doc saw no target mass at all
+    assert rows[101].sum_target_cnt == 0
+    assert rows[100].sum_target_cnt > 0
+
+    # log_weight variant orders the same way
+    lw = {
+        r.doc_id: r.log_weight
+        for r in importance_weights(
+            raw, target, "doc_id", "text", log_weight=True
+        ).collect()
+    }
+    assert lw[100] > lw[101]
