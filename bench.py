@@ -154,11 +154,14 @@ def main() -> None:
         # (e.g. minhash-LSH 6.1s first run vs 1.8s steady-state) — the
         # timed number should measure the PLAN at sf0.1, which is what
         # scales to a cluster, not single-shot JIT latency.
+        # With N_REPS >= 2 the warm-up is REDUNDANT (rep 1 absorbs JIT and
+        # the reported min ignores it) — skipping it keeps total bench
+        # wall-time at ~3 executions per query instead of 4.
         # EXCEPTION: the pipeline_e2e_* family memoizes its fixture run per
         # session (parity_pipeline._run_pipeline) — a warm-up call would
         # consume the real run and the timed call would only re-read the
         # warehouse. Those stay cold: their first run IS the measurement.
-        if not name.startswith("pipeline_e2e"):
+        if N_REPS < 2 and not name.startswith("pipeline_e2e"):
             try:
                 qmap[name](spark, warm_dir).write.format(
                     "noop"

@@ -91,6 +91,10 @@ def importance_weights(
     unseen in either corpus stay finite); ``log_weight=True`` adds
     ``log_weight`` = Σ ln(ratio), the published DSIR score (off the
     hash-checked parity surface — ln is not cross-engine bit-pinned).
+
+    Documents with zero features (fewer than ``shingle_len`` tokens) emit
+    no row — they carry no evidence either way; treat absence as
+    "unscored", not as a low weight.
     """
     b = 1 << hash_bits
     tgt_tab = (
