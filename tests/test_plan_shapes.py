@@ -284,3 +284,29 @@ def test_hot_queries_stay_jvm_side(spark, sf_oracle):
     for name in hot:
         plan = _executed(name, spark, sf_oracle)
         assert "EvalPython" not in plan, f"{name}: Python eval node crept in"
+
+
+def test_importance_weights_broadcast_shape(spark, sf_oracle):
+    """DSIR importance weighting (round 7): both feature tables are hash-
+    space-bounded and must ride broadcasts — the ratio table reaches the
+    per-doc scoring join as a BroadcastHashJoin (never a sort-merge
+    exchange of the corpus-sized feature stream), and the plan stays
+    JVM-side."""
+    plan = _executed("ns_importance_weights", spark, sf_oracle)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    # the corpus-sized raw feature stream must NOT be sort-merge-joined
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assign_broadcast_and_partial_aggregate(spark, sf_oracle):
+    """Trained-quantizer assignment (round 7): the k centroids ride a
+    BroadcastNestedLoopJoin (crossJoin of a k-row table), and the argmax
+    collapse is a partial-aggregate groupBy — the exchange carries one
+    row per vector, never the k-way scored expansion."""
+    plan = _executed("ns_sim_kmeans_assign", spark, sf_oracle)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_max_by" in plan or "partial_maxby" in plan.replace(
+        "_", ""
+    ), plan
