@@ -1,0 +1,104 @@
+"""Per-dimension embedding statistics + feature standardization — the
+normalization pre-pass of an embedding pipeline (before int8 quantization,
+bucketed ANN, or semantic dedup, feature scales should be comparable).
+
+Scale shape:
+
+- :func:`embedding_dim_moments` is ONE ``posexplode`` + ``groupBy(pos)``:
+  the map side combines to at most ``dim`` rows per partition before the
+  exchange, so the shuffle carries ``dim x n_partitions`` rows regardless
+  of corpus size, and the output is a ``dim``-row table.
+- :func:`standardize_embeddings` folds the moment table into two
+  ``dim``-length literal arrays on a one-row broadcast frame and applies
+  ``(x - mean) / std`` via ``zip_with`` — pure map-side, zero shuffle.
+
+Cross-engine determinism (registry conventions): means and second moments
+pin through order-independent DECIMAL(38,6) sums before ONE double
+division — scale 6, not 12: at scale 12 the engines' double->decimal
+casts were OBSERVED disagreeing by 1e-12 on ~1 in 30k raw values (the
+rounding-boundary class registry.py documents), while at scale 6 the
+boundary is a million times wider and the casts are engine-identical;
+the 5e-7 per-value quantization is far below these embeddings' float32
+source noise in aggregate; ``std = sqrt(greatest(0, E[x²] - mean²))`` is IEEE-identical on
+identical inputs (the ``greatest`` guards the tiny negative a rounded
+variance can produce for a constant dimension); zero-variance dimensions
+standardize with divisor 1 (the centered value is exactly 0 there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_dim_moments(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """``(pos, n, mean, std, min_val, max_val)`` — one row per dimension."""
+    ex = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    agg = ex.groupBy("pos").agg(
+        n.alias("n"),
+        (
+            F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+            / n.cast("double")
+        ).alias("mean"),
+        (
+            F.sum((F.col("val") * F.col("val")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / n.cast("double")
+        ).alias("ex2"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    std = F.sqrt(
+        F.greatest(F.lit(0.0), F.col("ex2") - F.col("mean") * F.col("mean"))
+    )
+    return agg.select(
+        "pos", "n", "mean", std.alias("std"), "min_val", "max_val"
+    )
+
+
+def standardize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    moments: DataFrame | None = None,
+) -> DataFrame:
+    """Per-dimension z-scoring: ``(id_col, vec_col)`` with each component
+    replaced by ``(x - mean[pos]) / std[pos]`` (divisor 1 where a
+    dimension is constant). ``moments`` defaults to
+    :func:`embedding_dim_moments` over ``corpus`` itself; pass a
+    training-set moment table to standardize a different split with the
+    same transform (the train/serve contract).
+    """
+    if moments is None:
+        moments = embedding_dim_moments(corpus, vec_col)
+    stats = moments.select(
+        "pos",
+        "mean",
+        F.when(F.col("std") == 0, F.lit(1.0)).otherwise(F.col("std")).alias(
+            "std_g"
+        ),
+    )
+    # dim-length arrays on a ONE-row frame (array_sort on structs orders by
+    # the leading field, pos) — broadcast to every vector
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("__mean_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "std_g"))),
+            lambda s: s["std_g"],
+        ).alias("__std_arr"),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(v, F.col("__mean_arr"), lambda x, m: x - m)
+    standardized = F.zip_with(centered, F.col("__std_arr"), lambda x, s: x / s)
+    return corpus.crossJoin(F.broadcast(arrs)).select(
+        F.col(id_col), standardized.alias(vec_col)
+    )

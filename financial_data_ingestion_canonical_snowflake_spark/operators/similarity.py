@@ -371,6 +371,11 @@ def kmeans_centroids(
 
     ``exact_means=True`` pins each per-(centroid, dim) mean through an
     order-independent DECIMAL(38,12) sum before one double division —
+    scale 12 here, deliberately: the OUTPUT pins that certify the trainer
+    (plans/parity_vector.py) round at scale 6, and quotients of scale-12
+    sums sit generically far from 6-decimal rounding boundaries, whereas
+    scale-6-sum quotients were observed landing close enough to those
+    boundaries for the engines' double->decimal casts to disagree —
     bit-identical on any partitioning AND in the DuckDB oracle twin
     (plans/parity_vector.py unrolls the same fixed rounds in SQL), which
     is what lets the trained quantizer's output be cross-engine

@@ -102,6 +102,7 @@ def ns_sim_lsh_topk(spark, sf_dir):
 
 @parity(
     "ns_vector_near_dup",
+    driver=False,  # driver slot: folded into ns_vector_digest
     oracle=f"""
     WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
     a AS (SELECT vec_id AS id_a, embedding AS q_vec, bucket FROM b),
@@ -485,6 +486,7 @@ def ns_sim_lsh_modes(spark, sf_dir):
 
 @parity(
     "ns_vector_quantize_int8",
+    driver=False,  # driver slot: folded into ns_vector_digest
     oracle="""
     WITH d AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -632,3 +634,147 @@ def ns_dedup_semantic(spark, sf_dir):
         threshold=_SEM_THRESHOLD,
         n_centroids=N_CENTROIDS,
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding normalization (operators/embedding_stats.py): per-dimension
+# moments + z-scored vectors — the feature-scaling pre-pass of quantization
+# and bucketed ANN.
+# --------------------------------------------------------------------------
+
+_MOMENTS_SQL = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS pos
+        FROM e
+    ),
+    m AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean,
+               CAST(SUM(CAST(val * val AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS ex2,
+               MIN(val) AS min_val, MAX(val) AS max_val
+        FROM ex GROUP BY 1
+    )
+    SELECT pos, n, mean,
+           sqrt(greatest(CAST(0 AS DOUBLE), ex2 - mean * mean)) AS std,
+           min_val, max_val
+    FROM m
+"""
+
+
+@parity(
+    "ns_embedding_moments",
+    driver=False,  # driver slot: folded into ns_vector_digest
+    oracle=_MOMENTS_SQL,
+)
+def ns_embedding_moments(spark, sf_dir):
+    """Per-dimension embedding moments (n, mean, std, min, max): one
+    posexplode + groupBy(pos) whose exchange carries at most dim rows per
+    partition after map-side combine — a dim-row output at any corpus
+    size. Mean and second moment pin through DECIMAL(38,6) sums; std is
+    IEEE sqrt of the guarded variance, so all doubles hash-match DuckDB."""
+    from ..operators.embedding_stats import embedding_dim_moments
+
+    return embedding_dim_moments(table(spark, sf_dir, "embeddings"))
+
+
+@parity(
+    "ns_embedding_standardize",
+    driver=False,  # driver slot: folded into ns_vector_digest
+    oracle=f"""
+    WITH moments AS ({_MOMENTS_SQL}),
+    stats AS (
+        SELECT pos, mean,
+               CASE WHEN std = 0 THEN CAST(1 AS DOUBLE) ELSE std END AS std_g
+        FROM moments
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS pos
+        FROM e
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(SUM(CAST((val - mean) / std_g AS DECIMAL(28,6))) AS DOUBLE)
+               AS checksum
+    FROM ex JOIN stats USING (pos)
+    GROUP BY 1
+    """,
+)
+def ns_embedding_standardize(spark, sf_dir):
+    """Z-scored embeddings, value-certified per vector: the standardized
+    array folds to a DECIMAL(28,6)-pinned per-vector checksum (+ dim).
+    The operator itself is map-side (moment arrays ride a one-row
+    broadcast; zip_with transforms in place); only this probe's checksum
+    re-aggregate shuffles, one combined row per vector."""
+    from ..operators.embedding_stats import standardize_embeddings
+
+    std = standardize_embeddings(table(spark, sf_dir, "embeddings"))
+    return (
+        std.select("vec_id", F.posexplode("embedding").alias("pos", "sval"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dim"),
+            F.sum(F.col("sval").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector digest composite: quantization, bucketed near-dup, and the
+# round-7 normalization pair in one driver slot (window headroom; the
+# members stay individually runnable for bench + tests).
+# --------------------------------------------------------------------------
+
+_VECTOR_DIGEST = [
+    (
+        "ns_vector_quantize_int8",
+        [
+            ("vec_id", "s"), ("qscale", "d"), ("sum_q", "s"),
+            ("min_q", "s"), ("max_q", "s"), ("max_abs_err", "d"),
+        ],
+    ),
+    (
+        "ns_vector_near_dup",
+        [("id_a", "s"), ("id_b", "s"), ("cosine_sim", "d")],
+    ),
+    (
+        "ns_embedding_moments",
+        [
+            ("pos", "s"), ("n", "s"), ("mean", "d"), ("std", "d"),
+            ("min_val", "d"), ("max_val", "d"),
+        ],
+    ),
+    (
+        "ns_embedding_standardize",
+        [("vec_id", "s"), ("dim", "s"), ("checksum", "d")],
+    ),
+]
+
+
+def _vector_digest_oracle() -> str:
+    from .registry import digest_union_oracle
+
+    return digest_union_oracle(_VECTOR_DIGEST)
+
+
+@parity("ns_vector_digest", oracle=_vector_digest_oracle())
+def ns_vector_digest(spark, sf_dir):
+    """Vector-pipeline family in one driver slot: int8 quantization (with
+    reconstruction-error bound), LSH-bucketed embedding near-dup pairs,
+    per-dimension moments, and per-vector standardization checksums —
+    each member's full result set content-checksummed identically in
+    Spark and DuckDB (registry.digest_frame / digest_sql)."""
+    from .registry import digest_union
+
+    return digest_union(spark, sf_dir, _VECTOR_DIGEST)

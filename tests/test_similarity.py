@@ -198,3 +198,29 @@ def test_quantized_topk_recall_vs_exact(spark, sf_oracle):
     # should survive quantization almost entirely
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, (recall, exact ^ quant)
+
+
+def test_embedding_standardize_semantics(spark):
+    """Standardized output has per-dim mean ~0 / std ~1; constant
+    dimensions stay exactly 0 (divisor-1 guard); a train-moments table
+    applies the TRAIN transform to a different split."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.embedding_stats import (
+        embedding_dim_moments,
+        standardize_embeddings,
+    )
+
+    rows = [(i, [float(i), 7.0, (-1.0) ** i * 2.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    std = standardize_embeddings(df)
+    m2 = {r.pos: (r.mean, r.std) for r in embedding_dim_moments(std).collect()}
+    assert abs(m2[0][0]) < 1e-9 and abs(m2[0][1] - 1.0) < 1e-6
+    assert m2[1] == (0.0, 0.0)  # constant dim: centered to exactly 0
+    assert abs(m2[2][0]) < 1e-9 and abs(m2[2][1] - 1.0) < 1e-6
+
+    # train/serve: moments from the first half standardize the second half
+    train = df.filter(F.col("vec_id") < 10)
+    serve = df.filter(F.col("vec_id") >= 10)
+    out = standardize_embeddings(serve, moments=embedding_dim_moments(train))
+    got = {r.vec_id: r.embedding for r in out.collect()}
+    tm = {r.pos: (r.mean, r.std) for r in embedding_dim_moments(train).collect()}
+    assert abs(got[15][0] - (15.0 - tm[0][0]) / tm[0][1]) < 1e-12
