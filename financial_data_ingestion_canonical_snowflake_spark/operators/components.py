@@ -279,3 +279,45 @@ def connected_components(
         .join(assign, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))
     )
+
+
+def component_survivors(
+    comp: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection over dedup components: per
+    connected component, keep the HIGHEST-``score_col`` member (ties to
+    the lowest id) instead of the naive lowest-id survivor — the
+    production near-dup policy (among a cluster of near-duplicates you
+    keep the longest / cleanest / highest-quality copy, not whichever
+    happened to get the smallest id).
+
+    ``comp``: ``(node, component)`` from :func:`connected_components`;
+    ``scores``: ``(id_col, score_col)``. Returns
+    ``(id_col, component_id, score, survivor_id, is_kept)``.
+
+    Scale shape: one equi-join attaches scores (shuffle on the id), one
+    map-side-combinable ``max_by`` per component picks survivors (the
+    exchange carries one row per component), and the component-keyed
+    join back is component-count-sized on the build side. No step is
+    ever quadratic in cluster width.
+    """
+    j = comp.join(scores, comp["node"] == scores[id_col]).select(
+        comp["node"].alias(id_col),
+        F.col("component").alias("component_id"),
+        F.col(score_col).alias("score"),
+    )
+    surv = j.groupBy("component_id").agg(
+        F.max_by(
+            id_col, F.struct(F.col("score"), (-F.col(id_col)).alias("n"))
+        ).alias("survivor_id")
+    )
+    return j.join(surv, "component_id").select(
+        id_col,
+        "component_id",
+        "score",
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("is_kept"),
+    )

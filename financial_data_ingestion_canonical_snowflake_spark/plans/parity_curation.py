@@ -721,6 +721,13 @@ _CURATION_DIGEST = [
             ("sum_raw_cnt", "s"), ("mean_ratio", "d"),
         ],
     ),
+    (
+        "ns_dedup_survivor_policy",
+        [
+            ("doc_id", "s"), ("component_id", "s"), ("score", "s"),
+            ("survivor_id", "s"), ("is_kept", "s"),
+        ],
+    ),
 ]
 
 

@@ -1297,6 +1297,88 @@ def ns_dedup_components(spark, sf_dir):
     )
 
 
+# the dedup-closure CTE chain shared by the components probe above and the
+# survivor-policy probe below (docs2 corpus -> jaccard pairs -> recursive
+# min-label walk -> per-doc component id)
+_COMPONENTS_CTES = f"""
+    WITH RECURSIVE docs2 AS ({_DOCS2}),
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, UNNEST({_SHINGLES}) AS shingle FROM toks
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.doc = id_a
+        JOIN sizes sb ON sb.doc = id_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT doc_id, doc_id FROM docs2
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)
+"""
+
+
+@parity(
+    "ns_dedup_survivor_policy",
+    driver=False,  # driver slot: folded into ns_curation_digest
+    oracle=f"""{_COMPONENTS_CTES},
+    scored AS (
+        SELECT c.doc_id, c.component_id,
+               CAST(length(d.text) AS BIGINT) AS score
+        FROM comp c JOIN docs2 d USING (doc_id)
+    ),
+    surv AS (
+        SELECT component_id, doc_id AS survivor_id FROM (
+            SELECT component_id, doc_id,
+                   row_number() OVER (PARTITION BY component_id
+                        ORDER BY score DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.component_id, s.score, surv.survivor_id,
+           s.doc_id = surv.survivor_id AS is_kept
+    FROM scored s JOIN surv USING (component_id)
+    """,
+)
+def ns_dedup_survivor_policy(spark, sf_dir):
+    """Quality-aware canonical selection (operators/components.py
+    component_survivors): per dedup component keep the HIGHEST-scoring
+    member (here score = text length, so the fullest copy survives; ties
+    to the lowest id) instead of the naive lowest-id survivor — the
+    production near-dup policy. One score join + one map-side max_by per
+    component + a component-keyed join back; nothing quadratic in
+    cluster width. Oracle: the components recursive walk + arg-max."""
+    from ..operators.components import component_survivors, connected_components
+
+    docs = _docs2(spark, sf_dir)
+    pairs = td.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6,
+        max_shingle_freq=None,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    scores = docs.select("doc_id", F.length("text").cast("long").alias("score"))
+    return component_survivors(comp, scores)
+
+
 @parity(
     "ns_doc_curation_funnel",
     oracle=f"""

@@ -129,3 +129,32 @@ def test_pagerank_empty_graph(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, n_iter=3).count() == 0
+
+
+def test_component_survivors_quality_policy(spark):
+    """Highest score survives per component; ties break to the lowest id;
+    singletons survive themselves; exactly one survivor per component."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        component_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "node long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 4), (9, 0)],
+        "doc_id long, score long",
+    )
+    rows = {r.doc_id: r for r in component_survivors(comp, scores).collect()}
+    assert len(rows) == 6
+    # component 1: scores 10/30/30 -> tie between 2 and 3 -> lowest id 2
+    assert rows[1].survivor_id == 2 and not rows[1].is_kept
+    assert rows[2].is_kept and rows[3].survivor_id == 2 and not rows[3].is_kept
+    # component 7: 7 beats 8
+    assert rows[7].is_kept and not rows[8].is_kept
+    # singleton survives itself
+    assert rows[9].is_kept and rows[9].survivor_id == 9
+    # exactly one survivor per component
+    kept = [r for r in rows.values() if r.is_kept]
+    assert sorted(r.component_id for r in kept) == [1, 7, 9]
