@@ -374,6 +374,36 @@ def sample_bucket(key: Column, modulus: int = 100) -> Column:
     return md5_long(key.cast("string"), modulus=modulus)
 
 
+def sample_exact_k(
+    df, strata_cols: list[str], id_col: str, k: int
+):
+    """EXACTLY ``k`` rows per stratum (fewer only when the stratum is
+    smaller), chosen deterministically by md5 order of the id — the
+    eval-set construction primitive, complementing the rate-based
+    :func:`sample_bucket` (a rate can't promise "exactly 500 per
+    language"). No RNG: the same k rows come back on any engine, run, or
+    cluster layout.
+
+    One shuffle (the per-stratum window). At 100 TB strata are typically
+    few and wide: the md5 sort key spreads ties uniformly, and the rank
+    filter cuts to k rows per stratum at the window operator — Spark's
+    WindowGroupLimit pushes the top-k into the shuffle's map side, so the
+    exchange never carries whole strata for small k.
+    """
+    from pyspark.sql.window import Window
+
+    from .scalars import md5_long
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def chunk_bounds(toks: Column, chunk_tokens: int, overlap: int = 0) -> Column:
     """Chunk-start offsets (1-based, into the token array) for fixed-size
     overlapping windows: starts at 1, 1+stride, 1+2*stride, ... with

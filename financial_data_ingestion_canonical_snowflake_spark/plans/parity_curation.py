@@ -728,6 +728,7 @@ _CURATION_DIGEST = [
             ("survivor_id", "s"), ("is_kept", "s"),
         ],
     ),
+    ("ns_sample_exact_k", [("lang", "s"), ("doc_id", "s")]),
 ]
 
 

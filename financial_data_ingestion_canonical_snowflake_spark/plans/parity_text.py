@@ -1232,6 +1232,29 @@ def ns_sample_stratified(spark, sf_dir):
 
 
 @parity(
+    "ns_sample_exact_k",
+    driver=False,  # driver slot: folded into ns_curation_digest
+    oracle="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                             doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 30
+    """,
+)
+def ns_sample_exact_k(spark, sf_dir):
+    """Exact-k stratified sampling (functions/text.py sample_exact_k):
+    EXACTLY 30 docs per language, chosen deterministically by md5 order —
+    the eval-set construction primitive (a rate-based sample can't promise
+    fixed per-stratum counts). One window shuffle; WindowGroupLimit
+    truncates to k per stratum on the map side."""
+    d = table(spark, sf_dir, "documents")
+    return tx.sample_exact_k(d, ["lang"], "doc_id", 30).select("lang", "doc_id")
+
+
+@parity(
     "ns_dedup_components",
     oracle=f"""
     WITH RECURSIVE docs2 AS ({_DOCS2}),

@@ -690,3 +690,22 @@ def test_importance_weights_discriminate_target_like_docs(spark):
         ).collect()
     }
     assert lw[100] > lw[101]
+
+
+def test_sample_exact_k_counts_and_determinism(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        sample_exact_k,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_exact_k(df, ["lang"], "doc_id", 10)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 10, "fr": 10}
+    # deterministic: same rows on re-run
+    a = sorted(map(tuple, out.select("lang", "doc_id").collect()))
+    b = sorted(map(tuple, sample_exact_k(df, ["lang"], "doc_id", 10).select("lang", "doc_id").collect()))
+    assert a == b
+    # stratum smaller than k -> whole stratum
+    tiny = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
+    assert sample_exact_k(tiny, ["lang"], "doc_id", 10).count() == 2
