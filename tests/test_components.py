@@ -158,3 +158,59 @@ def test_component_survivors_quality_policy(spark):
     # exactly one survivor per component
     kept = [r for r in rows.values() if r.is_kept]
     assert sorted(r.component_id for r in kept) == [1, 7, 9]
+
+
+# ------------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_H
+@given(
+    st.lists(  # (node, component, score) with components forming any grouping
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=-10, max_value=10),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_component_survivors_invariants(spark, rows):
+    """For ANY component labeling and score table: every input node comes
+    back exactly once; exactly one survivor per component; the survivor
+    maximizes (score, -id) within its component."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        component_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [(n, c) for n, c, _ in rows], "node long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(n, s) for n, _, s in rows], "doc_id long, score long"
+    )
+    out = component_survivors(comp, scores).collect()
+    assert sorted(r.doc_id for r in out) == sorted(n for n, _, _ in rows)
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    want_surv = {}
+    for n, c, s in rows:
+        cur = want_surv.get(c)
+        if cur is None or (s, -n) > (cur[1], -cur[0]):
+            want_surv[c] = (n, s)
+    for c, members in by_comp.items():
+        kept = [r for r in members if r.is_kept]
+        assert len(kept) == 1
+        assert kept[0].doc_id == want_surv[c][0]
+        assert all(r.survivor_id == want_surv[c][0] for r in members)

@@ -709,3 +709,56 @@ def test_sample_exact_k_counts_and_determinism(spark):
     # stratum smaller than k -> whole stratum
     tiny = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
     assert sample_exact_k(tiny, ["lang"], "doc_id", 10).count() == 2
+
+
+# ------------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_H
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["en", "fr", "de"]),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_sample_exact_k_invariants(spark, rows, k):
+    """For ANY strata layout and k: per-stratum output = min(k, stratum
+    size), output is a subset of input, and re-running returns the
+    identical row set (determinism without RNG)."""
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        sample_exact_k,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "doc_id long, lang string"
+    ).filter(F.col("doc_id").isNotNull())
+    out = sample_exact_k(df, ["lang"], "doc_id", k)
+    got = sorted(map(tuple, out.select("lang", "doc_id").collect()))
+    sizes: dict[str, int] = {}
+    for d, lang in rows:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    per = {}
+    for lang, d in got:
+        per[lang] = per.get(lang, 0) + 1
+    for lang, n in per.items():
+        assert n == min(k, sizes[lang])
+    assert set(got) <= {(lang, d) for d, lang in rows}
+    again = sorted(
+        map(tuple, sample_exact_k(df, ["lang"], "doc_id", k).select("lang", "doc_id").collect())
+    )
+    assert got == again
