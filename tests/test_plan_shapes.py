@@ -310,3 +310,19 @@ def test_kmeans_assign_broadcast_and_partial_aggregate(spark, sf_oracle):
     assert "partial_max_by" in plan or "partial_maxby" in plan.replace(
         "_", ""
     ), plan
+
+
+def test_sample_exact_k_window_group_limit(spark, sf_oracle):
+    """Exact-k stratified sampling (round 7): the rank<=k filter must
+    compile to WindowGroupLimit on BOTH sides of the stratum exchange —
+    map tasks keep only k rows per stratum before the shuffle, so the
+    exchange never carries whole strata."""
+    plan = _executed("ns_sample_exact_k", spark, sf_oracle)
+    import re
+
+    ex = plan.find("Exchange hashpartitioning")
+    assert ex > 0, plan
+    # tree prints parents first: before the Exchange = the FINAL limit
+    # (above it), after = the PARTIAL limit (map side, below it)
+    assert "WindowGroupLimit" in plan[:ex], plan
+    assert "WindowGroupLimit" in plan[ex:], plan
