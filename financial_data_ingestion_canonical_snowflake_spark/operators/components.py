@@ -298,21 +298,33 @@ def component_survivors(
     ``scores``: ``(id_col, score_col)``. Returns
     ``(id_col, component_id, score, survivor_id, is_kept)``.
 
-    Scale shape: one equi-join attaches scores (shuffle on the id), one
-    map-side-combinable ``max_by`` per component picks survivors (the
-    exchange carries one row per component), and the component-keyed
-    join back is component-count-sized on the build side. No step is
-    ever quadratic in cluster width.
+    Score semantics: scores attach via LEFT join, so a node missing a
+    score row stays in the output (with NULL score) rather than silently
+    vanishing; unscored members lose to any scored member, and an
+    all-unscored component falls back to the lowest id. The tie-break
+    orders ``(score DESC NULLS LAST, id ASC)`` via max-then-min
+    aggregates, which works for ANY orderable id type (a negated-id
+    max_by shortcut would NULL out on string ids).
+
+    Scale shape: one equi-join attaches scores (shuffle on the id); the
+    best-score and survivor-id aggregates are map-side-combinable and
+    component-keyed (one row per component through each exchange); the
+    joins back are against component-count-sized frames. No step is ever
+    quadratic in cluster width.
     """
-    j = comp.join(scores, comp["node"] == scores[id_col]).select(
+    j = comp.join(scores, comp["node"] == scores[id_col], "left").select(
         comp["node"].alias(id_col),
         F.col("component").alias("component_id"),
         F.col(score_col).alias("score"),
     )
-    surv = j.groupBy("component_id").agg(
-        F.max_by(
-            id_col, F.struct(F.col("score"), (-F.col(id_col)).alias("n"))
-        ).alias("survivor_id")
+    best = j.groupBy("component_id").agg(F.max("score").alias("__best"))
+    surv = (
+        j.join(best, "component_id")
+        # null-safe: an all-unscored component has __best NULL and every
+        # member ties (NULL <=> NULL), so min(id) picks the survivor
+        .filter(F.col("score").eqNullSafe(F.col("__best")))
+        .groupBy("component_id")
+        .agg(F.min(id_col).alias("survivor_id"))
     )
     return j.join(surv, "component_id").select(
         id_col,

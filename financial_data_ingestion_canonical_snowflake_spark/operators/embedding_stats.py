@@ -19,10 +19,15 @@ casts were OBSERVED disagreeing by 1e-12 on ~1 in 30k raw values (the
 rounding-boundary class registry.py documents), while at scale 6 the
 boundary is a million times wider and the casts are engine-identical;
 the 5e-7 per-value quantization is far below these embeddings' float32
-source noise in aggregate; ``std = sqrt(greatest(0, E[x²] - mean²))`` is IEEE-identical on
-identical inputs (the ``greatest`` guards the tiny negative a rounded
-variance can produce for a constant dimension); zero-variance dimensions
-standardize with divisor 1 (the centered value is exactly 0 there).
+source noise in aggregate; ``std = sqrt(greatest(0, E[x²] - mean²))`` is
+IEEE-identical on identical inputs (the ``greatest`` guards the tiny
+negative a rounded variance can produce). The divisor-1 guard fires when
+the PINNED variance is exactly 0 — guaranteed for constant dimensions
+whose value and square round exactly at scale 6 (0, integers, …); a
+constant like 0.1234567 instead yields a tiny spurious std from the two
+roundings' mismatch, so its standardized values are near-zero noise, not
+exactly 0 — both engines compute that identically, but don't rely on
+exact zeros for inexact constants.
 """
 
 from __future__ import annotations

@@ -1254,72 +1254,6 @@ def ns_sample_exact_k(spark, sf_dir):
     return tx.sample_exact_k(d, ["lang"], "doc_id", 30).select("lang", "doc_id")
 
 
-@parity(
-    "ns_dedup_components",
-    oracle=f"""
-    WITH RECURSIVE docs2 AS ({_DOCS2}),
-    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
-    sh AS (
-        SELECT DISTINCT doc_id AS doc, UNNEST({_SHINGLES}) AS shingle FROM toks
-    ),
-    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
-    common AS (
-        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b USING (shingle)
-        WHERE a.doc < b.doc
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT id_a, id_b
-        FROM common
-        JOIN sizes sa ON sa.doc = id_a
-        JOIN sizes sb ON sb.doc = id_b
-        WHERE CAST(n_common AS DOUBLE)
-              / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs
-    ),
-    walk(node, comp) AS (
-        SELECT doc_id, doc_id FROM docs2
-        UNION
-        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
-    ),
-    comp AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)
-    SELECT doc_id, component_id,
-           COUNT(*) OVER (PARTITION BY component_id) AS component_size
-    FROM comp
-    """,
-)
-def ns_dedup_components(spark, sf_dir):
-    """Dedup-group closure: n-gram-Jaccard pairs -> connected components
-    (large-star/small-star), every doc labeled with its canonical survivor
-    (component min) and group size. Oracle: recursive min-label walk."""
-    from pyspark.sql import Window
-
-    from ..operators.components import connected_components
-
-    docs = _docs2(spark, sf_dir)
-    # uncapped to match the recursive-walk oracle's exact pair set
-    pairs = td.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6,
-        max_shingle_freq=None,
-    )
-    comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        nodes=docs.select(F.col("doc_id").alias("node")),
-    )
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("component_id"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("component"))
-        .cast("long")
-        .alias("component_size"),
-    )
-
-
 # the dedup-closure CTE chain shared by the components probe above and the
 # survivor-policy probe below (docs2 corpus -> jaccard pairs -> recursive
 # min-label walk -> per-doc component id)
@@ -1355,6 +1289,43 @@ _COMPONENTS_CTES = f"""
     ),
     comp AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)
 """
+
+
+
+@parity(
+    "ns_dedup_components",
+    oracle=f"""{_COMPONENTS_CTES}
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def ns_dedup_components(spark, sf_dir):
+    """Dedup-group closure: n-gram-Jaccard pairs -> connected components
+    (large-star/small-star), every doc labeled with its canonical survivor
+    (component min) and group size. Oracle: recursive min-label walk."""
+    from pyspark.sql import Window
+
+    from ..operators.components import connected_components
+
+    docs = _docs2(spark, sf_dir)
+    # uncapped to match the recursive-walk oracle's exact pair set
+    pairs = td.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6,
+        max_shingle_freq=None,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("component_size"),
+    )
 
 
 @parity(

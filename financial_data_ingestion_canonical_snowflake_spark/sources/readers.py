@@ -270,26 +270,51 @@ def xml_text_to_raw(
 _ARITY_CACHE: dict[tuple[str, ...], int] = {}
 
 
+def _csv_arity_of_line(line: str) -> int:
+    """Top-level comma count + 1, honoring the SAME dialect the data rows
+    are parsed with downstream (``from_csv`` options: quote ``"``, default
+    backslash escape) — a stdlib ``csv.reader`` would apply the doublequote
+    dialect instead and could disagree on headers with escaped quotes,
+    poisoning the arity for every row. Doubled quotes inside a quoted field
+    also parse correctly here (each toggles the in-quote state, netting
+    zero across the pair)."""
+    if not line:
+        return 0
+    n, in_q, esc = 1, False, False
+    for c in line:
+        if esc:
+            esc = False
+        elif c == "\\":
+            esc = True
+        elif c == '"':
+            in_q = not in_q
+        elif c == "," and not in_q:
+            n += 1
+    return n
+
+
 def _header_arity(spark: SparkSession, paths: list[str]) -> int:
     """Column count of the CSV header (first line of the first file).
 
-    One ``text`` scan with ``limit(1)`` + a driver-side quoted-CSV parse of
-    that single line — NOT ``spark.read.csv(header=True)``: the csv data
+    One ``text`` scan with ``limit(1)`` + a driver-side parse of that
+    single line — NOT ``spark.read.csv(header=True)``: the csv data
     source's header resolution was the single most expensive fixed cost in
     the ingest stage (~1.5-2.5 s of driver-side source setup per cold run,
-    measured), and all we need from it is an integer. Arity is assumed
-    uniform across a COPY's files, same as before (from_csv enforces it
-    per row downstream via the corrupt-record column).
+    measured), and all we need from it is an integer. If the first file is
+    empty, fall back to the first line across ALL of the COPY's files
+    (matching the old csv-source behavior of taking whichever header it
+    found). Arity is assumed uniform across a COPY's files, same as before
+    (from_csv enforces it per row downstream via the corrupt-record
+    column).
     """
     key = tuple(paths)
     n = _ARITY_CACHE.get(key)
     if n is None:
-        import csv as _csv
-        import io as _io
-
         header = spark.read.text(paths[0]).limit(1).collect()
+        if not header and len(paths) > 1:
+            header = spark.read.text(paths).limit(1).collect()
         line = header[0][0] if header else ""
-        n = len(next(_csv.reader(_io.StringIO(line), quotechar='"'), []))
+        n = _csv_arity_of_line(line)
         _ARITY_CACHE[key] = n
     return n
 

@@ -214,3 +214,28 @@ def test_component_survivors_invariants(spark, rows):
         assert len(kept) == 1
         assert kept[0].doc_id == want_surv[c][0]
         assert all(r.survivor_id == want_surv[c][0] for r in members)
+
+
+def test_component_survivors_string_ids_and_missing_scores(spark):
+    """Round-7 review fixes pinned: string ids tie-break to the LOWEST id
+    deterministically (a negated-id shortcut would NULL out), and nodes
+    with no score row are preserved with NULL score, losing to any scored
+    member; an all-unscored component falls back to lowest id."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        component_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [("docB", 1), ("docA", 1), ("docC", 1), ("x1", 2), ("x2", 2)],
+        "node string, component long",
+    )
+    scores = spark.createDataFrame(
+        [("docA", 30), ("docB", 30)],  # docC unscored; component 2 unscored
+        "doc_id string, score long",
+    )
+    rows = {r.doc_id: r for r in component_survivors(comp, scores).collect()}
+    assert set(rows) == {"docA", "docB", "docC", "x1", "x2"}  # nobody vanishes
+    assert rows["docA"].is_kept          # tie 30/30 -> lowest string id
+    assert not rows["docB"].is_kept
+    assert rows["docC"].score is None and not rows["docC"].is_kept
+    assert rows["x1"].is_kept and not rows["x2"].is_kept  # all-unscored

@@ -165,3 +165,42 @@ def test_fully_failed_spec_lands_load_failed_audit(spark, root, tmp_path):
     # duplicate audit rows, ADVICE r1 "silently re-read every run")
     pipe.ingest()
     assert pipe.raw_load_audit.read(spark).count() == 1
+
+
+def test_header_arity_matches_spark_csv_dialect(spark, tmp_path):
+    """The driver-side arity parse must agree with Spark's csv source
+    (quote '"', backslash escape) on quoted commas, escaped quotes, and
+    doubled quotes — and fall back across files when the first is empty."""
+    from financial_data_ingestion_canonical_snowflake_spark.sources.readers import (
+        _ARITY_CACHE,
+        _csv_arity_of_line,
+    )
+
+    headers = [
+        'id,name,amt',
+        'id,"na,me",amt',            # quoted comma
+        'id,"na\\"me",amt',          # backslash-escaped quote
+        'id,"na""me",amt',           # doubled quote
+        'a,"b,c","d\\"e",f',
+    ]
+    for h in headers:
+        f = tmp_path / f"h{abs(hash(h))}.csv"
+        f.write_text(h + "\n1,2,3,4,5,6,7,8\n")
+        want = len(
+            spark.read.option("header", True).option("quote", '"')
+            .csv(str(f)).columns
+        )
+        assert _csv_arity_of_line(h) == want, (h, _csv_arity_of_line(h), want)
+
+    # empty first file -> header found in the second
+    from financial_data_ingestion_canonical_snowflake_spark.sources.readers import (
+        _header_arity,
+    )
+
+    empty = tmp_path / "empty.csv"
+    empty.write_text("")
+    full = tmp_path / "full.csv"
+    full.write_text("x,y,z\n1,2,3\n")
+    _ARITY_CACHE.clear()
+    assert _header_arity(spark, [str(empty), str(full)]) == 3
+    _ARITY_CACHE.clear()

@@ -22,6 +22,7 @@ from financial_data_ingestion_canonical_snowflake_spark.plans import (  # noqa: 
     parity_multimodal,
     parity_sketches,
     parity_text,
+    parity_vector,
 )
 from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (  # noqa: E402
     ALL_ORACLE_SQL,
@@ -33,9 +34,11 @@ _MEMBER_LISTS = {
     "scalar": parity_core._DIGEST_SCALAR,
     "variant": parity_core._DIGEST_VARIANT,
     "decontaminate": parity_curation._DECON_DIGEST,
+    "curation": parity_curation._CURATION_DIGEST,
     "multimodal": parity_multimodal._MM_DIGEST,
     "sketches": parity_sketches._SKETCH_DIGEST,
     "text": parity_text._TEXT_DIGEST,
+    "vector": parity_vector._VECTOR_DIGEST,
 }
 
 _ALL_MEMBERS = [

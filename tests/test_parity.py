@@ -55,11 +55,15 @@ def test_operator_catalog_matches_registry():
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(root, "tools"))
+    tools_dir = os.path.join(root, "tools")
+    sys.path.insert(0, tools_dir)
     try:
         import gen_operator_catalog as gen
     finally:
-        sys.path.pop(0)
+        # remove by VALUE: the module's own body inserts the repo root at
+        # index 0, so pop(0) would evict that and leave tools/ behind to
+        # shadow later imports
+        sys.path.remove(tools_dir)
     with open(os.path.join(root, "docs", "OPERATORS.md")) as f:
         on_disk = f.read()
     assert on_disk == gen.render(), (
