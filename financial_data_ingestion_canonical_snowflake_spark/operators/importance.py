@@ -20,7 +20,7 @@ Cross-engine parity surface (hash-checkable): integer anchors
 (``n_features``, summed target/raw bucket counts) plus ``mean_ratio`` —
 the mean of per-feature smoothed probability ratios
 ``((cnt_T + 1) / (total_T + B)) / ((cnt_R + 1) / (total_R + B))``, each
-ratio DECIMAL(18,6)-pinned before the order-insensitive sum (registry
+ratio DECIMAL(28,6)-pinned before the order-insensitive sum (registry
 convention). The production DSIR score is the LOG-likelihood-ratio sum;
 ``log_weight=True`` adds it, but ``ln`` is not bit-pinned across engines,
 so it stays off hash-checked surfaces (same policy as unigram-LM
@@ -140,7 +140,7 @@ def importance_weights(
         F.sum("t_cnt").cast("long").alias("sum_target_cnt"),
         F.sum("r_cnt").cast("long").alias("sum_raw_cnt"),
         (
-            F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+            F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_ratio"),
     ]

@@ -29,6 +29,12 @@ from ..operators.decontaminate import contamination_report
 from ..operators.packing import pack_summary
 from .registry import parity, table
 
+# ns_curation_digest's oracle is assembled at decoration time from
+# ALL_ORACLE_SQL entries that parity_text registers (ns_sample_stratified,
+# ns_sample_exact_k, ns_dedup_survivor_policy) — import it first so this
+# module is import-order self-contained.
+from . import parity_text  # noqa: F401  (registers digest-member oracles)
+
 _TOKS = "string_split(lower(text), ' ')"
 
 
@@ -643,7 +649,7 @@ _IMP_IS_TARGET = "(COALESCE(lang, '') = 'en' AND doc_id % 5 = 0)"
            CAST(COUNT(*) AS BIGINT) AS n_features,
            CAST(SUM(t_cnt) AS BIGINT) AS sum_target_cnt,
            CAST(SUM(r_cnt) AS BIGINT) AS sum_raw_cnt,
-           CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS mean_ratio
     FROM rawf JOIN ratios USING (bucket)
     GROUP BY 1
@@ -656,7 +662,9 @@ def ns_importance_weights(spark, sf_dir):
     weight of importance-resampling data selection). Feature tables are
     bounded by the 2^16 hash space and broadcast; the raw side shuffles
     once for the per-doc aggregate. Per-feature ratios pin through
-    DECIMAL(18,6) before the order-insensitive sum; the production
+    DECIMAL(28,6) before the order-insensitive sum (28-digit headroom:
+    the smoothed ratio is bounded only by ~(r_total+B)/2, which overflows
+    18 digits at 100TB n-gram counts); the production
     log-likelihood-ratio score (``log_weight=True``) stays off the
     hash-checked surface (ln is not cross-engine bit-pinned)."""
     from ..operators.importance import importance_weights

@@ -277,14 +277,17 @@ def _csv_arity_of_line(line: str) -> int:
     dialect instead and could disagree on headers with escaped quotes,
     poisoning the arity for every row. Doubled quotes inside a quoted field
     also parse correctly here (each toggles the in-quote state, netting
-    zero across the pair)."""
+    zero across the pair). The escape char is honored only INSIDE quoted
+    fields — Spark's univocity parser treats ``escape`` as a quote-escape
+    within quoted values; an unquoted ``\\,`` is a literal backslash
+    followed by a real delimiter."""
     if not line:
         return 0
     n, in_q, esc = 1, False, False
     for c in line:
         if esc:
             esc = False
-        elif c == "\\":
+        elif in_q and c == "\\":
             esc = True
         elif c == '"':
             in_q = not in_q

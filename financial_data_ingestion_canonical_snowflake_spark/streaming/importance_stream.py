@@ -65,10 +65,9 @@ class ImportanceFeatureSink:
         self.shingle_len = shingle_len
         self.hash_bits = hash_bits
 
-    def _last_applied(self, spark: SparkSession) -> int:
+    def _last_applied(self, current: DataFrame) -> int:
         row = (
-            self.table.read(spark)
-            .filter(F.col("bucket") == _LEDGER_BUCKET)
+            current.filter(F.col("bucket") == _LEDGER_BUCKET)
             .select("cnt")
             .collect()
         )
@@ -80,40 +79,49 @@ class ImportanceFeatureSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id <= self._last_applied(spark):
-            return  # replayed at-least-once delivery: already folded
-        b = (
-            hashed_ngram_features(
-                batch_df,
-                self.id_col,
-                self.text_col,
-                shingle_len=self.shingle_len,
-                hash_bits=self.hash_bits,
-            )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("__b_cnt"))
-        )
-        t = self.feature_table(spark).select(
-            "bucket", F.col("cnt").alias("__t_cnt")
-        )
-        merged = (
-            t.join(b, "bucket", "full_outer")
-            .select(
-                "bucket",
-                (
-                    F.coalesce("__t_cnt", F.lit(0))
-                    + F.coalesce("__b_cnt", F.lit(0))
+        # ONE table read per trigger: the cached frame feeds both the
+        # ledger probe and the merge input (the table is hash-space-bounded
+        # — 2**hash_bits + 1 rows — so the cache is small by construction);
+        # previously the ledger collect and the merge each re-scanned the
+        # parquet table.
+        current = self.table.read(spark).cache()
+        try:
+            if batch_id <= self._last_applied(current):
+                return  # replayed at-least-once delivery: already folded
+            b = (
+                hashed_ngram_features(
+                    batch_df,
+                    self.id_col,
+                    self.text_col,
+                    shingle_len=self.shingle_len,
+                    hash_bits=self.hash_bits,
                 )
-                .cast("long")
-                .alias("cnt"),
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("__b_cnt"))
             )
-            .unionByName(
-                spark.createDataFrame(
-                    [(_LEDGER_BUCKET, batch_id)], FEATURE_SCHEMA
+            t = current.filter(F.col("bucket") != _LEDGER_BUCKET).select(
+                "bucket", F.col("cnt").alias("__t_cnt")
+            )
+            merged = (
+                t.join(b, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce("__t_cnt", F.lit(0))
+                        + F.coalesce("__b_cnt", F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("cnt"),
+                )
+                .unionByName(
+                    spark.createDataFrame(
+                        [(_LEDGER_BUCKET, batch_id)], FEATURE_SCHEMA
+                    )
                 )
             )
-        )
-        self.table.overwrite_atomic(merged)
+            self.table.overwrite_atomic(merged)
+        finally:
+            current.unpersist()
 
 
 def scores_against(
@@ -173,7 +181,7 @@ def scores_against(
         F.sum("t_cnt").cast("long").alias("sum_target_cnt"),
         F.sum("r_cnt").cast("long").alias("sum_raw_cnt"),
         (
-            F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+            F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_ratio"),
     )

@@ -182,6 +182,10 @@ def test_header_arity_matches_spark_csv_dialect(spark, tmp_path):
         'id,"na\\"me",amt',          # backslash-escaped quote
         'id,"na""me",amt',           # doubled quote
         'a,"b,c","d\\"e",f',
+        'id,na\\,me,amt',            # unquoted backslash before delimiter:
+                                     # escape applies only inside quotes, so
+                                     # this is 4 fields, not 3
+        'id,na\\me,amt',             # unquoted literal backslash
     ]
     for h in headers:
         f = tmp_path / f"h{abs(hash(h))}.csv"
