@@ -55,6 +55,7 @@ HEADLINE = [
     "anomaly_rules_header_line",
     "stream_tumbling_window_agg",
     "stream_live_windowed_agg",
+    "stream_live_scd2",
     "s7_s8_lineage_rownum",
     "v5b_variant_typed_access",
     "pipeline_e2e_canonical_txn",

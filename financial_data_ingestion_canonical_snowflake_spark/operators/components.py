@@ -242,6 +242,14 @@ def pagerank(
     return ranks
 
 
+# Diagnostic: rounds the last connected_components call needed to reach
+# its fixpoint (including the confirming round). Large-star/small-star
+# contracts in O(log n) rounds, so this staying far below max_iter is the
+# scale-health signal the 8x smoke asserts; a value AT max_iter never
+# happens — the operator raises instead of returning unconverged labels.
+LAST_CC_ROUNDS: int = 0
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -253,12 +261,23 @@ def connected_components(
     ``nodes``: optional (node) frame; nodes absent from every edge come
     back as singleton components of themselves.
     Returns (node, component).
+
+    ``max_iter`` is the loud-failure bound: star-contraction needs
+    O(log n) rounds (25 covers any graph that fits on hardware — 2^25
+    contraction doublings), so hitting the cap means the input is
+    pathological or the contraction is broken, and silently returning
+    HALF-MERGED component labels would corrupt every downstream dedupe
+    decision. The observed round count is published as
+    ``LAST_CC_ROUNDS`` (cap-trip + round-count behavior pinned in
+    tests/test_components.py; the 8x scale smoke records it).
     """
+    global LAST_CC_ROUNDS
     cur, sig = _checkpoint_with_signature(_canon(edges))
-    for _ in range(max_iter):
+    for r in range(max_iter):
         nxt, nsig = _checkpoint_with_signature(_canon(_small_star(_large_star(cur))))
         cur = nxt
         if nsig == sig:
+            LAST_CC_ROUNDS = r + 1
             break
         sig = nsig
     else:

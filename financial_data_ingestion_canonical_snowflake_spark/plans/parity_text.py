@@ -1013,14 +1013,103 @@ def ns_text_compression_ratio(spark, sf_dir):
     )
 
 
-@parity("ns_text_bpe_learn", driver=False)  # rows-only: iterative trainer
+_BPE_N_MERGES, _BPE_MIN_FREQ = 8, 2
+
+
+def _bpe_learn_oracle(n_merges: int, min_freq: int) -> str:
+    """Unrolled-CTE DuckDB twin of the iterative BPE trainer (the pattern
+    ns_sim_kmeans_assign established: a FIXED bounded iteration over
+    deterministic integer state unrolls into a CTE chain, making the
+    trainer's full output hash-certifiable cross-engine).
+
+    Each word's segmentation is one STRING with every symbol wrapped in
+    chr(1) delimiters (``\\x01sym\\x01`` concatenated) — the DOUBLED
+    delimiter between adjacent symbols makes DuckDB's leftmost
+    non-overlapping ``replace()`` exactly the greedy left-to-right merge
+    the Spark array fold applies ("a a a a" -> "aa aa", never "aa a a",
+    and no shared-boundary miss on odd runs). chr(1) cannot occur in a
+    symbol: tokens come from whitespace-split text and the generator's
+    corpus is printable ASCII (pinned by
+    tests/test_multimodal.py::test_documents_corpus_stays_ascii).
+    Every CTE is MATERIALIZED — each round references its predecessor
+    through 2 paths, so inlined CTEs would expand the base scan
+    exponentially in the round count."""
+    parts = [
+        f"""
+    wf AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT UNNEST(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY 1
+    ),
+    seg0 AS MATERIALIZED (
+        SELECT word, freq,
+               list_reduce(
+                   list_transform(
+                       list_transform(generate_series(1, length(word)),
+                                      i -> word[i:i]) || ['</w>'],
+                       s -> chr(1) || s || chr(1)),
+                   (x, y) -> x || y) AS seg
+        FROM wf
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+    syms{r} AS MATERIALIZED (
+        SELECT list_filter(string_split(seg, chr(1)), x -> x <> '') AS syms,
+               freq
+        FROM seg{r}
+    ),
+    pc{r} AS (
+        SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT UNNEST(list_transform(generate_series(1, len(syms) - 1),
+                          i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p,
+                   freq
+            FROM syms{r} WHERE len(syms) >= 2
+        ) GROUP BY 1, 2
+    ),
+    top{r} AS MATERIALIZED (
+        SELECT a, b, cnt FROM pc{r} WHERE cnt >= {min_freq}
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    seg{r + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               COALESCE(
+                   replace(seg,
+                           chr(1) || (SELECT a FROM top{r}) || chr(1) || chr(1)
+                                  || (SELECT b FROM top{r}) || chr(1),
+                           chr(1) || (SELECT a FROM top{r})
+                                  || (SELECT b FROM top{r}) || chr(1)),
+                   seg) AS seg
+        FROM seg{r}
+    )"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a, b, a || b AS merged, cnt"
+        f" FROM top{r}"
+        for r in range(n_merges)
+    )
+    return "WITH" + ",".join(parts) + "\n" + rounds
+
+
+@parity(
+    "ns_text_bpe_learn",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_bpe_learn_oracle(_BPE_N_MERGES, _BPE_MIN_FREQ),
+)
 def ns_text_bpe_learn(spark, sf_dir):
     """Full BPE merge-rule induction (operators/bpe.py bpe_learn — the
     Sennrich word-frequency formulation: ONE corpus shuffle, then
-    vocabulary-sized merge rounds). Iterative driver-coordinated loop, so
-    rows-only by nature (like ns_sim_ivf_kmeans); exactness vs the classic
-    algorithm is property-proven in tests/test_bpe.py. Returns the ordered
-    merge-rule table."""
+    vocabulary-sized merge rounds). The trainer is a fixed bounded
+    iteration over deterministic integer state (count-desc, (a, b)-lex
+    tie-breaks), so its DuckDB twin unrolls the rounds as a CTE chain —
+    the full ordered merge-rule table is hash-certified cross-engine
+    through ns_text_digest; exactness vs the classic algorithm is
+    additionally property-proven in tests/test_bpe.py. The early-stop
+    (no pair reaching min_freq) maps to an empty top-CTE whose NULL
+    scalar subqueries make every later round's replace() a no-op and
+    contribute zero output rows — identical to the Spark break."""
     from ..operators.bpe import bpe_learn
 
     docs = table(spark, sf_dir, "documents")
@@ -1151,6 +1240,10 @@ _TEXT_DIGEST = [
         ],
     ),
     ("ns_text_bpe_pairs", [("rank", "s"), ("pair", "s"), ("cnt", "s")]),
+    (
+        "ns_text_bpe_learn",
+        [("round", "s"), ("a", "s"), ("b", "s"), ("merged", "s"), ("cnt", "s")],
+    ),
     (
         "ns_corpus_datacard",
         [

@@ -52,9 +52,33 @@ def test_cc_random_graphs_match_union_find(spark):
 def test_cc_long_path_converges_logarithmically(spark):
     # A 64-node path: naive min-propagation needs 63 rounds; star-contraction
     # must finish within the operator's max_iter=25 (O(log n)).
+    from financial_data_ingestion_canonical_snowflake_spark.operators import (
+        components as C,
+    )
+
     pairs = [(i, i + 1) for i in range(63)]
     got = _spark_cc(spark, 64, pairs)
     assert got == {v: 0 for v in range(64)}
+    # observed rounds published, and logarithmic: well under the naive 63
+    assert 1 <= C.LAST_CC_ROUNDS <= 10
+
+
+def test_cc_max_iter_cap_trips_loudly_on_pathological_budget(spark):
+    # An under-sized round budget must raise — NOT return half-merged
+    # labels (which would silently corrupt downstream dedupe decisions).
+    import pytest
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(255)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint in 1 rounds"):
+        connected_components(edges, max_iter=1).collect()
+    # the same graph converges with the default budget
+    out = connected_components(edges)
+    assert out.agg(F.countDistinct("component")).collect()[0][0] == 1
 
 
 def test_cc_duplicate_and_reversed_edges(spark):

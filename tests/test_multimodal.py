@@ -78,3 +78,63 @@ def test_pillow_seam_raises_without_library(spark):
 
     with pytest.raises(NotImplementedError):
         mm.pillow_image_decode(b"\x89PNG")
+
+
+def test_documents_corpus_stays_ascii(spark):
+    """Live-data pin for two oracle preconditions: ns_mm_decode_features'
+    oracle equates per-CHARACTER ord sums with per-BYTE buffer means
+    (parity_multimodal.py PRECONDITION comment), and the ns_text_bpe_learn
+    oracle wraps symbols in chr(1) delimiters (parity_text.py) — both hold
+    only while documents.text is printable ASCII (no chr(1), every char one
+    byte). If a driver testdata regeneration introduces non-ASCII or
+    control bytes, this fails loudly instead of silently invalidating the
+    oracles. Checks the sf0.01 table the driver compares at."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bad = docs.filter(
+        F.col("text").isNotNull()
+        & (
+            (F.octet_length("text") != F.length("text"))  # multi-byte char
+            | F.col("text").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_pillow_decode_parity_when_library_present(spark):
+    """Executable proof of the PRODUCTION decoder seam (env-gated:
+    SPARK_GRAFT_PILLOW=1 where Pillow exists; the container default has no
+    Pillow, so the seam otherwise only proves its NotImplementedError).
+    Encodes a known 4x4 grayscale gradient to real PNG bytes, then asserts
+    pillow_image_decode returns exactly that pixel buffer and that
+    decode_features over the Spark plumbing (same mapInPandas kernel the
+    fake path certifies) computes the matching n_samples/mean/histogram."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    if os.environ.get("SPARK_GRAFT_PILLOW") != "1":
+        pytest.skip("set SPARK_GRAFT_PILLOW=1 (with Pillow installed) to run")
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from io import BytesIO
+
+    pixels = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    buf = BytesIO()
+    PIL_Image.fromarray(pixels, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    decoded = mm.pillow_image_decode(png)
+    assert decoded.tolist() == pixels.ravel().astype(float).tolist()
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, kind string, content binary",
+    )
+    row = mm.decode_features(df, decoder=mm.pillow_image_decode).collect()[0]
+    assert row.n_samples == 16
+    assert row.mean_level == float(pixels.ravel().mean())
+    hist, _ = np.histogram(pixels.ravel(), bins=16, range=(0.0, 256.0))
+    assert [round(f, 6) for f in row.features] == [
+        round(float(h) / 16, 6) for h in hist
+    ]

@@ -60,8 +60,17 @@ def test_dedup_closure_scales_to_8x_corpus(spark):
         n_nodes, n_groups = comp.agg(
             F.count(F.lit(1)), F.countDistinct("component")
         ).collect()[0]
+        from financial_data_ingestion_canonical_snowflake_spark.operators import (
+            components as C,
+        )
+
+        cc_rounds = C.LAST_CC_ROUNDS
+        print(f"scale-smoke dedup closure: {cc_rounds} contraction rounds")
     finally:
         docs.unpersist()
+    # contraction rounds stay logarithmic at 8x volume (max_iter=25 is the
+    # loud-failure cap, not the operating point)
+    assert 1 <= cc_rounds <= 10
     assert n_docs == n_nodes  # every doc labeled
     # near-dup copies must collapse: far fewer groups than docs, and at
     # least the ~5k per-base-doc clusters exist
