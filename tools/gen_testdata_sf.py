@@ -259,8 +259,9 @@ def generate(sf: float, out_dir: str) -> dict:
         ),
     )
 
-    # documents: 40-90 vocab words; ~0.2% exact duplicates
-    lens = rng.integers(40, 91, n_doc)
+    # documents: 10-100 vocab words (driver dist: uniform tokens, avg ~54
+    # words / 297 chars); ~0.2% exact duplicates
+    lens = rng.integers(10, 101, n_doc)
     texts = [
         " ".join(VOCAB[rng.integers(0, len(VOCAB), ln)]) for ln in lens
     ]
@@ -288,11 +289,17 @@ def generate(sf: float, out_dir: str) -> dict:
         ),
     )
 
-    # embeddings: 10 gaussian clusters in 64-dim, cluster-labelled
+    # embeddings: unit-norm near-random 64-dim vectors with a FAINT label
+    # tilt — matching the driver fixture's dispersion (intra-label cosine
+    # mean ~0, max pairwise ~0.5, norm 1.0). A tightly-clustered generator
+    # here quadratically inflates every near-dup pair set and poisons the
+    # scale-slope measurement (observed: 84x on ns_vector_near_dup).
     dim, n_lab = 64, 10
-    centers = rng.normal(0, 0.15, (n_lab, dim))
+    centers = rng.normal(0, 1.0, (n_lab, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, n_lab, n_emb).astype(np.int32)
-    vecs = (centers[labels] + rng.normal(0, 0.05, (n_emb, dim))).astype(
+    raw = rng.normal(0, 1.0, (n_emb, dim)) + 0.25 * centers[labels]
+    vecs = (raw / np.linalg.norm(raw, axis=1, keepdims=True)).astype(
         np.float32
     )
     _write(
