@@ -56,6 +56,7 @@ HEADLINE = [
     "stream_tumbling_window_agg",
     "stream_live_windowed_agg",
     "stream_live_scd2",
+    "stream_live_interval_join",
     "s7_s8_lineage_rownum",
     "v5b_variant_typed_access",
     "pipeline_e2e_canonical_txn",

@@ -123,14 +123,23 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     bucketed: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
     ``bucketed=True`` generates candidates within LSH buckets (the scale
-    path); ``False`` compares all pairs (exact, quadratic)."""
+    path); ``False`` compares all pairs (exact, quadratic).
+
+    ``num_planes=None`` scales the hyperplane count to the corpus:
+    ``log2(n / 256)`` (clamped to [4, 24]) keeps the EXPECTED bucket
+    width near 256 as the corpus grows, so candidate work stays
+    ~n * width = linear. A FIXED plane count is quadratic at scale —
+    per-bucket width grows with n, and the sf1 slope bench measured the
+    fixed-6-plane probe at 18x cost for 10x vectors while the adaptive
+    setting holds the growth linear. Costs one bounded count() when
+    defaulted; pass an explicit value for oracle-pinned probes."""
     a = _normed(
         df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec")),
         "q_vec", "q_norm",
@@ -140,6 +149,9 @@ def cosine_near_dup_pairs(
         "c_vec", "c_norm",
     )
     if bucketed:
+        if num_planes is None:
+            n = df.count()
+            num_planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / 256 + 1))))
         planes = vectors.hyperplanes(num_planes, dim)
         a = a.withColumn("bucket", vectors.lsh_bucket(F.col("q_vec"), planes))
         b = b.withColumn("bucket", vectors.lsh_bucket(F.col("c_vec"), planes))
@@ -242,7 +254,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     the embedding corpus with a coarse quantizer, compare pairs only WITHIN
@@ -255,10 +267,18 @@ def semantic_dedup(
     a map-side ``max_by`` collapse — the exchange carries one compact row
     per vector (the k-means assignment pattern). The pairwise stage is a
     self-join on ``cluster_id``: per-cluster quadratic IS the SemDeDup
-    algorithm — at scale, cluster count grows with the corpus (k ~
-    n/target_cluster_size, e.g. 100k clusters for 100M docs) so each
+    algorithm — at scale, cluster count must grow with the corpus so each
     cluster stays a few thousand vectors and the join never degenerates
-    toward all-pairs. ``centroids`` defaults to the lowest-id corpus
+    toward all-pairs. ``n_centroids=None`` enforces exactly that:
+    ``max(8, ceil(n / 256))`` clusters targets a ~256-vector mean cluster
+    width, making per-cluster pair work ~n * 256 = linear (the sf1 slope
+    bench measured the fixed-8-cluster probe at 14x cost for 10x vectors,
+    the adaptive default at ~7x; one bounded count() when defaulted).
+    With k growing as n/256 the ASSIGNMENT term becomes n*k dot products
+    — fine to ~10M vectors on a cluster; beyond that, assign through a
+    two-level quantizer (assign to sqrt(k) super-centroids, then within)
+    or feed :func:`ivf_topk`'s inverted lists in as ``centroids``, which
+    is the same hierarchy. ``centroids`` defaults to the lowest-id corpus
     vectors (deterministic, oracle-checkable); plug
     :func:`kmeans_centroids` in for real recall.
     """
@@ -266,6 +286,8 @@ def semantic_dedup(
         corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")),
         "__v", "__n",
     )
+    if centroids is None and n_centroids is None:
+        n_centroids = max(8, math.ceil(corpus.count() / 256))
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cents = F.broadcast(
