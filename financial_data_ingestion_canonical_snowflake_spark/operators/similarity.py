@@ -255,6 +255,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_centroids: int | None = None,
+    hierarchical: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     the embedding corpus with a coarse quantizer, compare pairs only WITHIN
@@ -290,6 +291,15 @@ def semantic_dedup(
         n_centroids = max(8, math.ceil(corpus.count() / 256))
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
+    if hierarchical:
+        # route assignment through the sqrt(k) super-quantizer (the n*k
+        # escape hatch documented above); the pairwise stage is identical
+        h = assign_to_centroids_hierarchical(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("__vid"), F.col("centroid_id").alias("cluster_id"))
+        asg = v.join(h, "__vid").select("__vid", "cluster_id", "__v", "__n")
+    else:
+        asg = None
     cents = F.broadcast(
         _normed(
             centroids.select(
@@ -305,13 +315,14 @@ def semantic_dedup(
             / (F.col("__n") * F.col("cent_norm"))
         ).alias("__s"),
     )
-    asg = scored.groupBy("__vid").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n"))
-        ).alias("cluster_id"),
-        F.first("__v").alias("__v"),
-        F.first("__n").alias("__n"),
-    )
+    if asg is None:
+        asg = scored.groupBy("__vid").agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n"))
+            ).alias("cluster_id"),
+            F.first("__v").alias("__v"),
+            F.first("__n").alias("__n"),
+        )
     a = asg.select(
         F.col("__vid").alias("id_a"), F.col("__v").alias("q_vec"),
         F.col("__n").alias("q_norm"), "cluster_id",
@@ -365,6 +376,100 @@ def assign_to_centroids(
             "centroid_id",
             vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
         )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n")),
+        ).alias("centroid_id")
+    )
+
+
+def assign_to_centroids_hierarchical(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_super: int = 2,
+) -> DataFrame:
+    """Two-level nearest-centroid assignment: ``(id_col, centroid_id)``.
+
+    The flat assignment scores every vector against every centroid —
+    O(n*k) dot products, which dominates once the cluster count itself
+    scales with the corpus (SemDeDup at k = n/256). This routes through a
+    sqrt(k)-sized SUPER-quantizer instead:
+
+    1. supers = the sqrt(k) lowest-id centroids (deterministic subset);
+    2. each centroid maps to its nearest super (k*sqrt(k) broadcast work,
+       the result is centroid-count-sized and broadcasts);
+    3. each vector probes its ``n_probe_super`` nearest supers
+       (n*sqrt(k));
+    4. the vector scores only the centroids of the probed supers
+       (~n * p * sqrt(k)).
+
+    Total n*(1+p)*sqrt(k) vs n*k — a 100x cut at k=65k, p=2. Approximate
+    in the IVF sense: exact whenever the true nearest centroid's super is
+    probed; ``n_probe_super = ceil(sqrt(k))`` probes every super and
+    degenerates to the exact flat assignment (equivalence pinned in
+    tests/test_similarity.py). Same tie-breaks as
+    :func:`assign_to_centroids` (cosine desc, centroid id asc).
+    """
+    k = centroids.count()
+    s = max(1, math.ceil(math.sqrt(k)))
+    cents = centroids.select(
+        F.col(id_col).cast("long").alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("cent_vec"),
+    )
+    supers = F.broadcast(
+        cents.orderBy("centroid_id")
+        .limit(s)
+        .select(
+            F.col("centroid_id").alias("super_id"),
+            F.col("cent_vec").alias("super_vec"),
+        )
+    )
+    # centroid -> nearest super: centroid-count-sized, stays broadcastable
+    cent2super = F.broadcast(
+        cents.crossJoin(supers)
+        .select(
+            "centroid_id",
+            "cent_vec",
+            "super_id",
+            vectors.cosine(F.col("cent_vec"), F.col("super_vec")).alias("__s"),
+        )
+        .groupBy("centroid_id", "cent_vec")
+        .agg(
+            F.max_by(
+                "super_id", F.struct(F.col("__s"), (-F.col("super_id")).alias("n"))
+            ).alias("super_id")
+        )
+    )
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    probed = (
+        v.crossJoin(supers)
+        .select(
+            id_col,
+            "__v",
+            "super_id",
+            vectors.cosine(F.col("__v"), F.col("super_vec")).alias("__ss"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("__ss"), F.asc("super_id")
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe_super)
+        .select(id_col, "__v", "super_id")
+    )
+    scored = probed.join(cent2super, "super_id").select(
+        id_col,
+        "centroid_id",
+        vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
     )
     return scored.groupBy(id_col).agg(
         F.max_by(

