@@ -44,14 +44,21 @@ def embedding_dim_moments(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
     )
     n = F.count(F.lit(1)).cast("long")
+    # sums pin at scale 12, not the digest's output scale 6: a scale-6
+    # sum divided by an n that divides 10^3 (e.g. 500 at sf0.001) lands
+    # EXACTLY on scale-6 half-way boundaries where the two engines'
+    # double->decimal casts disagree (observed: dim-19 mean at sf0.001).
+    # Scale-12 sums push the quotient's exactness to scale 15 — a scale-6
+    # half-way then needs 9 specific trailing digits (~1e-9 chance).
+    # See the pin-scale discipline note in kmeans_centroids.
     agg = ex.groupBy("pos").agg(
         n.alias("n"),
         (
-            F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
             / n.cast("double")
         ).alias("mean"),
         (
-            F.sum((F.col("val") * F.col("val")).cast("decimal(38,6)")).cast(
+            F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)")).cast(
                 "double"
             )
             / n.cast("double")

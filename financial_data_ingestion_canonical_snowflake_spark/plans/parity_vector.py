@@ -657,9 +657,9 @@ _MOMENTS_SQL = """
     ),
     m AS (
         SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS mean,
-               CAST(SUM(CAST(val * val AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS ex2,
                MIN(val) AS min_val, MAX(val) AS max_val
         FROM ex GROUP BY 1
@@ -680,7 +680,7 @@ def ns_embedding_moments(spark, sf_dir):
     """Per-dimension embedding moments (n, mean, std, min, max): one
     posexplode + groupBy(pos) whose exchange carries at most dim rows per
     partition after map-side combine — a dim-row output at any corpus
-    size. Mean and second moment pin through DECIMAL(38,6) sums; std is
+    size. Mean and second moment pin through DECIMAL(38,12) sums (scale 12 > the digest's output scale 6 — the quotient-boundary discipline); std is
     IEEE sqrt of the guarded variance, so all doubles hash-match DuckDB."""
     from ..operators.embedding_stats import embedding_dim_moments
 
