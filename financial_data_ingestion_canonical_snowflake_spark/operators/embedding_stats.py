@@ -12,22 +12,32 @@ Scale shape:
   ``dim``-length literal arrays on a one-row broadcast frame and applies
   ``(x - mean) / std`` via ``zip_with`` — pure map-side, zero shuffle.
 
-Cross-engine determinism (registry conventions): means and second moments
-pin through order-independent DECIMAL(38,6) sums before ONE double
-division — scale 6, not 12: at scale 12 the engines' double->decimal
-casts were OBSERVED disagreeing by 1e-12 on ~1 in 30k raw values (the
-rounding-boundary class registry.py documents), while at scale 6 the
-boundary is a million times wider and the casts are engine-identical;
-the 5e-7 per-value quantization is far below these embeddings' float32
-source noise in aggregate; ``std = sqrt(greatest(0, E[x²] - mean²))`` is
-IEEE-identical on identical inputs (the ``greatest`` guards the tiny
-negative a rounded variance can produce). The divisor-1 guard fires when
-the PINNED variance is exactly 0 — guaranteed for constant dimensions
-whose value and square round exactly at scale 6 (0, integers, …); a
-constant like 0.1234567 instead yields a tiny spurious std from the two
-roundings' mismatch, so its standardized values are near-zero noise, not
-exactly 0 — both engines compute that identically, but don't rely on
-exact zeros for inexact constants.
+Cross-engine determinism (registry conventions) — the discipline is
+*sum at scale 12, pin outputs at scale 6, never compare raw quotient
+doubles*:
+
+- **Sums at DECIMAL(38,12)**, not 6: a scale-6 sum divided by an n that
+  divides 10^3 (e.g. 500 at sf0.001) lands EXACTLY on scale-6 half-way
+  boundaries where the engines' double->decimal casts disagree (observed:
+  dim-19 mean at sf0.001). Scale-12 sums push the quotient's exactness to
+  scale 15, so a scale-6 half-way needs 9 specific trailing digits.
+- **Outputs pinned at DECIMAL(28,6)->double**: per-row double->decimal
+  casts at scale 12 themselves disagree cross-engine on ~1 in 30k values
+  (the rounding-boundary class registry.py documents) — at 32k values
+  (sf0.01) one hit lands and the raw quotient doubles differ in the last
+  ulp (observed: dim-37 mean, 2e-15). The scale-6 output pin absorbs that
+  drift: a 2e-15 disagreement flips the pinned value only if the quotient
+  sits within 2e-15 of a 5e-7 boundary (~4e-9 chance). ``std`` derives
+  from the PINNED mean/ex2 (``sqrt(greatest(0, ex2 - mean²))`` is
+  IEEE-identical on identical inputs; ``greatest`` guards the tiny
+  negative a rounded variance can produce).
+- The divisor-1 guard in :func:`standardize_embeddings` fires when the
+  pinned variance is exactly 0 — guaranteed for constant dimensions whose
+  value and square round exactly at scale 6 (0, integers, …); a constant
+  like 0.1234567 instead yields a tiny spurious std from the two
+  roundings' mismatch, so its standardized values are near-zero noise,
+  not exactly 0 — both engines compute that identically, but don't rely
+  on exact zeros for inexact constants.
 """
 
 from __future__ import annotations
@@ -44,25 +54,21 @@ def embedding_dim_moments(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
     )
     n = F.count(F.lit(1)).cast("long")
-    # sums pin at scale 12, not the digest's output scale 6: a scale-6
-    # sum divided by an n that divides 10^3 (e.g. 500 at sf0.001) lands
-    # EXACTLY on scale-6 half-way boundaries where the two engines'
-    # double->decimal casts disagree (observed: dim-19 mean at sf0.001).
-    # Scale-12 sums push the quotient's exactness to scale 15 — a scale-6
-    # half-way then needs 9 specific trailing digits (~1e-9 chance).
-    # See the pin-scale discipline note in kmeans_centroids.
+
+    # sum at 12, pin the quotient output at 6 (module docstring): the
+    # scale-12 sums avoid quotient half-way boundaries, the scale-6 output
+    # pin absorbs the ~1-in-30k per-row cast drift the scale-12 casts
+    # themselves carry. std derives from the PINNED mean/ex2.
+    def _pinned_mean_of(sum_col):
+        q = F.sum(sum_col.cast("decimal(38,12)")).cast("double") / n.cast(
+            "double"
+        )
+        return q.cast("decimal(28,6)").cast("double")
+
     agg = ex.groupBy("pos").agg(
         n.alias("n"),
-        (
-            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-            / n.cast("double")
-        ).alias("mean"),
-        (
-            F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)")).cast(
-                "double"
-            )
-            / n.cast("double")
-        ).alias("ex2"),
+        _pinned_mean_of(F.col("val")).alias("mean"),
+        _pinned_mean_of(F.col("val") * F.col("val")).alias("ex2"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )

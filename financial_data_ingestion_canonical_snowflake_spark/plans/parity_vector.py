@@ -656,11 +656,15 @@ _MOMENTS_SQL = """
         FROM e
     ),
     m AS (
+        -- sum at 12, pin the quotient at 6 (embedding_stats module
+        -- docstring): the output pin absorbs per-row scale-12 cast drift
         SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE) AS mean,
-               CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE) AS ex2,
+               CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+                   AS mean,
+               CAST(CAST(CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+                   AS ex2,
                MIN(val) AS min_val, MAX(val) AS max_val
         FROM ex GROUP BY 1
     )
@@ -680,8 +684,10 @@ def ns_embedding_moments(spark, sf_dir):
     """Per-dimension embedding moments (n, mean, std, min, max): one
     posexplode + groupBy(pos) whose exchange carries at most dim rows per
     partition after map-side combine — a dim-row output at any corpus
-    size. Mean and second moment pin through DECIMAL(38,12) sums (scale 12 > the digest's output scale 6 — the quotient-boundary discipline); std is
-    IEEE sqrt of the guarded variance, so all doubles hash-match DuckDB."""
+    size. Sums at DECIMAL(38,12), quotient outputs pinned at DECIMAL(28,6)
+    (embedding_stats docstring: the pin absorbs the ~1-in-30k per-row
+    scale-12 cast drift); std is IEEE sqrt of the guarded variance over
+    the pinned values, so all doubles hash-match DuckDB."""
     from ..operators.embedding_stats import embedding_dim_moments
 
     return embedding_dim_moments(table(spark, sf_dir, "embeddings"))

@@ -280,3 +280,65 @@ def test_semantic_dedup_hierarchical_route(spark, sf_oracle):
     # at threshold ~1.0 only exact twins drop; the corpus has none, so
     # everything is kept — the hierarchical route must not invent drops
     assert all(r["is_kept"] for r in rows)
+
+
+def test_moments_parity_n_sweep(spark, tmp_path):
+    """Regression for the two quotient-boundary classes (r8 verdict item 1):
+    sweep synthetic corpora of n in {500, 512, 1000} vectors through the
+    ns_embedding_moments probe/oracle pair and demand hash-exact parity.
+
+    n=500/1000 divide 10^3 (the sf0.001 class: a scale-6 SUM/n quotient
+    lands exactly on scale-6 half-way boundaries); n=512 is the power-of-2
+    control; the 64-dim corpus at n=1000 is 64k values — twice the sf0.01
+    draw where one ~1-in-30k per-row scale-12 cast disagreement landed.
+    The fix under test: sum at DECIMAL(38,12), pin mean/ex2 outputs at
+    DECIMAL(28,6) before std derives, identically on both engines.
+    """
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from financial_data_ingestion_canonical_snowflake_spark.plans.parity_vector import (
+        ns_embedding_moments,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (
+        ALL_ORACLE_SQL,
+    )
+
+    from .oracle_compare import compare
+
+    dim = 64
+    for n in (500, 512, 1000):
+        rng = np.random.default_rng(n)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        # adversarial columns: constant, integer-valued, tiny multiples of
+        # 1e-3 (exact at scale 6 after division by n | 10^3), and zeros
+        vecs[:, 0] = 0.1234567
+        vecs[:, 1] = rng.integers(-5, 6, n).astype(np.float32)
+        vecs[:, 2] = (rng.integers(0, 1000, n) * 1e-3).astype(np.float32)
+        vecs[:, 3] = 0.0
+        sf_dir = tmp_path / f"n{n}"
+        sf_dir.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(sf_dir / "embeddings.parquet"),
+        )
+        df = ns_embedding_moments(spark, str(sf_dir))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        report = compare(df, con, ALL_ORACLE_SQL["ns_embedding_moments"])
+        con.close()
+        assert report["ok"], (n, report)
