@@ -139,10 +139,17 @@ def importance_weights(
         F.count(F.lit(1)).cast("long").alias("n_features"),
         F.sum("t_cnt").cast("long").alias("sum_target_cnt"),
         F.sum("r_cnt").cast("long").alias("sum_raw_cnt"),
+        # sum-at-12 / pin-output-at-6 (embedding_stats discipline): per-row
+        # scale-6 ratio pins hit cast-boundary draws at sf1 row counts;
+        # scale-12 rows drift only 1e-12 and the DECIMAL(28,6) quotient
+        # pin absorbs it
         (
-            F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double")
+            F.sum(F.col("ratio").cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1)).cast("double")
-        ).alias("mean_ratio"),
+        )
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("mean_ratio"),
     ]
     if log_weight:
         aggs.append(F.sum(F.log("ratio")).alias("log_weight"))

@@ -40,10 +40,10 @@ def _dec(col):
     "a1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -51,18 +51,31 @@ def _dec(col):
     """,
 )
 def a1_pricing_summary(spark, sf_dir):
-    """A1 multi-aggregate groupBy (flagship). Reference sql/07_ops_views.sql:7-14."""
+    """A1 multi-aggregate groupBy (flagship). Reference sql/07_ops_views.sql:7-14.
+
+    Money sums are returned as fixed-scale DECIMAL(28,6) *strings*, not
+    doubles: at sf1 the scale-6 unit sums already cross 2^53 (sum_charge
+    ~2.8e16 units) where a double final loses the last ulp and the two
+    engines' decimal->double casts drift. DECIMAL->VARCHAR renders
+    identically in Spark and DuckDB at any magnitude the 28,6 type holds
+    (verified: 0, negatives, 1e-6, 2.8e16) — the exactness survives 100x
+    the sf1 scale without hi/lo-half contortions.
+    """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+
+    def _money(col):
+        return F.sum(_dec(col)).cast("decimal(28,6)").cast("string")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            _money(F.col("l_quantity")).alias("sum_qty"),
+            _money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money(disc_price).alias("sum_disc_price"),
+            _money(charge).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -145,7 +158,7 @@ def a5_distinct(spark, sf_dir):
     "j1_revenue_by_segment",
     oracle="""
     SELECT c.c_mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS revenue,
            COUNT(*) AS line_cnt
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -170,7 +183,11 @@ def j1_revenue_by_segment(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(_dec(revenue)).cast("double").alias("revenue"),
+            # DECIMAL(28,6)-string final — the 2^53 discipline (see a1)
+            F.sum(_dec(revenue))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )

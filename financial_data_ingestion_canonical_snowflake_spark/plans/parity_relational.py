@@ -34,7 +34,7 @@ def _dec(col):
     SELECT o_orderpriority, o_orderstatus,
            CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS order_cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -44,12 +44,17 @@ def ns_rollup_cube(spark, sf_dir):
     one aggregate exchange; subtotal and grand-total rows come from the same
     scan, not re-reads. Spark's ``grouping_id`` bit order (first cube column
     = most significant) is mirrored as GROUPING(a)*2 + GROUPING(b) in the
-    oracle."""
+    oracle. total_price is a DECIMAL(28,6)-string final — the cube's grand
+    total crosses 2^53 scale-6 units at sf1, past a double's exactness
+    (the a1_pricing_summary discipline)."""
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderpriority", "o_orderstatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("order_cnt"),
-        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        F.sum(_dec(F.col("o_totalprice")))
+        .cast("decimal(28,6)")
+        .cast("string")
+        .alias("total_price"),
     )
 
 
@@ -788,7 +793,9 @@ RELATIONAL_DIGEST_MEMBERS = [
         "ns_rollup_cube",
         [
             ("o_orderpriority", "s"), ("o_orderstatus", "s"), ("gid", "s"),
-            ("order_cnt", "s"), ("total_price", "d"),
+            # total_price is a DECIMAL-string final (2^53 discipline) —
+            # render as string, not through the double pin
+            ("order_cnt", "s"), ("total_price", "s"),
         ],
     ),
     (

@@ -659,7 +659,12 @@ def ns_text_cooccurrence(spark, sf_dir):
 def _graph_stats_oracle() -> str:
     from .registry import ALL_ORACLE_SQL
 
-    pairs = ALL_ORACLE_SQL["ns_dedup_ngram_jaccard"]
+    # capped generator, not the uncapped exact join: at sf1 the
+    # single-node oracle exhausted disk spilling the uncapped
+    # shingle self-join (BENCH_SF1 class c) while Spark ran it in ~6 s;
+    # the uncapped twin stays certified by ns_dedup_ngram_jaccard itself,
+    # and capped pairs are the production graph input anyway
+    pairs = ALL_ORACLE_SQL["ns_dedup_ngram_jaccard_capped"]
     return f"""
     WITH p AS (SELECT id_a, id_b FROM ({pairs}) __pairs),
     e AS (
@@ -723,12 +728,14 @@ def ns_dedup_graph_stats(spark, sf_dir):
     components.py graph_stats): node/edge counts, max degree, wedges and
     triangles via the edge-iterator join — tight duplicate clusters are
     triangle-dense, boilerplate skew shows as degree blowup. Integer
-    outputs, engine-exact."""
+    outputs, engine-exact. Pairs come from the CAPPED jaccard generator
+    (max_shingle_freq=5, the production default) so the oracle twin stays
+    single-node-feasible at sf >= 1."""
     from ..operators.components import graph_stats
 
     pairs = td.ngram_jaccard_pairs(
         _docs2(spark, sf_dir), "doc_id", "text",
-        shingle_len=3, min_jaccard=0.6, max_shingle_freq=None,
+        shingle_len=3, min_jaccard=0.6, max_shingle_freq=5,
     )
     return graph_stats(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1492,7 +1499,7 @@ def ns_dedup_survivor_policy(spark, sf_dir):
     ),
     flagged AS (
         SELECT doc_id, clean_text, toks, bucket,
-               CAST(distinct_ratio * alpha_ratio AS DECIMAL(18,6)) AS quality,
+               CAST(distinct_ratio * alpha_ratio AS DECIMAL(18,12)) AS quality,
                CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
                     WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
                     WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
@@ -1525,7 +1532,7 @@ def ns_dedup_survivor_policy(spark, sf_dir):
            CAST(COALESCE(SUM(CASE WHEN sampled THEN
                list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
                END), 0) AS BIGINT) AS token_budget,
-           CAST(COALESCE(SUM(CASE WHEN sampled THEN quality END), 0) AS DOUBLE) AS quality_sum
+           CAST(round(COALESCE(SUM(CASE WHEN sampled THEN quality END), 0), 6) AS DOUBLE) AS quality_sum
     FROM final
     GROUP BY predicted_lang
     """,
@@ -1544,8 +1551,9 @@ def ns_doc_curation_funnel(spark, sf_dir):
     window and the final groupBy; every gate is a map-side flag, so the
     funnel costs the same as the most expensive single stage. Conditional
     aggregation gives all stage counts without re-scanning (no per-stage
-    jobs); quality mass sums DECIMAL(18,6) per-row values (order-independent
-    exact) and renders DOUBLE per the oracle convention.
+    jobs); quality mass sums DECIMAL(18,12) per-row values
+    (order-independent exact), pins the sum via round(.., 6), and renders
+    DOUBLE per the oracle convention.
     """
     from pyspark.sql.window import Window
 
@@ -1561,11 +1569,16 @@ def ns_doc_curation_funnel(spark, sf_dir):
         clean.alias("clean_text"),
         stats["n_tokens"].alias("n_tokens"),
         stats["alpha_ratio"].alias("alpha_ratio"),
+        # scale 12, not 6: at sf1 ~5 of 45k quality quotients land on
+        # scale-6 half-way boundaries where the engines' double->decimal
+        # casts disagree by 1e-6 each; at scale 12 a disagreement is 1e-12
+        # and the round(sum, 6) output pin absorbs it (sum-at-12/
+        # pin-output-at-6 — the embedding_stats discipline)
         (
             (stats["n_distinct_tokens"].cast("double") / stats["n_tokens"].cast("double"))
             * stats["alpha_ratio"]
         )
-        .cast("decimal(18,6)")
+        .cast("decimal(18,12)")
         .alias("quality"),
         tx.language_id(F.col("text"), toks=toks).alias("predicted_lang"),
         tx.sample_bucket(F.col("doc_id")).alias("bucket"),
@@ -1595,8 +1608,16 @@ def ns_doc_curation_funnel(spark, sf_dir):
             F.coalesce(F.sum(F.when(F.col("sampled"), F.col("bpe_tokens"))), F.lit(0))
             .cast("long")
             .alias("token_budget"),
-            F.coalesce(
-                F.sum(F.when(F.col("sampled"), F.col("quality"))), F.lit(0)
+            # round(.., 6) is the output pin: Spark decimal HALF_UP ==
+            # DuckDB round() (half away from zero) — verified on ties;
+            # a plain DECIMAL rescale CAST would NOT agree (DuckDB
+            # truncates decimal->decimal downscale)
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("sampled"), F.col("quality"))),
+                    F.lit(0),
+                ),
+                6,
             )
             .cast("double")
             .alias("quality_sum"),
