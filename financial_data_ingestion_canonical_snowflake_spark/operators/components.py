@@ -254,6 +254,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label (= min node id in the component) per node.
 
@@ -267,8 +268,11 @@ def connected_components(
     contraction doublings), so hitting the cap means the input is
     pathological or the contraction is broken, and silently returning
     HALF-MERGED component labels would corrupt every downstream dedupe
-    decision. The observed round count is published as
-    ``LAST_CC_ROUNDS`` (cap-trip + round-count behavior pinned in
+    decision. The observed round count is written into the caller's
+    ``stats`` dict (``stats["rounds"]``) when one is passed — the
+    race-free per-call channel — and also published as the module-level
+    ``LAST_CC_ROUNDS`` convenience alias, which concurrent callers can
+    clobber (cap-trip + round-count behavior pinned in
     tests/test_components.py; the 8x scale smoke records it).
     """
     global LAST_CC_ROUNDS
@@ -278,6 +282,8 @@ def connected_components(
         cur = nxt
         if nsig == sig:
             LAST_CC_ROUNDS = r + 1
+            if stats is not None:
+                stats["rounds"] = r + 1
             break
         sig = nsig
     else:

@@ -23,6 +23,25 @@ from pyspark.sql.window import Window
 from ..functions import vectors
 
 
+def adaptive_num_planes(n: int) -> int:
+    """Corpus-scaled LSH plane count: smallest ``p`` with
+    ``256 * 2**p >= n``, clamped to [4, 24] — i.e. ``ceil(log2(n/256))``
+    computed in exact integer arithmetic (no float log2, so the DuckDB
+    oracle's integer threshold-CASE mirror agrees at every n, boundaries
+    included). Expected bucket width ``n / 2**p`` lands in (128, 256]
+    above the clamp floor."""
+    p = max(0, (max(1, math.ceil(n / 256)) - 1).bit_length())
+    return min(24, max(4, p))
+
+
+def adaptive_n_centroids(n: int) -> int:
+    """Corpus-scaled SemDeDup quantizer size: ``max(8, ceil(n / 256))``
+    targets a ~256-vector mean cluster so per-cluster pair work stays
+    ~n * 256 = linear. Exact integer arithmetic, oracle-mirrorable as
+    ``GREATEST(8, (n + 255) // 256)``."""
+    return max(8, (n + 255) // 256)
+
+
 def _with_cosine(joined: DataFrame) -> DataFrame:
     """Cosine over a candidate join that carries per-side norm columns
     (``q_norm``/``c_norm``) when present — the norms then compute ONCE per
@@ -133,13 +152,18 @@ def cosine_near_dup_pairs(
     path); ``False`` compares all pairs (exact, quadratic).
 
     ``num_planes=None`` scales the hyperplane count to the corpus:
-    ``log2(n / 256)`` (clamped to [4, 24]) keeps the EXPECTED bucket
-    width near 256 as the corpus grows, so candidate work stays
-    ~n * width = linear. A FIXED plane count is quadratic at scale —
-    per-bucket width grows with n, and the sf1 slope bench measured the
-    fixed-6-plane probe at 18x cost for 10x vectors while the adaptive
-    setting holds the growth linear. Costs one bounded count() when
-    defaulted; pass an explicit value for oracle-pinned probes."""
+    ``ceil(log2(n / 256))`` clamped to [4, 24], computed in exact
+    integer arithmetic (smallest p with 256 * 2**p >= n) so the DuckDB
+    twin's threshold-CASE mirror agrees bit-for-bit — no float log2 on
+    either side. For n above the 4-plane clamp this holds the EXPECTED
+    bucket width in (128, 256], so candidate work stays ~n * width =
+    linear; below the clamp (n <= 4096) the floor of 4 planes gives
+    width ~n/16 <= 256 — stricter than the target, never looser. A
+    FIXED plane count is quadratic at scale — per-bucket width grows
+    with n, and the sf1 slope bench measured the fixed-6-plane probe at
+    18x cost for 10x vectors while the adaptive setting holds the
+    growth linear. Costs one bounded count() when defaulted; pass an
+    explicit value for oracle-pinned probes."""
     a = _normed(
         df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec")),
         "q_vec", "q_norm",
@@ -150,8 +174,7 @@ def cosine_near_dup_pairs(
     )
     if bucketed:
         if num_planes is None:
-            n = df.count()
-            num_planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / 256 + 1))))
+            num_planes = adaptive_num_planes(df.count())
         planes = vectors.hyperplanes(num_planes, dim)
         a = a.withColumn("bucket", vectors.lsh_bucket(F.col("q_vec"), planes))
         b = b.withColumn("bucket", vectors.lsh_bucket(F.col("c_vec"), planes))
@@ -288,7 +311,7 @@ def semantic_dedup(
         "__v", "__n",
     )
     if centroids is None and n_centroids is None:
-        n_centroids = max(8, math.ceil(corpus.count() / 256))
+        n_centroids = adaptive_n_centroids(corpus.count())
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     if hierarchical:

@@ -153,6 +153,10 @@ def _scd2_event_slices(spark, sf_dir: str) -> str:
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).collect()[0]
+    if lo is None:  # no non-NULL-user rows: int(None) below would TypeError
+        raise ValueError(
+            f"_scd2_event_slices: no events with non-NULL user_id in {sf_dir}"
+        )
     src = tempfile.mkdtemp(prefix="fincan_scd2_src_")
     n_slices = 4
     span = max(int(hi) - int(lo), 0) + 1
@@ -224,7 +228,11 @@ def stream_live_scd2(spark, sf_dir):
         work + "/ckpt",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout — a hung drain must fail
+    # loudly, not hand back a partially-folded version table
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_live_scd2: drain did not finish in 300s")
     return Scd2Sink(state, "user_id", "event_type", "ts", "event_id").versions(
         spark
     )

@@ -1360,9 +1360,13 @@ def ns_sample_exact_k(spark, sf_dir):
 _COMPONENTS_CTES = f"""
     WITH RECURSIVE docs2 AS ({_DOCS2}),
     toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id AS doc, UNNEST({_SHINGLES}) AS shingle FROM toks
     ),
+    keep AS (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= 5
+    ),
+    sh AS (SELECT doc, shingle FROM sh_all JOIN keep USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
     common AS (
         SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
@@ -1403,16 +1407,19 @@ _COMPONENTS_CTES = f"""
 def ns_dedup_components(spark, sf_dir):
     """Dedup-group closure: n-gram-Jaccard pairs -> connected components
     (large-star/small-star), every doc labeled with its canonical survivor
-    (component min) and group size. Oracle: recursive min-label walk."""
+    (component min) and group size. Oracle: recursive min-label walk over
+    the CAPPED pair set (max_shingle_freq=5, the production default —
+    the uncapped shingle self-join exhausts single-node oracle disk at
+    sf >= 1; the uncapped twin stays certified by
+    ns_dedup_ngram_jaccard)."""
     from pyspark.sql import Window
 
     from ..operators.components import connected_components
 
     docs = _docs2(spark, sf_dir)
-    # uncapped to match the recursive-walk oracle's exact pair set
     pairs = td.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6,
-        max_shingle_freq=None,
+        max_shingle_freq=5,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -1457,13 +1464,14 @@ def ns_dedup_survivor_policy(spark, sf_dir):
     to the lowest id) instead of the naive lowest-id survivor — the
     production near-dup policy. One score join + one map-side max_by per
     component + a component-keyed join back; nothing quadratic in
-    cluster width. Oracle: the components recursive walk + arg-max."""
+    cluster width. Oracle: the components recursive walk + arg-max over
+    the CAPPED pair set (max_shingle_freq=5 — see ns_dedup_components)."""
     from ..operators.components import component_survivors, connected_components
 
     docs = _docs2(spark, sf_dir)
     pairs = td.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_len=3, min_jaccard=0.6,
-        max_shingle_freq=None,
+        max_shingle_freq=5,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

@@ -18,6 +18,9 @@ from .registry import parity, table
 DIM = 64
 NUM_PLANES = 6
 PLANES = vectors.hyperplanes(NUM_PLANES, DIM)
+# full clamp-range plane prefix for the adaptive probe: hyperplane(j, i)
+# depends only on (j, i), so planes 0..p-1 are a prefix of these 24
+PLANES24 = vectors.hyperplanes(24, DIM)
 
 
 def _sql_list(vals: list[float]) -> str:
@@ -97,6 +100,61 @@ def ns_sim_lsh_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return sim.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, num_planes=NUM_PLANES, dim=DIM
+    )
+
+
+# Adaptive-default certification (the path a real user runs at scale):
+# num_planes is computed FROM the corpus count on both sides — Spark via
+# operators.similarity.adaptive_num_planes (exact integer arithmetic), the
+# oracle via the equivalent integer threshold CASE — so the very same
+# plane-count selection logic is hash-certified, not just the fixed probe.
+_SQL_ADAPTIVE_NP = (
+    "(CASE "
+    + " ".join(f"WHEN __cnt.n <= {256 * (1 << p)} THEN {p}" for p in range(4, 24))
+    + " ELSE 24 END)"
+)
+
+# bucket over the adaptive plane count: bit j contributes only when j < np
+_SQL_BUCKET_ADAPTIVE = " + ".join(
+    f"(CASE WHEN {j} < np AND "
+    f"{_sql_dot('embedding', _sql_list(PLANES24[j]))} >= 0 "
+    f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+    for j in range(24)
+)
+
+
+@parity(
+    "ns_vector_near_dup_adaptive",
+    driver=False,  # driver slot: folded into ns_vector_digest
+    oracle=f"""
+    WITH np_t AS (
+        SELECT {_SQL_ADAPTIVE_NP} AS np
+        FROM (SELECT COUNT(*) AS n FROM embeddings) __cnt
+    ),
+    b AS (
+        SELECT vec_id, embedding, {_SQL_BUCKET_ADAPTIVE} AS bucket
+        FROM embeddings CROSS JOIN np_t
+    ),
+    a AS (SELECT vec_id AS id_a, embedding AS q_vec, bucket FROM b),
+    c AS (SELECT vec_id AS id_b, embedding AS c_vec, bucket FROM b),
+    scored AS (
+        SELECT id_a, id_b, {_SQL_COS} AS cosine_sim
+        FROM a JOIN c USING (bucket)
+        WHERE id_a < id_b
+    )
+    SELECT * FROM scored WHERE cosine_sim >= 0.9
+    """,
+)
+def ns_vector_near_dup_adaptive(spark, sf_dir):
+    """Near-dup pairs through the PRODUCTION default (``num_planes=None``):
+    the plane count derives from the corpus count — smallest p in [4, 24]
+    with 256 * 2**p >= n (operators/similarity.py adaptive_num_planes) —
+    and the oracle mirrors that selection with an integer threshold CASE
+    over its own COUNT(*), then masks bucket bits j >= np. Certifies the
+    adaptive path end-to-end: count -> plane count -> buckets -> pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(
+        emb, threshold=0.9, num_planes=None, dim=DIM, bucketed=True
     )
 
 
@@ -640,6 +698,61 @@ def ns_dedup_semantic(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_dedup_semantic_adaptive",
+    driver=False,  # driver slot: folded into ns_vector_digest
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    k_t AS (
+        SELECT GREATEST(8, (__cnt.n + 255) // 256) AS k
+        FROM (SELECT COUNT(*) AS n FROM emb) __cnt
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, e AS cent_vec
+        FROM emb CROSS JOIN k_t WHERE vec_id < k
+    ),
+    asg AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT emb.vec_id, emb.e, centroid_id,
+                   row_number() OVER (PARTITION BY emb.vec_id
+                        ORDER BY {_sql_cos('e', 'cent_vec')} DESC, centroid_id)
+                       AS crank
+            FROM emb CROSS JOIN cents
+        ) WHERE crank = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE ({_sql_dot('a.e', 'b.e')})
+              / (sqrt({_sql_dot('a.e', 'a.e')}) * sqrt({_sql_dot('b.e', 'b.e')}))
+              >= {_SEM_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS cluster_id,
+           d.vec_id IS NULL AS is_kept
+    FROM asg a LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def ns_dedup_semantic_adaptive(spark, sf_dir):
+    """SemDeDup through the PRODUCTION default (``n_centroids=None``):
+    the quantizer size derives from the corpus count —
+    ``max(8, ceil(n/256))`` in exact integer arithmetic
+    (operators/similarity.py adaptive_n_centroids), mirrored in the
+    oracle as ``GREATEST(8, (n + 255) // 256)`` over its own COUNT(*).
+    Certifies the count -> quantizer-size -> assignment -> dedup chain a
+    real user runs at scale (the fixed-k probe exists only to stay
+    oracle-pinned across corpora)."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(emb, threshold=_SEM_THRESHOLD)
+
+
 # --------------------------------------------------------------------------
 # Embedding normalization (operators/embedding_stats.py): per-dimension
 # moments + z-scored vectors — the feature-scaling pre-pass of quantization
@@ -757,6 +870,14 @@ _VECTOR_DIGEST = [
     (
         "ns_vector_near_dup",
         [("id_a", "s"), ("id_b", "s"), ("cosine_sim", "d")],
+    ),
+    (
+        "ns_vector_near_dup_adaptive",
+        [("id_a", "s"), ("id_b", "s"), ("cosine_sim", "d")],
+    ),
+    (
+        "ns_dedup_semantic_adaptive",
+        [("vec_id", "s"), ("cluster_id", "s"), ("is_kept", "s")],
     ),
     (
         "ns_embedding_moments",

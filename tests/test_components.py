@@ -57,10 +57,16 @@ def test_cc_long_path_converges_logarithmically(spark):
     )
 
     pairs = [(i, i + 1) for i in range(63)]
-    got = _spark_cc(spark, 64, pairs)
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.range(64).select(F.col("id").alias("node"))
+    stats: dict = {}
+    out = connected_components(edges, nodes=nodes, stats=stats)
+    got = {r.node: r.component for r in out.collect()}
     assert got == {v: 0 for v in range(64)}
-    # observed rounds published, and logarithmic: well under the naive 63
-    assert 1 <= C.LAST_CC_ROUNDS <= 10
+    # observed rounds via the per-call stats channel, and logarithmic:
+    # well under the naive 63; the module global stays as an alias
+    assert 1 <= stats["rounds"] <= 10
+    assert C.LAST_CC_ROUNDS == stats["rounds"]
 
 
 def test_cc_max_iter_cap_trips_loudly_on_pathological_budget(spark):

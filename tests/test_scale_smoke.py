@@ -53,18 +53,18 @@ def test_dedup_closure_scales_to_8x_corpus(spark):
         n_docs = docs.count()
         pairs = td.minhash_lsh_pairs(docs, "doc_id", "text")
         n_pairs = pairs.count()
+        cc_stats: dict = {}
         comp = connected_components(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
             nodes=docs.select(F.col("doc_id").alias("node")),
+            stats=cc_stats,
         )
         n_nodes, n_groups = comp.agg(
             F.count(F.lit(1)), F.countDistinct("component")
         ).collect()[0]
-        from financial_data_ingestion_canonical_snowflake_spark.operators import (
-            components as C,
-        )
 
-        cc_rounds = C.LAST_CC_ROUNDS
+        # per-call stats channel, not the clobbberable module global
+        cc_rounds = cc_stats["rounds"]
         print(f"scale-smoke dedup closure: {cc_rounds} contraction rounds")
     finally:
         docs.unpersist()

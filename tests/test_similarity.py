@@ -256,7 +256,9 @@ def test_hierarchical_assignment_exact_when_probing_all_supers(spark, sf_oracle)
         ).collect()
     }
     assert approx.keys() == flat.keys()  # every vector assigned exactly once
-    valid = set(flat.values()) | set(range(16))
+    # valid ids = the ACTUAL centroid frame's ids (not an assumed 0..15
+    # range, which would make the containment check partially vacuous)
+    valid = {r["vec_id"] for r in cents.select("vec_id").collect()}
     assert set(approx.values()) <= valid
     agree = sum(approx[k] == flat[k] for k in flat) / len(flat)
     # 0.69 measured on this corpus — near-random vectors are the WORST
