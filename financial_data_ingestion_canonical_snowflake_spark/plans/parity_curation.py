@@ -31,8 +31,10 @@ from .registry import parity, table
 
 # ns_curation_digest's oracle is assembled at decoration time from
 # ALL_ORACLE_SQL entries that parity_text registers (ns_sample_stratified,
-# ns_sample_exact_k, ns_dedup_survivor_policy) — import it first so this
-# module is import-order self-contained.
+# ns_sample_exact_k, ns_dedup_survivor_policy) and parity_streaming
+# registers (ns_stream_live_sinks) — import them first so this module is
+# import-order self-contained.
+from . import parity_streaming  # noqa: F401  (registers digest-member oracles)
 from . import parity_text  # noqa: F401  (registers digest-member oracles)
 
 _TOKS = "string_split(lower(text), ' ')"
@@ -740,6 +742,10 @@ _CURATION_DIGEST = [
         ],
     ),
     ("ns_sample_exact_k", [("lang", "s"), ("doc_id", "s")]),
+    (
+        "ns_stream_live_sinks",
+        [("kind", "s"), ("k1", "s"), ("k2", "s"), ("v", "s")],
+    ),
 ]
 
 
