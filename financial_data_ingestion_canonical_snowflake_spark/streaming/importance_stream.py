@@ -180,10 +180,16 @@ def scores_against(
         F.count(F.lit(1)).cast("long").alias("n_features"),
         F.sum("t_cnt").cast("long").alias("sum_target_cnt"),
         F.sum("r_cnt").cast("long").alias("sum_raw_cnt"),
+        # identical pin discipline to operators.importance.importance_weights
+        # (sum-at-12 / DECIMAL(28,6) quotient pin) — the stream==batch
+        # equality test demands bit-identical mean_ratio
         (
-            F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double")
+            F.sum(F.col("ratio").cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1)).cast("double")
-        ).alias("mean_ratio"),
+        )
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("mean_ratio"),
     )
 
 
