@@ -344,3 +344,36 @@ def test_moments_parity_n_sweep(spark, tmp_path):
         report = compare(df, con, ALL_ORACLE_SQL["ns_embedding_moments"])
         con.close()
         assert report["ok"], (n, report)
+
+
+def test_adaptive_width_formulas():
+    """Pin the integer-exact adaptive formulas at their boundaries — the
+    oracle's threshold-CASE mirror depends on these exact values."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.similarity import (
+        adaptive_n_centroids,
+        adaptive_num_planes,
+    )
+
+    # clamp floor: everything up to 256*2^4 = 4096 gets 4 planes
+    assert adaptive_num_planes(1) == 4
+    assert adaptive_num_planes(500) == 4
+    assert adaptive_num_planes(4096) == 4
+    assert adaptive_num_planes(4097) == 5
+    # sf1 fixture: 20k vectors -> 7 planes (256*2^7 = 32768 >= 20000)
+    assert adaptive_num_planes(20_000) == 7
+    assert adaptive_num_planes(16_384) == 6
+    assert adaptive_num_planes(16_385) == 7
+    # clamp ceiling
+    assert adaptive_num_planes(10**12) == 24
+    # expected width n/2^p stays in (128, 256] above the clamp floor
+    for n in (5000, 33333, 10**6, 10**7):
+        p = adaptive_num_planes(n)
+        if 4 < p < 24:
+            assert 128 < n / (1 << p) <= 256, (n, p)
+
+    assert adaptive_n_centroids(1) == 8
+    assert adaptive_n_centroids(500) == 8
+    assert adaptive_n_centroids(2048) == 8
+    assert adaptive_n_centroids(2049) == 9
+    assert adaptive_n_centroids(20_000) == 79  # sf1 fixture
+    assert adaptive_n_centroids(256 * 7 + 1) == 8
