@@ -326,3 +326,19 @@ def test_sample_exact_k_window_group_limit(spark, sf_oracle):
     # (above it), after = the PARTIAL limit (map side, below it)
     assert "WindowGroupLimit" in plan[:ex], plan
     assert "WindowGroupLimit" in plan[ex:], plan
+
+
+def test_adaptive_near_dup_stays_bucket_equi_join(spark, sf_oracle):
+    """The adaptive-default near-dup path (round 9): computing num_planes
+    from the corpus count must not change the plan class — candidates
+    still come from a bucket EQUI-join (one exchange on the bucket key),
+    never a Cartesian re-expansion, and the scan reads only
+    (vec_id, embedding)."""
+    import re
+
+    plan = _executed("ns_vector_near_dup_adaptive", spark, sf_oracle)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+        cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
+        assert cols <= {"vec_id", "embedding"}, cols
