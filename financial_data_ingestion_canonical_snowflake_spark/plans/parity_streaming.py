@@ -418,23 +418,25 @@ def ns_stream_live_sinks(spark, sf_dir):
     pairs_t = ParquetTable(work + "/pairs")
     feat_t = ParquetTable(work + "/features")
 
+    # start BOTH drains before awaiting either: the queries share no state
+    # (separate tables + checkpoints), so their micro-batches interleave
+    # across the executor pool instead of serializing two harness startups
     q1 = stream_minhash_dedup(
         spark, src, sig_t, pairs_t, work + "/ckpt_lsh",
         max_files_per_trigger=1, num_hashes=16, bands=4, min_matching=8,
         max_bucket_width=None,
     )
-    if not q1.awaitTermination(300):
-        q1.stop()
-        raise RuntimeError("ns_stream_live_sinks: LSH drain timed out (300s)")
     q2 = stream_importance_features(
         spark, src, feat_t, work + "/ckpt_imp",
         shingle_len=2, hash_bits=_IMP_BITS, max_files_per_trigger=1,
     )
-    if not q2.awaitTermination(300):
-        q2.stop()
-        raise RuntimeError(
-            "ns_stream_live_sinks: feature drain timed out (300s)"
-        )
+    for q, what in ((q1, "LSH"), (q2, "feature")):
+        if not q.awaitTermination(300):
+            q1.stop()
+            q2.stop()
+            raise RuntimeError(
+                f"ns_stream_live_sinks: {what} drain timed out (300s)"
+            )
 
     pairs = pairs_t.read(spark).select(
         F.lit("lsh_pair").alias("kind"),
