@@ -474,3 +474,118 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "n_common", "jaccard"
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """``(doc, fingerprint)`` — the winnowed k-gram hash set per document
+    (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003).
+
+    Each position's word-``k``-gram hashes; every ``window`` consecutive
+    hashes contribute their MINIMUM to the fingerprint set. The winnowing
+    guarantee: two documents sharing any token run of length
+    ``window + k - 1`` share at least one fingerprint — SUBSTRING-level
+    duplicate sensitivity (quoted paragraphs, boilerplate spans) that
+    whole-document MinHash dilutes away, at ~1/window the fingerprint
+    density of the full shingle set.
+
+    Purely map-side: one token projection, one hash pass, one O(n*window)
+    sliding-min HOF, one distinct-explode. The hash array is PROJECTED
+    before the sliding-min lambda (Catalyst re-evaluates captured outer
+    expressions inside HOF lambdas — the O(n^2) trap functions/text.py
+    documents). Docs shorter than ``k`` tokens emit nothing; docs with
+    fewer than ``window`` grams emit their single overall minimum.
+    """
+    hs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            text.tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "doc",
+            F.transform(
+                text.shingles_from_tokens(F.col("__toks"), k),
+                lambda s: scalars.md5_long(s, modulus=text.MERSENNE31),
+            ).alias("hs"),
+        )
+    )
+    n = F.size(F.col("hs"))
+    mins = (
+        F.when(
+            n >= window,
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+            ),
+        )
+        .when(n > 0, F.array(F.array_min(F.col("hs"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return hs.select(
+        "doc", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 10_000,
+) -> DataFrame:
+    """Substring-overlap candidate pairs from shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared, n_fp_a, n_fp_b, containment)`` where
+    ``containment = n_shared / min(|A|, |B|)`` — the partial-overlap score
+    (a short doc quoted whole inside a long one scores ~1.0, where Jaccard
+    would score near 0).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: a posting-list
+    equi-join on the fingerprint, with ``max_fp_freq`` dropping degenerate
+    boilerplate fingerprints whose posting lists go quadratic (cap ON by
+    default; sizes count the CAPPED sets on both engines).
+    """
+    fp = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
+    if max_fp_freq is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .count()
+            .filter(F.col("count") <= max_fp_freq)
+        )
+        fp = fp.join(keep.select("fingerprint"), "fingerprint")
+    fp = fp.persist()  # consumed 3x: sizes + both join sides
+    sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    pairs = (
+        fp.select(F.col("doc").alias("id_a"), "fingerprint")
+        .join(fp.select(F.col("doc").alias("id_b"), "fingerprint"), "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.withColumnsRenamed({"doc": "id_a", "n_fp": "n_fp_a"}), "id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc": "id_b", "n_fp": "n_fp_b"}), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -373,6 +373,69 @@ def ns_dedup_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+# word 4-gram shingles for the winnowing probe (k=4 separates the
+# fingerprint grams from the 3-gram jaccard probes sharing this corpus)
+_SHINGLES4 = (
+    "CASE WHEN len(toks) >= 4 THEN "
+    "list_transform(generate_series(1, len(toks) - 3), "
+    "i -> array_to_string(toks[i:i+3], ' ')) "
+    "ELSE [] END"
+)
+
+
+@parity(
+    "ns_dedup_winnowing",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    hs_t AS (
+        SELECT doc_id AS doc,
+               list_transform({_SHINGLES4}, s -> {_md5h('s', P31)}) AS hs
+        FROM toks
+    ),
+    fp_t AS (
+        SELECT doc, UNNEST(list_distinct(
+            CASE WHEN len(hs) >= 4 THEN
+                     list_transform(generate_series(1, len(hs) - 3),
+                                    i -> list_min(hs[i:i+3]))
+                 WHEN len(hs) > 0 THEN [list_min(hs)]
+                 ELSE [] END)) AS fingerprint
+        FROM hs_t
+    ),
+    keep AS (SELECT fingerprint FROM fp_t GROUP BY 1 HAVING COUNT(*) <= 5),
+    fpk AS (SELECT doc, fingerprint FROM fp_t JOIN keep USING (fingerprint)),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpk GROUP BY 1),
+    pairs AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fpk a JOIN fpk b USING (fingerprint)
+        WHERE a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+           CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE)
+               AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE n_shared >= 2
+    """,
+)
+def ns_dedup_winnowing(spark, sf_dir):
+    """Winnowing-fingerprint substring-overlap pairs (Schleimer et al.,
+    SIGMOD 2003): per-doc winnowed 4-gram hash sets (sliding-window-4
+    minima — any shared token run of length >= 7 shares a fingerprint),
+    posting-list equi-join with the stop-fingerprint cap (<= 5 docs),
+    containment = n_shared / min(|A|, |B|) — the partial-overlap signal
+    (quoted spans, boilerplate) whole-doc MinHash dilutes away. The twins
+    share their originals' text verbatim, so every twin pair surfaces at
+    containment ~1 even where full-doc Jaccard drops below threshold."""
+    return td.winnowing_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        k=4, window=4, min_shared=2, max_fp_freq=5,
+    )
+
+
 @parity(
     "ns_text_topk_quality_by_lang",
     driver=False,  # driver slot: folded into ns_text_digest
@@ -1211,6 +1274,13 @@ _TEXT_DIGEST = [
         [
             ("n_nodes", "s"), ("n_edges", "s"), ("max_degree", "s"),
             ("n_wedges", "s"), ("n_triangles", "s"),
+        ],
+    ),
+    (
+        "ns_dedup_winnowing",
+        [
+            ("id_a", "s"), ("id_b", "s"), ("n_shared", "s"),
+            ("n_fp_a", "s"), ("n_fp_b", "s"), ("containment", "d"),
         ],
     ),
     (

@@ -762,3 +762,70 @@ def test_sample_exact_k_invariants(spark, rows, k):
         map(tuple, sample_exact_k(df, ["lang"], "doc_id", k).select("lang", "doc_id").collect())
     )
     assert got == again
+
+
+def test_winnowing_guarantee_and_containment(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): with k=4, window=4
+    any two docs sharing a token run of length >= window + k - 1 = 7 share
+    at least one fingerprint. Containment scores partial overlap ~1.0 for
+    a short doc quoted inside a long one — the case whole-doc Jaccard
+    misses. Docs shorter than k tokens emit no fingerprints."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    long_doc = (
+        "zero one two three four five six seven eight nine "
+        + quoted
+        + " ten eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    rows = [
+        (1, quoted),
+        (2, long_doc),
+        (3, "totally different words with no shared runs at all here"),
+        (4, "too short"),  # < k tokens: no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = winnowing_fingerprints(df, "doc_id", "text").collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc"], set()).add(r["fingerprint"])
+    assert 4 not in by_doc  # sub-k doc emits nothing
+    # the 7-token shared run guarantees a shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    # fingerprints are a SUBSET of the full 4-gram hash universe
+    # (winnowing sparsifies, never invents)
+    from financial_data_ingestion_canonical_snowflake_spark.functions import (
+        scalars,
+        text as tx,
+    )
+
+    full = {
+        r["h"]
+        for r in df.filter(F.col("doc_id") == 2)
+        .select(
+            F.explode(
+                F.transform(
+                    tx.shingles_from_tokens(tx.tokens(F.col("text")), 4),
+                    lambda s: scalars.md5_long(s, modulus=tx.MERSENNE31),
+                )
+            ).alias("h")
+        )
+        .collect()
+    }
+    assert by_doc[2] <= full and len(by_doc[2]) < len(full)
+
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in winnowing_pairs(
+            df, "doc_id", "text", min_shared=1, max_fp_freq=None
+        ).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # every fingerprint of the quoted doc appears in the long doc
+    assert r["n_shared"] == r["n_fp_a"] and r["containment"] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
