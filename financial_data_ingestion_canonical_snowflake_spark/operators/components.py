@@ -242,6 +242,102 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    scale: int = 10**12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank in fixed-point INTEGER micro-units — the hash-certifiable
+    twin of :func:`pagerank`.
+
+    The float power method is rows-only forever: shuffle order perturbs
+    the contribution sum's low bits, so no cross-engine oracle can pin it.
+    This variant carries rank as ``rank_units`` (BIGINT, ``scale`` units
+    = total mass) and replaces every float op with exact integer
+    arithmetic — contributions ``rank div out_deg``, damping as the
+    rational ``d_num/d_den`` via ``(d_num * s) div d_den`` — so the
+    result is bit-identical on ANY engine and ANY execution order (both
+    Spark's ``div`` and DuckDB's ``//`` floor non-negative integers
+    identically; every intermediate stays far under 2^63). Each round's
+    floor operations leak at most ``out_deg`` units per node — a 1e-12
+    relative deviation from the float method per round, proven ~1e-9
+    against it in tests.
+
+    Same scale shape as :func:`pagerank`: out-degrees pre-join the edge
+    list once, one rank join + one node-keyed aggregate per round,
+    dangling mass as a broadcast 1-row scalar, eager checkpoints keep the
+    plan flat. Returns ``(node, rank_units)``.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        out = nodes.withColumn(
+            "rank_units", F.lit(0).cast("long")
+        ).localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_w = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    sinks = nodes.join(
+        edges_w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+    # exact Python-int preamble, mirrored verbatim by the oracle
+    base = ((d_den - d_num) * scale // d_den) // n
+    ranks = nodes.withColumn("rank_units", F.lit(scale // n).cast("long"))
+    for r in range(n_iter):
+        dangling = (
+            ranks.join(sinks, "node", "left_semi")
+            .agg(
+                F.coalesce(F.sum("rank_units"), F.lit(0))
+                .cast("long")
+                .alias("__dangling")
+            )
+        )
+        summed = (
+            ranks.join(edges_w, ranks.node == edges_w.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_units div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({d_num} * (coalesce(s, cast(0 as bigint))"
+                        f" + (__dangling div {n}))) div {d_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_units"),
+            )
+        )
+        if (r + 1) % checkpoint_every == 0 or r + 1 == n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    sinks.unpersist()
+    return ranks
+
+
 # Diagnostic: rounds the last connected_components call needed to reach
 # its fixpoint (including the confirming round). Large-star/small-star
 # contracts in O(log n) rounds, so this staying far below max_iter is the

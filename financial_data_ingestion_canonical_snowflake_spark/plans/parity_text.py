@@ -757,6 +757,74 @@ def _graph_stats_oracle() -> str:
     """
 
 
+def _pagerank_fixed_oracle(n_iter: int = 3) -> str:
+    """Unrolled fixed-point power method over the MinHash pair graph —
+    pure BIGINT arithmetic round-for-round identical to
+    operators/components.py::pagerank_fixed_point (the kmeans/BPE unroll
+    pattern; the doubled undirected graph has no sinks, so the dangling
+    term is identically zero and elides)."""
+    from .registry import ALL_ORACLE_SQL
+
+    pairs = ALL_ORACLE_SQL["ns_dedup_minhash_lsh"]
+    scale, d_num, d_den = 10**12, 85, 100
+    ctes = [
+        f"WITH pr AS ({pairs})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr"
+        " UNION ALL SELECT id_b, id_a FROM pr)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg"
+        " FROM edges GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r"
+        " FROM nodes, nt)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(r{i-1}.r // d.out_deg) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{i-1} ON r{i-1}.node = e.src"
+            " JOIN deg d ON d.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST((({d_den} - {d_num}) * {scale} // {d_den}) // nt.n"
+            f" + ({d_num} * COALESCE(s{i}.s, 0)) // {d_den} AS BIGINT) AS r"
+            f" FROM nodes LEFT JOIN s{i} USING (node), nt)"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"\n    SELECT node, r AS rank_units FROM r{n_iter}"
+    )
+
+
+@parity(
+    "ns_dedup_pagerank_fixed",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_pagerank_fixed_oracle(),
+)
+def ns_dedup_pagerank_fixed(spark, sf_dir):
+    """Fixed-point PageRank over the MinHash near-dup pair graph —
+    the ITERATIVE algorithm made hash-certifiable: rank carried as BIGINT
+    micro-units (10^12 = total mass), contributions as exact integer
+    floor divisions, damping as the rational 85/100 — bit-identical
+    across engines and execution orders, so the 3-round power method
+    unrolls into a DuckDB CTE chain and value-hashes exactly (the float
+    twin ns_dedup_pagerank stays rows-only by nature; this one proves
+    the same plan shape cross-engine)."""
+    from ..operators.components import pagerank_fixed_point
+
+    pairs = td.minhash_lsh_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        num_hashes=NUM_HASHES, bands=BANDS, min_matching=8,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixed_point(both, n_iter=3, checkpoint_every=3)
+
+
 @parity("ns_dedup_pagerank", driver=False)  # rows-only: iterative float loop
 def ns_dedup_pagerank(spark, sf_dir):
     """PageRank centrality of the near-dup pair graph (operators/
@@ -1283,6 +1351,7 @@ _TEXT_DIGEST = [
             ("n_fp_a", "s"), ("n_fp_b", "s"), ("containment", "d"),
         ],
     ),
+    ("ns_dedup_pagerank_fixed", [("node", "s"), ("rank_units", "s")]),
     (
         "ns_text_quality_stats",
         [

@@ -269,3 +269,40 @@ def test_component_survivors_string_ids_and_missing_scores(spark):
     assert not rows["docB"].is_kept
     assert rows["docC"].score is None and not rows["docC"].is_kept
     assert rows["x1"].is_kept and not rows["x2"].is_kept  # all-unscored
+
+
+def test_pagerank_fixed_point_tracks_float_and_is_deterministic(spark):
+    """The integer micro-unit variant must track the float power method to
+    floor-leak precision (each round floors per-edge contributions: worst
+    drift << 1e-6 relative on this graph) and reproduce bit-identically
+    across runs — the property that makes it hash-certifiable when the
+    float twin is rows-only."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        pagerank,
+        pagerank_fixed_point,
+    )
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (4, 1), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fl = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+    fx = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixed_point(df, n_iter=3).collect()
+    }
+    assert set(fx) == set(fl)
+    for v, units in fx.items():
+        assert abs(units / 1e12 - fl[v]) < 1e-6, (v, units, fl[v])
+    fx2 = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixed_point(df, n_iter=3).collect()
+    }
+    assert fx == fx2  # integer arithmetic: exact rerun equality
+
+
+def test_pagerank_fixed_point_empty_graph(spark):
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed_point(df, n_iter=2).count() == 0
