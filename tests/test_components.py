@@ -306,3 +306,50 @@ def test_pagerank_fixed_point_empty_graph(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank_fixed_point(df, n_iter=2).count() == 0
+
+
+@_H
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    n_iter=st.integers(1, 3),
+)
+def test_pagerank_fixed_point_matches_python_reference(spark, edges, n_iter):
+    """Bit-exact against a pure-Python integer power method on arbitrary
+    graphs (hubs, sinks, multi-edges) — the determinism claim behind the
+    hash-certified probe, proven per round count."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.components import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixed_point(df, n_iter=n_iter).collect()
+    }
+
+    SCALE, D_NUM, D_DEN = 10**12, 85, 100
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    base = ((D_DEN - D_NUM) * SCALE // D_DEN) // n
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        s_in = {v: 0 for v in nodes}
+        for s, ds in out.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                s_in[d] += c
+        r = {
+            v: base + (D_NUM * (s_in[v] + dangling // n)) // D_DEN
+            for v in nodes
+        }
+    assert got == r

@@ -829,3 +829,46 @@ def test_winnowing_guarantee_and_containment(spark):
     # every fingerprint of the quoted doc appears in the long doc
     assert r["n_shared"] == r["n_fp_a"] and r["containment"] == 1.0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def _py_winnow(text: str, k: int, window: int) -> set[int]:
+    """Pure-Python winnowing reference (fingerprint SET semantics)."""
+    import hashlib
+
+    toks = text.lower().split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % ((1 << 31) - 1)
+        for g in grams
+    ]
+    if len(hs) < window:
+        return {min(hs)}
+    return {
+        min(hs[i : i + window]) for i in range(len(hs) - window + 1)
+    }
+
+
+@_H
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    window=st.integers(2, 4),
+)
+def test_winnowing_fingerprints_match_python_reference(spark, docs, window):
+    """The HOF sliding-min fingerprint set == a naive Python winnower on
+    arbitrary token streams (empty docs, sub-k docs, repeated tokens)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        winnowing_fingerprints,
+    )
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text", k=k, window=window).collect():
+        got.setdefault(r["doc"], set()).add(r["fingerprint"])
+    for i, doc in enumerate(docs):
+        want = _py_winnow(doc, k, window)
+        assert got.get(i, set()) == want, (i, doc)
