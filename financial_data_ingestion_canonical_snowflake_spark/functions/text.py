@@ -459,6 +459,60 @@ def chunk_documents(
     )
 
 
+def cdc_chunk_documents(
+    df, id_col: str, text_col: str, divisor: int = 8
+):
+    """Content-defined chunking: boundaries fall AFTER any token whose
+    hash is ``0 mod divisor`` (expected chunk length = ``divisor``
+    tokens), so chunk boundaries are a function of CONTENT, not position
+    — the property fixed-window chunking lacks. Insert a sentence at the
+    top of a document and every fixed window shifts (all chunk hashes
+    change, chunk-level dedup finds nothing); with CDC only the chunks up
+    to the next boundary change and every later chunk hash survives —
+    the rolling-hash trick of rsync/LBFS applied to token streams, which
+    is what makes chunk-level dedup robust on edited/boilerplate-wrapped
+    documents.
+
+    Returns ``(id_col, chunk_idx, chunk_text, n_tokens)``, chunk_idx
+    0-based. Purely map-side HOFs over ONE projected token array (hash
+    filter for boundary positions, zip_with over start/end position
+    arrays, slice per chunk); deterministic md5 token hashes shared with
+    the DuckDB oracle."""
+    from .scalars import md5_long
+
+    toks = F.col("__toks")
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: md5_long(F.element_at(toks, i)) % divisor == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(F.size(toks)))
+    # a boundary on the LAST token leaves a trailing empty (start > end)
+    # pair — drop it with the zip_with null and the filter below
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e >= s, F.array_join(F.slice(toks, s, e - s + 1), " ")
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+    return (
+        df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # C4-style line-level quality filtering (Raffel et al. 2020 §2.2): drop
 # boilerplate lines by rule before document-level filters run. Rules apply

@@ -563,6 +563,60 @@ def ns_text_chunking(spark, sf_dir):
     )
 
 
+_CDC_DIV = 8
+
+
+@parity(
+    "ns_text_cdc_chunking",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks,
+               list_filter(generate_series(1, len(toks)),
+                           i -> {_md5h('toks[i]', _CDC_DIV)} = 0) AS bpos
+        FROM toks_t
+    ),
+    p AS (
+        SELECT doc_id, toks,
+               list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+               list_append(bpos, len(toks)) AS ends
+        FROM b
+    ),
+    ch AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(generate_series(1, len(starts)),
+                       j -> CASE WHEN ends[j] >= starts[j]
+                                 THEN array_to_string(toks[starts[j]:ends[j]], ' ')
+                            END),
+                   x -> x IS NOT NULL) AS chunks
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+           UNNEST(chunks) AS chunk_text,
+           CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+)
+def ns_text_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking (rsync/LBFS rolling-hash boundaries on
+    token streams): a chunk ends after any token whose md5 hash is
+    0 mod {div} — boundaries are a function of CONTENT, so an insertion
+    perturbs only its own chunk and every later chunk hash survives for
+    chunk-level dedup (fixed windows shift wholesale and match nothing).
+    Map-side HOFs over one projected token array; zero shuffle.""".format(
+        div=_CDC_DIV
+    )
+    return tx.cdc_chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        divisor=_CDC_DIV,
+    )
+
+
 @parity(
     "ns_chunk_dedup",
     driver=False,  # driver slot: folded into ns_text_digest
@@ -1372,6 +1426,10 @@ _TEXT_DIGEST = [
     ),
     (
         "ns_text_chunking",
+        [("doc_id", "s"), ("chunk_idx", "s"), ("chunk_text", "s"), ("n_tokens", "s")],
+    ),
+    (
+        "ns_text_cdc_chunking",
         [("doc_id", "s"), ("chunk_idx", "s"), ("chunk_text", "s"), ("n_tokens", "s")],
     ),
     (

@@ -872,3 +872,36 @@ def test_winnowing_fingerprints_match_python_reference(spark, docs, window):
     for i, doc in enumerate(docs):
         want = _py_winnow(doc, k, window)
         assert got.get(i, set()) == want, (i, doc)
+
+
+def test_cdc_chunking_insertion_robustness(spark):
+    """The CDC property: prepending a sentence changes only the chunks up
+    to the first boundary after the insertion — every later chunk
+    reappears verbatim (fixed windows would shift wholesale and share
+    almost nothing). Also: chunks partition the token stream exactly."""
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        cdc_chunk_documents,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(160))
+    edited = "inserted words up front " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunk_documents(df, "doc_id", "text", divisor=8).collect()
+    chunks = {1: [], 2: []}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        chunks[r["doc_id"]].append(r["chunk_text"])
+    # partition property: concatenating chunks reproduces the token stream
+    assert " ".join(chunks[1]) == base
+    assert " ".join(chunks[2]) == edited
+    # robustness: the vast majority of the original doc's chunks survive
+    # the insertion verbatim (only the prefix up to the first boundary
+    # after the edit differs)
+    shared = set(chunks[1]) & set(chunks[2])
+    assert len(shared) >= len(chunks[1]) - 2, (
+        len(shared),
+        len(chunks[1]),
+    )
+    # ~160/8 = ~20 expected chunks: the divisor actually splits
+    assert len(chunks[1]) >= 10
