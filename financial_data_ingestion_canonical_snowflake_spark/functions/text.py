@@ -481,8 +481,15 @@ def cdc_chunk_documents(
     from .scalars import md5_long
 
     toks = F.col("__toks")
+    # guard: sequence(1, 0) counts DOWN to [1, 0] and element_at(toks, 0)
+    # throws — the same trap shingles_from_tokens guards. tokens()=split
+    # never yields an empty array today, but a tokenizer change must not
+    # turn this probe into a runtime crash.
+    positions = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))
+    ).otherwise(F.array().cast("array<int>"))
     bpos = F.filter(
-        F.sequence(F.lit(1), F.size(toks)),
+        positions,
         lambda i: md5_long(F.element_at(toks, i)) % divisor == 0,
     )
     starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))

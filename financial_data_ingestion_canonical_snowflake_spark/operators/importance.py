@@ -20,8 +20,10 @@ Cross-engine parity surface (hash-checkable): integer anchors
 (``n_features``, summed target/raw bucket counts) plus ``mean_ratio`` —
 the mean of per-feature smoothed probability ratios
 ``((cnt_T + 1) / (total_T + B)) / ((cnt_R + 1) / (total_R + B))``, each
-ratio DECIMAL(28,6)-pinned before the order-insensitive sum (registry
-convention). The production DSIR score is the LOG-likelihood-ratio sum;
+ratio DECIMAL(38,12)-pinned before the order-insensitive sum and the
+mean quotient pinned at DECIMAL(28,6) — the sum-at-12/pin-output-at-6
+discipline (registry convention, ``embedding_stats`` precedent). The
+production DSIR score is the LOG-likelihood-ratio sum;
 ``log_weight=True`` adds it, but ``ln`` is not bit-pinned across engines,
 so it stays off hash-checked surfaces (same policy as unigram-LM
 ``mean_surprisal``).
@@ -142,9 +144,12 @@ def importance_weights(
         # sum-at-12 / pin-output-at-6 (embedding_stats discipline): per-row
         # scale-6 ratio pins hit cast-boundary draws at sf1 row counts;
         # scale-12 rows drift only 1e-12 and the DECIMAL(28,6) quotient
-        # pin absorbs it
+        # pin absorbs it. Per-row precision is 38 (26 integer digits):
+        # the smoothed ratio is bounded by ~(r_total+B)/2, which can pass
+        # 16 integer digits at 100 TB n-gram counts — 38 keeps the cast
+        # from going NULL under Spark non-ANSI / erroring in DuckDB there.
         (
-            F.sum(F.col("ratio").cast("decimal(28,12)")).cast("double")
+            F.sum(F.col("ratio").cast("decimal(38,12)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         )
         .cast("decimal(28,6)")

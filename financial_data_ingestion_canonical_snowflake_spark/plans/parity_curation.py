@@ -651,7 +651,7 @@ _IMP_IS_TARGET = "(COALESCE(lang, '') = 'en' AND doc_id % 5 = 0)"
            CAST(COUNT(*) AS BIGINT) AS n_features,
            CAST(SUM(t_cnt) AS BIGINT) AS sum_target_cnt,
            CAST(SUM(r_cnt) AS BIGINT) AS sum_raw_cnt,
-           CAST(CAST(CAST(SUM(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(ratio AS DECIMAL(38,12))) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
                AS mean_ratio
     FROM rawf JOIN ratios USING (bucket)
@@ -665,11 +665,12 @@ def ns_importance_weights(spark, sf_dir):
     weight of importance-resampling data selection). Feature tables are
     bounded by the 2^16 hash space and broadcast; the raw side shuffles
     once for the per-doc aggregate. Per-feature ratios pin through
-    DECIMAL(28,12) before the order-insensitive sum, and the mean_ratio
+    DECIMAL(38,12) before the order-insensitive sum, and the mean_ratio
     quotient pins at DECIMAL(28,6) — sum-at-12/pin-output-at-6, the
-    embedding_stats discipline (28-digit headroom:
-    the smoothed ratio is bounded only by ~(r_total+B)/2, which overflows
-    18 digits at 100TB n-gram counts); the production
+    embedding_stats discipline (38-digit per-row precision = 26 integer
+    digits of headroom: the smoothed ratio is bounded only by
+    ~(r_total+B)/2, which overflows 16 integer digits at 100TB n-gram
+    counts and would NULL out under Spark non-ANSI); the production
     log-likelihood-ratio score (``log_weight=True``) stays off the
     hash-checked surface (ln is not cross-engine bit-pinned)."""
     from ..operators.importance import importance_weights

@@ -184,7 +184,7 @@ def scores_against(
         # (sum-at-12 / DECIMAL(28,6) quotient pin) — the stream==batch
         # equality test demands bit-identical mean_ratio
         (
-            F.sum(F.col("ratio").cast("decimal(28,12)")).cast("double")
+            F.sum(F.col("ratio").cast("decimal(38,12)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         )
         .cast("decimal(28,6)")
