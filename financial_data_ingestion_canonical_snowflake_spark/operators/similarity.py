@@ -508,7 +508,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iter: int = 5,
-    exact_means: bool = False,
+    exact_means: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means coarse quantizer for ``ivf_topk``.
 
@@ -531,19 +531,23 @@ def kmeans_centroids(
     full corpus pass (the standard k-means cost); train on a stratified
     sample (``functions.text.sample_bucket``) when a pass is too dear.
 
-    ``exact_means=True`` pins each per-(centroid, dim) mean through an
-    order-independent DECIMAL(38,12) sum before one double division —
-    scale 12 here, deliberately: the OUTPUT pins that certify the trainer
+    ``exact_means=True`` (the DEFAULT — this is the production trainer)
+    pins each per-(centroid, dim) mean through an order-independent
+    DECIMAL(38,12) sum before one double division — scale 12 here,
+    deliberately: the OUTPUT pins that certify the trainer
     (plans/parity_vector.py) round at scale 6, and quotients of scale-12
     sums sit generically far from 6-decimal rounding boundaries, whereas
     scale-6-sum quotients were observed landing close enough to those
-    boundaries for the engines' double->decimal casts to disagree —
-    bit-identical on any partitioning AND in the DuckDB oracle twin
-    (plans/parity_vector.py unrolls the same fixed rounds in SQL), which
-    is what lets the trained quantizer's output be cross-engine
-    hash-certified. Default ``False`` keeps the cheaper native ``avg``
-    for production use where last-ulp reproducibility across cluster
-    sizes doesn't matter.
+    boundaries for the engines' double->decimal casts to disagree.
+    Exact means make every Lloyd round bit-identical on ANY partitioning
+    and cluster size (a float ``avg``'s partial-sum order varies with the
+    shuffle) AND in the DuckDB oracle twin (plans/parity_vector.py
+    unrolls the same fixed rounds in SQL) — so the trained quantizer is
+    reproducible across retrains and cross-engine hash-certified, at the
+    cost of a decimal aggregate in the same single per-round shuffle
+    (same exchange shape; measured within noise of ``avg`` at sf0.1).
+    ``exact_means=False`` opts back into the native float ``avg`` where
+    last-ulp reproducibility genuinely doesn't matter.
 
     Returns ``(id_col = 0..k-1, vec_col array<double>)`` — plugs directly
     into ``ivf_topk(centroids=...)``.

@@ -245,45 +245,19 @@ def ns_sim_ivf_topk(spark, sf_dir):
     )
 
 
-@parity("ns_sim_ivf_kmeans")  # no oracle: iterative trainer -> rows-only check
-def ns_sim_ivf_kmeans(spark, sf_dir):
-    """IVF top-5 with a TRAINED quantizer: deterministic md5-seeded Lloyd
-    k-means centroids (operators/similarity.py kmeans_centroids) instead of
-    the lowest-id vectors. Not SQL-expressible (iterative refinement), so
-    no oracle — recall-vs-brute-force superiority over the lowest-id
-    quantizer is pinned in tests/test_similarity.py. Two Lloyd rounds here
-    (each round is a full corpus pass; bench-lean while already beating
-    the untrained quantizer — production tunes n_iter). n_probe=3 is
-    CHOSEN FROM the measured recall curve (sf0.01 sweep, k=8 centroids:
-    probe 1/2/3/4/6 -> recall\\@10 0.31/0.50/0.62/0.72/0.92) — the
-    sqrt(k) operating point where recall/fan-in flattens; the gated scale
-    smoke re-prints the curve each run so the choice stays evidenced."""
-    emb = table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, n_centroids=N_CENTROIDS, n_iter=2)
-    return sim.ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 20),
-        centroids=cents,
-        k=5,
-        n_probe=3,
-    )
-
-
 N_KMEANS_ITER = 2
 
 
-def _kmeans_assign_sql(k: int, n_iter: int) -> str:
-    """DuckDB twin of the DETERMINISTIC k-means trainer + final assignment.
-
-    The trainer (operators/similarity.py:kmeans_centroids with
-    ``exact_means=True``) is a fixed bounded iteration — md5-seeded init,
-    ``n_iter`` Lloyd rounds — so rather than being "non-SQL-expressible"
-    it UNROLLS: one CTE pair (assign{r} -> cents{r+1}) per round. Means
-    pin through an order-independent DECIMAL(38,12) sum and ONE double
-    division on both engines, so the trained centroids are bit-identical
-    and the final assignment + per-cluster counts + centroid checksums
-    hash-match exactly.
-    """
+def _kmeans_train_cte(k: int, n_iter: int) -> str:
+    """The unrolled-CTE DuckDB twin of the PRODUCTION k-means trainer
+    (operators/similarity.py:kmeans_centroids, whose default exact decimal
+    means make every Lloyd round engine-exact): md5-seeded init, then one
+    CTE pair (assign{r} -> cents{r+1}) per fixed round. Means pin through
+    an order-independent DECIMAL(38,12) sum and ONE double division on
+    both engines, so ``cents{n_iter}`` holds bit-identical trained
+    centroids. Shared prefix of the assignment-certification oracle
+    (ns_sim_kmeans_assign) and the trained-IVF oracle
+    (ns_sim_ivf_kmeans)."""
     cos = _sql_cos("e.v", "c.cent_vec")
     sql = f"""
     WITH e AS (
@@ -328,7 +302,15 @@ def _kmeans_assign_sql(k: int, n_iter: int) -> str:
             FROM means{r} GROUP BY 1
         ) n USING (centroid_id)
     )"""
-    return sql + f""",
+    return sql
+
+
+def _kmeans_assign_sql(k: int, n_iter: int) -> str:
+    """DuckDB twin of the deterministic k-means trainer + final assignment
+    (see _kmeans_train_cte): the final assignment, per-cluster counts, and
+    centroid checksums hash-match exactly against the Spark trainer."""
+    cos = _sql_cos("e.v", "c.cent_vec")
+    return _kmeans_train_cte(k, n_iter) + f""",
     final_assign AS (
         SELECT vec_id, centroid_id FROM (
             SELECT e.vec_id, c.centroid_id,
@@ -356,6 +338,79 @@ def _kmeans_assign_sql(k: int, n_iter: int) -> str:
     """
 
 
+def _ivf_kmeans_sql(k: int, n_iter: int, n_probe: int, topk: int) -> str:
+    """DuckDB twin of the FULL trained-IVF production path: the unrolled
+    exact-mean Lloyd trainer (_kmeans_train_cte) feeding the certified IVF
+    probe/top-k shape of ns_sim_ivf_topk — training, inverted-list
+    assignment, query probing, and ranking all hash-certified in one
+    query."""
+    cos_assign = _sql_cos("e.v", "cent_vec")
+    return _kmeans_train_cte(k, n_iter) + f""",
+    cents AS (SELECT centroid_id, cent_vec FROM cents{n_iter}),
+    inv AS (
+        SELECT vec_id AS neighbor_id, v AS c_vec, centroid_id
+        FROM (
+            SELECT e.vec_id, e.v, centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_assign} DESC, centroid_id) AS crank
+            FROM e CROSS JOIN cents
+        ) WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS q_vec, centroid_id
+        FROM (
+            SELECT e.vec_id, e.v, centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_assign} DESC, centroid_id) AS crank
+            FROM e CROSS JOIN cents
+            WHERE e.vec_id < 20
+        ) WHERE crank <= {n_probe}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COS} AS cosine_sim
+        FROM probes JOIN inv USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank,
+           cosine_sim
+    FROM scored
+    QUALIFY rank <= {topk}
+    """
+
+
+@parity(
+    "ns_sim_ivf_kmeans",
+    oracle=_ivf_kmeans_sql(N_CENTROIDS, N_KMEANS_ITER, 3, 5),
+)
+def ns_sim_ivf_kmeans(spark, sf_dir):
+    """IVF top-5 with a TRAINED quantizer: deterministic md5-seeded Lloyd
+    k-means centroids (operators/similarity.py kmeans_centroids) instead of
+    the lowest-id vectors. The trainer's PRODUCTION default carries
+    per-(centroid, dim) sums as order-independent DECIMAL(38,12) (the
+    pagerank_fixed_point discipline applied to float iteration), so every
+    Lloyd round is engine-exact and the whole path — training, inverted
+    lists, probing, ranking — hash-certifies against a DuckDB twin that
+    unrolls the same fixed rounds as CTEs (r10; rows-only before). Two
+    Lloyd rounds here (each round is a full corpus pass; bench-lean while
+    already beating the untrained quantizer — production tunes n_iter).
+    n_probe=3 is CHOSEN FROM the measured recall curve (sf0.01 sweep, k=8
+    centroids: probe 1/2/3/4/6 -> recall\\@10 0.31/0.50/0.62/0.72/0.92) —
+    the sqrt(k) operating point where recall/fan-in flattens; the gated
+    scale smoke re-prints the curve each run so the choice stays
+    evidenced."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_centroids=N_CENTROIDS, n_iter=N_KMEANS_ITER)
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        centroids=cents,
+        k=5,
+        n_probe=3,
+    )
+
+
 @parity(
     "ns_sim_kmeans_assign",
     oracle=_kmeans_assign_sql(N_CENTROIDS, N_KMEANS_ITER),
@@ -366,8 +421,8 @@ def ns_sim_kmeans_assign(spark, sf_dir):
     decimal-pinned checksum of the trained centroid vector itself — all
     hash-compared against a DuckDB twin that re-derives the identical
     centroids by unrolling the same md5-seeded, exact-mean Lloyd rounds in
-    SQL. Companion to ns_sim_ivf_kmeans (which exercises the production
-    avg-mean trainer rows-only): together the trainer's math is pinned by
+    SQL. Companion to ns_sim_ivf_kmeans (which certifies the same trainer
+    driving the full IVF search path): the trainer's math is pinned by
     tests/test_similarity.py and its OUTPUT is cross-engine certified
     here."""
     emb = table(spark, sf_dir, "embeddings")

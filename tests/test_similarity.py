@@ -39,12 +39,15 @@ def test_kmeans_centroids_deterministic(spark, sf_oracle):
 
 
 def test_kmeans_exact_means_close_to_avg_and_assign_total(spark, sf_oracle):
-    """exact_means pins the per-dim mean through a decimal sum — the
-    centroids must agree with the native-avg trainer to float-accumulation
-    noise (they compute the same mathematical mean), and the public
-    assign_to_centroids must label every vector exactly once."""
+    """The default exact-means trainer pins the per-dim mean through a
+    decimal sum — the centroids must agree with the opt-out native-avg
+    trainer to float-accumulation noise (they compute the same
+    mathematical mean), and the public assign_to_centroids must label
+    every vector exactly once."""
     emb = table(spark, sf_oracle, "embeddings")
-    a = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2).collect()
+    a = sim.kmeans_centroids(
+        emb, n_centroids=4, n_iter=2, exact_means=False
+    ).collect()
     b = sim.kmeans_centroids(emb, n_centroids=4, n_iter=2, exact_means=True).collect()
     va = {r["vec_id"]: r["embedding"] for r in a}
     vb = {r["vec_id"]: r["embedding"] for r in b}
