@@ -218,6 +218,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_reps": N_REPS,
+        # per-round investigation notes live in docs/BENCH_NOTES.md; the
+        # pointer rides in the detail JSON so a reader of the numbers
+        # finds the explanations (r10: streaming-drain swing root cause)
+        "notes": "docs/BENCH_NOTES.md",
         "queries": timings,
         "runs": rep_runs,
         "warmup_failures": warmup_failures,
