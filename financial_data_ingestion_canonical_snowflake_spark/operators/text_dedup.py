@@ -589,3 +589,83 @@ def winnowing_pairs(
             ).alias("containment"),
         )
     )
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    divisor: int = 8,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Substring-dedup REMEDIATION (the RefinedWeb / Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" removal
+    step, at CDC-chunk granularity): drop every content-defined chunk
+    whose content occurs in more than ``max_doc_freq`` distinct documents,
+    and reassemble each document from its surviving chunks in order —
+    shared boilerplate SPANS disappear from every document that carries
+    them while the unique prose around them survives.
+
+    CDC chunking (functions/text.py:cdc_chunk_documents) is what makes
+    chunk-content frequency a faithful span detector: boundaries are a
+    function of content, so the same boilerplate paragraph yields the
+    same chunk hashes in every document regardless of position — the
+    insertion-robustness that fixed windows lack. Compare
+    ``frequent_line_removal`` (same policy at LINE granularity — only
+    catches boilerplate that is line-aligned).
+
+    Returns one row per input document:
+    ``(id_col, cleaned_text, n_chunks, n_kept_chunks, n_tokens_removed)``
+    with ``cleaned_text = ''`` for documents made entirely of shared
+    spans.
+
+    Scale shape: chunking is map-side HOFs (zero shuffle); then three
+    keyed shuffles — the chunk-hash frequency groupBy (map-side partial
+    agg collapses each partition to its distinct hashes), the
+    chunks-to-frequency equi-join on the hash (hot boilerplate hashes are
+    exactly the skewed keys AQE skew-join splits), and the per-document
+    reassembly groupBy. Nothing reaches the driver.
+    """
+    from ..functions.scalars import md5_long
+    from ..functions.text import cdc_chunk_documents
+
+    chunks = cdc_chunk_documents(df, id_col, text_col, divisor=divisor).select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        "n_tokens",
+        md5_long(F.col("chunk_text")).alias("__h"),
+    )
+    freq = (
+        chunks.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("__doc_freq"))
+    )
+    kept = F.col("__doc_freq") <= max_doc_freq
+    scored = chunks.join(freq, "__h").select(
+        id_col,
+        "chunk_idx",
+        F.when(kept, F.col("chunk_text")).alias("__kept_text"),
+        kept.alias("__kept"),
+        "n_tokens",
+    )
+    pieces = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk_idx"), F.col("__kept_text")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(pieces, lambda s: s["__kept_text"].isNotNull()),
+                lambda s: s["__kept_text"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("__kept").cast("long")).cast("long").alias("n_kept_chunks"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__kept"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

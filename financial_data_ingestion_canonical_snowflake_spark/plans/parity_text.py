@@ -565,11 +565,11 @@ def ns_text_chunking(spark, sf_dir):
 
 _CDC_DIV = 8
 
-
-@parity(
-    "ns_text_cdc_chunking",
-    driver=False,  # driver slot: folded into ns_text_digest
-    oracle=f"""
+# CDC chunk derivation as a reusable WITH-prefix: ``cdc_chunks`` holds
+# (doc_id, chunk_idx, chunk_text, n_tokens) — the DuckDB twin of
+# functions/text.py:cdc_chunk_documents. Shared by the chunking probe,
+# the CDC chunk-dedup twin, and the shared-span remediation oracle.
+_CDC_CHUNKS_CTE = f"""
     WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     b AS (
         SELECT doc_id, toks,
@@ -592,12 +592,22 @@ _CDC_DIV = 8
                             END),
                    x -> x IS NOT NULL) AS chunks
         FROM p
-    )
-    SELECT doc_id,
-           CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
-           UNNEST(chunks) AS chunk_text,
-           CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_tokens
-    FROM ch
+    ),
+    cdc_chunks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+               UNNEST(chunks) AS chunk_text,
+               CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_tokens
+        FROM ch
+    )"""
+
+
+@parity(
+    "ns_text_cdc_chunking",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_CDC_CHUNKS_CTE
+    + """
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM cdc_chunks
     """,
 )
 def ns_text_cdc_chunking(spark, sf_dir):
@@ -662,6 +672,87 @@ def ns_chunk_dedup(spark, sf_dir):
         "chunk_text",
     )
     return td.exact_dedup(chunks, "chunk_id", "chunk_text")
+
+
+@parity(
+    "ns_chunk_dedup_cdc",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_CDC_CHUNKS_CTE
+    + """
+    SELECT sha256(chunk_text) AS content_hash,
+           MIN(doc_id * 100000 + chunk_idx) AS survivor_id,
+           COUNT(*) AS dup_cnt
+    FROM cdc_chunks GROUP BY 1
+    """,
+)
+def ns_chunk_dedup_cdc(spark, sf_dir):
+    """Sub-document dedup over CONTENT-DEFINED chunks — the twin of
+    ns_chunk_dedup that users should copy: CDC boundaries make chunk
+    hashes insertion-robust (an edit perturbs only its own chunk, so the
+    shared remainder of two edited copies still collapses; fixed windows
+    shift wholesale and match nothing — certified by the injected-edit
+    fixture in tests/test_cdc_evolution.py). Chunking is map-side; the
+    only shuffle is the content-hash groupBy."""
+    chunks = tx.cdc_chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        divisor=_CDC_DIV,
+    ).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    return td.exact_dedup(chunks, "chunk_id", "chunk_text")
+
+
+_SPAN_MAX_DOC_FREQ = 1
+
+
+@parity(
+    "ns_text_remove_spans",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=_CDC_CHUNKS_CTE
+    + f""",
+    hashed AS (
+        SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+               ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS h
+        FROM cdc_chunks
+    ),
+    freq AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS doc_freq FROM hashed GROUP BY 1
+    ),
+    scored AS (
+        SELECT hashed.*, doc_freq <= {_SPAN_MAX_DOC_FREQ} AS kept
+        FROM hashed JOIN freq USING (h)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE kept), '') AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept_chunks,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE NOT kept), 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM scored GROUP BY 1
+    """,
+)
+def ns_text_remove_spans(spark, sf_dir):
+    """Substring-dedup REMEDIATION (operators/text_dedup.py
+    remove_shared_spans): drop every CDC chunk whose content occurs in
+    more than {mdf} distinct document(s) and reassemble each document
+    from its surviving chunks in order — the RefinedWeb/Lee-et-al.
+    removal step that turns the engine's substring-duplication DETECTORS
+    (winnowing, CDC chunk hashes) into an actual cleaning operator.
+    Chunking is map-side; then three keyed shuffles (hash frequency,
+    chunk-to-frequency join, per-document reassembly).""".format(
+        mdf=_SPAN_MAX_DOC_FREQ
+    )
+    return td.remove_shared_spans(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        divisor=_CDC_DIV,
+        max_doc_freq=_SPAN_MAX_DOC_FREQ,
+    )
 
 
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -1435,6 +1526,17 @@ _TEXT_DIGEST = [
     (
         "ns_chunk_dedup",
         [("content_hash", "s"), ("survivor_id", "s"), ("dup_cnt", "s")],
+    ),
+    (
+        "ns_chunk_dedup_cdc",
+        [("content_hash", "s"), ("survivor_id", "s"), ("dup_cnt", "s")],
+    ),
+    (
+        "ns_text_remove_spans",
+        [
+            ("doc_id", "s"), ("cleaned_text", "s"), ("n_chunks", "s"),
+            ("n_kept_chunks", "s"), ("n_tokens_removed", "s"),
+        ],
     ),
     (
         "ns_text_line_dedup",

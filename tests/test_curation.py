@@ -905,3 +905,150 @@ def test_cdc_chunking_insertion_robustness(spark):
     )
     # ~160/8 = ~20 expected chunks: the divisor actually splits
     assert len(chunks[1]) >= 10
+
+
+def test_remove_shared_spans_matches_python_rederivation(spark):
+    """remove_shared_spans == an independent Python replay of its own
+    contract over the chunk frame: drop chunks whose content appears in
+    >max_doc_freq distinct docs, rejoin survivors in order. Also pins the
+    no-op case (max_doc_freq >= n_docs reproduces the token stream — the
+    reassembly-partition property)."""
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        cdc_chunk_documents,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        remove_shared_spans,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(60))
+    docs = [
+        (1, boiler + " " + " ".join(f"alpha{i}" for i in range(40))),
+        (2, boiler + " " + " ".join(f"beta{i}" for i in range(40))),
+        (3, " ".join(f"gamma{i}" for i in range(40)) + " " + boiler),
+        (4, boiler),  # entirely boilerplate -> cleaned_text ''
+        (5, " ".join(f"solo{i}" for i in range(50))),  # untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # Python replay from the (already certified) chunk frame
+    chunks: dict[int, list[tuple[int, str, int]]] = {}
+    for r in cdc_chunk_documents(df, "doc_id", "text", divisor=8).collect():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        )
+    doc_freq: dict[str, set] = {}
+    for d, ch in chunks.items():
+        for _, t, _n in ch:
+            doc_freq.setdefault(t, set()).add(d)
+
+    got = {
+        r["doc_id"]: r
+        for r in remove_shared_spans(
+            df, "doc_id", "text", divisor=8, max_doc_freq=1
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d, ch in chunks.items():
+        ordered = sorted(ch)
+        keep = [t for _, t, _n in ordered if len(doc_freq[t]) <= 1]
+        removed = sum(n for _, t, n in ordered if len(doc_freq[t]) > 1)
+        assert got[d]["cleaned_text"] == " ".join(keep), d
+        assert got[d]["n_chunks"] == len(ordered)
+        assert got[d]["n_kept_chunks"] == len(keep)
+        assert got[d]["n_tokens_removed"] == removed
+    # the interesting shape actually occurred: boilerplate scrubbed from
+    # carriers, the all-boilerplate doc emptied, the unique doc untouched
+    assert got[4]["cleaned_text"] == "" and got[4]["n_kept_chunks"] == 0
+    assert got[5]["cleaned_text"] == docs[4][1]
+    assert 0 < got[1]["n_tokens_removed"] < 60 + 40
+    assert "alpha20" in got[1]["cleaned_text"]
+    assert "boiler30" not in got[1]["cleaned_text"]
+
+    # no-op bound: with max_doc_freq >= n_docs nothing drops and the
+    # reassembly partitions the token stream exactly
+    full = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_shared_spans(
+            df, "doc_id", "text", divisor=8, max_doc_freq=len(docs)
+        ).collect()
+    }
+    assert full == {d: t for d, t in docs}
+
+
+def test_remove_shared_spans_edit_locality(spark):
+    """Editing one token in a near-dup copy never protects or drops an
+    UNRELATED chunk: the shared remainder of both copies is scrubbed from
+    each, the chunk containing the edit survives in both, and a third
+    unrelated document is untouched."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        remove_shared_spans,
+    )
+
+    base_toks = [f"tok{i}" for i in range(160)]
+    edited_toks = list(base_toks)
+    edited_toks[80] = "EDITED"
+    docs = [
+        (1, " ".join(base_toks)),
+        (2, " ".join(edited_toks)),
+        (3, " ".join(f"other{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_shared_spans(
+            df, "doc_id", "text", divisor=8, max_doc_freq=1
+        ).collect()
+    }
+    # shared remainder scrubbed from both copies...
+    assert got[1]["n_tokens_removed"] > 100
+    assert got[2]["n_tokens_removed"] > 100
+    # ...but the divergent chunk (the edit site) survives in each
+    assert "tok80" in got[1]["cleaned_text"]
+    # tokens() lowercases, so the edit survives as its lowercase form
+    assert "edited" in got[2]["cleaned_text"]
+    # and the unrelated doc is byte-identical
+    assert got[3]["cleaned_text"] == docs[2][1]
+    assert got[3]["n_tokens_removed"] == 0
+
+
+def test_chunk_dedup_cdc_survives_injected_edit_fixed_does_not(spark):
+    """The reason ns_chunk_dedup_cdc exists: after an insertion at the top
+    of a copied document, CDC chunk hashes still collapse the shared
+    remainder (dup_cnt=2 for nearly every original chunk) while
+    fixed-window chunks shift wholesale and share almost nothing."""
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        cdc_chunk_documents,
+        chunk_documents,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(160))
+    edited = "inserted words up front " + base
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+
+    def dup_rows(chunks_df):
+        d = exact_dedup(
+            chunks_df.select(
+                (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_id"),
+                "chunk_text",
+            ),
+            "chunk_id",
+            "chunk_text",
+        )
+        return d.filter(F.col("dup_cnt") >= 2).count(), d.count()
+
+    cdc_dups, cdc_total = dup_rows(cdc_chunk_documents(df, "doc_id", "text", divisor=8))
+    fixed_dups, _ = dup_rows(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=0)
+    )
+    n_base_chunks = cdc_chunk_documents(
+        df.filter(F.col("doc_id") == 1), "doc_id", "text", divisor=8
+    ).count()
+    # CDC: all but the perturbed prefix chunk(s) collapse across the copies
+    assert cdc_dups >= n_base_chunks - 2, (cdc_dups, n_base_chunks)
+    # fixed windows: the insertion shifts every window -> (almost) nothing
+    assert fixed_dups <= 1, fixed_dups
+    assert cdc_dups > 5 * max(fixed_dups, 1)
