@@ -42,6 +42,23 @@ def adaptive_n_centroids(n: int) -> int:
     return max(8, (n + 255) // 256)
 
 
+# Flat-vs-hierarchical assignment crossover, measured on a 60k x 64-dim
+# synthetic corpus (min of 2, noop sink, local[32], round 10): flat
+# assignment cost is linear in k (k=32: 3.5s, 128: 8.4s, 512: 34.3s,
+# 1024: 54.8s) while the two-level route stays ~sqrt(k) (3.3s / 3.7s /
+# 5.7s / 5.1s) — the crossover sits near k = 64 and the gap reaches
+# 6x at k=512, 10.7x at k=1024 (gated smoke:
+# tests/test_scale_smoke.py::test_hierarchical_assignment_crossover).
+# The auto-route default switches at 256, NOT at the crossover: the flat
+# assignment is exact, the hierarchy is the documented IVF approximation,
+# so routing exists to escape the O(n*k) wall (k grows with the corpus
+# under adaptive_n_centroids), not to shave a 2x where exactness is
+# cheap. 256 also sits >3x above every oracle-certified scale (sf1
+# adaptive k = 78), so certified results are flat-path bit-stable by
+# construction.
+HIERARCHICAL_K_THRESHOLD = 256
+
+
 def _with_cosine(joined: DataFrame) -> DataFrame:
     """Cosine over a candidate join that carries per-side norm columns
     (``q_norm``/``c_norm``) when present — the norms then compute ONCE per
@@ -278,7 +295,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_centroids: int | None = None,
-    hierarchical: bool = False,
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     the embedding corpus with a coarse quantizer, compare pairs only WITHIN
@@ -298,11 +315,16 @@ def semantic_dedup(
     width, making per-cluster pair work ~n * 256 = linear (the sf1 slope
     bench measured the fixed-8-cluster probe at 14x cost for 10x vectors,
     the adaptive default at ~7x; one bounded count() when defaulted).
-    With k growing as n/256 the ASSIGNMENT term becomes n*k dot products
-    — fine to ~10M vectors on a cluster; beyond that, assign through a
-    two-level quantizer (assign to sqrt(k) super-centroids, then within)
-    or feed :func:`ivf_topk`'s inverted lists in as ``centroids``, which
-    is the same hierarchy. ``centroids`` defaults to the lowest-id corpus
+    With k growing as n/256 the ASSIGNMENT term becomes n*k dot products;
+    ``hierarchical=None`` (the default) therefore AUTO-ROUTES assignment
+    through the sqrt(k) super-quantizer of
+    :func:`assign_to_centroids_hierarchical` once k >=
+    ``HIERARCHICAL_K_THRESHOLD`` (256 — measured crossover curve at the
+    constant). Below the threshold (every oracle-certified scale) the
+    exact flat assignment runs unchanged; above it the assignment is the
+    documented IVF approximation, the price of staying off the n*k wall.
+    Force either route with ``hierarchical=True/False``.
+    ``centroids`` defaults to the lowest-id corpus
     vectors (deterministic, oracle-checkable); plug
     :func:`kmeans_centroids` in for real recall.
     """
@@ -314,6 +336,19 @@ def semantic_dedup(
         n_centroids = adaptive_n_centroids(corpus.count())
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
+    if hierarchical is None:
+        # Auto-route (default): escape the O(n*k) flat-assignment wall
+        # once the quantizer is large enough that the measured ~sqrt(k)
+        # hierarchy decisively wins (HIERARCHICAL_K_THRESHOLD comment has
+        # the curve). k is known for free when n_centroids was given or
+        # derived adaptively; a caller passing only a prebuilt
+        # ``centroids`` frame stays on the exact flat path (counting that
+        # frame could re-execute an expensive centroid pipeline, e.g. a
+        # kmeans_centroids train) — pass ``hierarchical=True`` explicitly
+        # to route a large prebuilt quantizer.
+        hierarchical = (
+            n_centroids is not None and n_centroids >= HIERARCHICAL_K_THRESHOLD
+        )
     if hierarchical:
         # route assignment through the sqrt(k) super-quantizer (the n*k
         # escape hatch documented above); the pairwise stage is identical

@@ -370,3 +370,69 @@ def test_ivf_recall_curve_and_sqrtk_default(spark):
     # sqrt(k) probes hold recall roughly flat across quantizer sizes
     # (measured 0.62/0.55/0.59 at 8/16/32)
     assert all(r >= 0.45 for r in sqrtk_recall.values()), sqrtk_recall
+
+
+def test_hierarchical_assignment_crossover(spark):
+    """The auto-route design point, measured (r10 verdict item 5): at a k
+    where HIERARCHICAL_K_THRESHOLD routes hierarchical, the two-level
+    assignment must actually beat the flat O(n*k) path on wall clock.
+
+    Deterministic synthetic corpus (md5-derived, no RNG): 20k x 64-dim,
+    k=512. Reference curve at 60k x 64 (min of 2, local[32], round 10):
+    flat 3.5/8.4/34.3/54.8 s at k=32/128/512/1024 vs hierarchical
+    3.3/3.7/5.7/5.1 s — crossover near k=64, 10.7x by k=1024. This smoke
+    re-checks the k=512 ordering at 20k vectors (~3x cheaper), where the
+    gap is still a multiple, not a margin call."""
+    import time
+
+    from financial_data_ingestion_canonical_snowflake_spark.operators import (
+        similarity as sim,
+    )
+
+    dim, n, k = 64, 20_000, 512
+    assert k >= sim.HIERARCHICAL_K_THRESHOLD  # the auto-routed regime
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("id"), F.lit(d))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 1000
+                ).cast("double")
+                / 500.0
+                - 1.0
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    ).persist()
+    corpus.count()
+    cents = corpus.limit(k).persist()
+    cents.count()
+    times = {}
+    try:
+        for mode, fn in (
+            ("flat", sim.assign_to_centroids),
+            ("hier", sim.assign_to_centroids_hierarchical),
+        ):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(corpus, cents).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[mode] = min(runs)
+        print(
+            f"hier crossover smoke n={n} k={k}: "
+            f"flat={times['flat']:.2f}s hier={times['hier']:.2f}s"
+        )
+    finally:
+        cents.unpersist()
+        corpus.unpersist()
+    # the routed regime must win outright (measured ~11s vs ~4s here;
+    # no tight ratio bound — machine swing is documented at 1.5x)
+    assert times["hier"] < times["flat"], times

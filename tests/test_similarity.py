@@ -287,6 +287,43 @@ def test_semantic_dedup_hierarchical_route(spark, sf_oracle):
     assert all(r["is_kept"] for r in rows)
 
 
+def test_semantic_dedup_auto_routes_flat_below_threshold(spark, sf_oracle):
+    """hierarchical=None (the default) below HIERARCHICAL_K_THRESHOLD must
+    be row-identical to the forced flat path — every oracle-certified
+    scale (sf1 adaptive k = 78 is the largest) lives here, so the
+    auto-route default cannot perturb a certified result."""
+    emb = table(spark, sf_oracle, "embeddings")
+    assert 8 < sim.HIERARCHICAL_K_THRESHOLD
+    auto = sorted(map(tuple, sim.semantic_dedup(emb, n_centroids=8).collect()))
+    flat = sorted(
+        map(tuple, sim.semantic_dedup(emb, n_centroids=8, hierarchical=False).collect())
+    )
+    assert auto == flat
+
+
+def test_semantic_dedup_auto_routes_hierarchical_above_threshold(spark, sf_oracle):
+    """hierarchical=None at k >= HIERARCHICAL_K_THRESHOLD must take the
+    two-level assignment: row-identical to the forced hierarchical path
+    (same deterministic super subset and tie-breaks). A prebuilt
+    ``centroids`` frame with no k hint stays flat by design (counting it
+    could re-execute an expensive centroid pipeline)."""
+    emb = table(spark, sf_oracle, "embeddings")
+    k = sim.HIERARCHICAL_K_THRESHOLD + 44  # 300 of the 500 corpus vectors
+    auto = sorted(map(tuple, sim.semantic_dedup(emb, n_centroids=k).collect()))
+    hier = sorted(
+        map(tuple, sim.semantic_dedup(emb, n_centroids=k, hierarchical=True).collect())
+    )
+    assert auto == hier
+    # prebuilt-centroids fallback: flat, and still one verdict per vector
+    pre = sim.semantic_dedup(
+        emb, centroids=emb.orderBy("vec_id").limit(k)
+    )
+    flat = sim.semantic_dedup(
+        emb, centroids=emb.orderBy("vec_id").limit(k), hierarchical=False
+    )
+    assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, flat.collect()))
+
+
 def test_moments_parity_n_sweep(spark, tmp_path):
     """Regression for the two quotient-boundary classes (r8 verdict item 1):
     sweep synthetic corpora of n in {500, 512, 1000} vectors through the
