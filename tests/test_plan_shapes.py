@@ -342,3 +342,46 @@ def test_adaptive_near_dup_stays_bucket_equi_join(spark, sf_oracle):
     for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
         cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
         assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_chunk_dedup_cdc_single_exchange_partial_agg(spark, sf_oracle):
+    """CDC chunk-level dedup (round 10): chunking is map-side HOFs, so
+    the whole query must be ONE content-hash exchange with a partial
+    aggregate below it (each map task collapses its own duplicate chunks
+    before shuffling), a pruned (doc_id, text) scan, and no Python eval
+    node."""
+    import re
+
+    plan = _executed("ns_chunk_dedup_cdc", spark, sf_oracle)
+    assert plan.count("Exchange") == 1, plan
+    ex = plan.find("Exchange hashpartitioning")
+    assert ex > 0 and "partial_min" in plan[ex:], plan
+    assert "EvalPython" not in plan, plan
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+        cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_remove_spans_skew_safe_join_and_partial_reassembly(spark, sf_oracle):
+    """Substring-span remediation (round 10): the chunk->doc-frequency
+    lookup must stay an EQUI-join (hot boilerplate hashes are exactly the
+    skewed keys AQE skew-join can split — a window over the hash key
+    would pin each hot hash to one task, which is why the operator joins
+    instead), the per-document reassembly must carry a partial
+    collect_list below its exchange, the scan reads only (doc_id, text),
+    and the plan stays JVM-side."""
+    import re
+
+    plan = _executed("ns_text_remove_spans", spark, sf_oracle)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # frequency lookup is a join on the 64-bit chunk hash, never a window
+    # partitioned by it
+    assert "Join [__h" in plan.replace("Join [coalesce(__h", "Join [__h") or re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[__h", plan
+    ), plan
+    ex = plan.find("Exchange hashpartitioning(doc_id")
+    assert ex > 0 and "partial_collect_list" in plan[ex:], plan
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+        cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
+        assert cols <= {"doc_id", "text"}, cols
