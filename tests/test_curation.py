@@ -907,6 +907,54 @@ def test_cdc_chunking_insertion_robustness(spark):
     assert len(chunks[1]) >= 10
 
 
+def _py_cdc_chunks(text: str, divisor: int) -> list[str]:
+    """Pure-Python reference of cdc_chunk_documents' boundary rule:
+    a boundary falls AFTER any token whose md5-prefix hash is
+    0 mod divisor; a boundary on the last token yields no empty chunk."""
+    import hashlib
+
+    toks = text.lower().split(" ")
+    bpos = [
+        i + 1
+        for i, t in enumerate(toks)
+        if int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % divisor == 0
+    ]
+    starts = [1] + [p + 1 for p in bpos]
+    ends = bpos + [len(toks)]
+    return [
+        " ".join(toks[s - 1 : e]) for s, e in zip(starts, ends) if e >= s
+    ]
+
+
+@_H
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    divisor=st.sampled_from([2, 4, 8]),
+)
+def test_cdc_chunk_documents_matches_python_reference(spark, docs, divisor):
+    """The HOF chunker == a naive Python CDC reference on arbitrary token
+    streams (empty docs, boundary-on-last-token, all-boundary tokens,
+    repeated tokens) — chunk texts, order, and token counts all match."""
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        cdc_chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {}
+    for r in cdc_chunk_documents(df, "doc_id", "text", divisor=divisor).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        )
+    for i, doc in enumerate(docs):
+        want = _py_cdc_chunks(doc, divisor)
+        rows = sorted(got.get(i, []))
+        assert [t for _, t, _n in rows] == want, (i, doc)
+        assert [ix for ix, _, _n in rows] == list(range(len(want)))
+        assert [n for _, _, n in rows] == [len(c.split(" ")) for c in want]
+
+
 def test_remove_shared_spans_matches_python_rederivation(spark):
     """remove_shared_spans == an independent Python replay of its own
     contract over the chunk frame: drop chunks whose content appears in
