@@ -597,6 +597,7 @@ def remove_shared_spans(
     text_col: str,
     divisor: int = 8,
     max_doc_freq: int = 1,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-dedup REMEDIATION (the RefinedWeb / Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" removal
@@ -625,11 +626,20 @@ def remove_shared_spans(
     chunks-to-frequency equi-join on the hash (hot boilerplate hashes are
     exactly the skewed keys AQE skew-join splits), and the per-document
     reassembly groupBy. Nothing reaches the driver.
+
+    The chunk frame feeds BOTH the frequency side and the scored side, so
+    when derived inline its lineage (text scan + per-token-md5 chunking)
+    executes twice — free CPU-parallel map work, but two passes over the
+    corpus. At scale, chunk once with ``cdc_chunk_documents`` (same
+    ``divisor``!), persist/checkpoint it, reuse it for chunk-level dedup
+    AND pass it here as ``chunks`` to make this operator single-pass.
     """
     from ..functions.scalars import md5_long
     from ..functions.text import cdc_chunk_documents
 
-    chunks = cdc_chunk_documents(df, id_col, text_col, divisor=divisor).select(
+    if chunks is None:
+        chunks = cdc_chunk_documents(df, id_col, text_col, divisor=divisor)
+    chunks = chunks.select(
         id_col,
         "chunk_idx",
         "chunk_text",

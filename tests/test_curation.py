@@ -1100,3 +1100,41 @@ def test_chunk_dedup_cdc_survives_injected_edit_fixed_does_not(spark):
     # fixed windows: the insertion shifts every window -> (almost) nothing
     assert fixed_dups <= 1, fixed_dups
     assert cdc_dups > 5 * max(fixed_dups, 1)
+
+
+def test_remove_shared_spans_accepts_prechunked_frame(spark):
+    """The single-pass path: feeding a persisted cdc_chunk_documents frame
+    via ``chunks=`` must reproduce the inline two-pass result exactly —
+    chunk once, reuse for chunk-level dedup AND span removal."""
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        cdc_chunk_documents,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        remove_shared_spans,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"alpha{i}" for i in range(30))),
+            (2, " ".join(f"beta{i}" for i in range(30)) + " " + boiler),
+            (3, " ".join(f"solo{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    pre = cdc_chunk_documents(df, "doc_id", "text", divisor=8).persist()
+    try:
+        inline = {
+            r["doc_id"]: r.asDict()
+            for r in remove_shared_spans(df, "doc_id", "text", divisor=8).collect()
+        }
+        fed = {
+            r["doc_id"]: r.asDict()
+            for r in remove_shared_spans(
+                df, "doc_id", "text", divisor=8, chunks=pre
+            ).collect()
+        }
+        assert fed == inline
+        assert fed[3]["n_tokens_removed"] == 0 and fed[1]["n_tokens_removed"] > 0
+    finally:
+        pre.unpersist()
