@@ -296,6 +296,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_centroids: int | None = None,
     hierarchical: bool | None = None,
+    n_probe_super: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     the embedding corpus with a coarse quantizer, compare pairs only WITHIN
@@ -324,6 +325,17 @@ def semantic_dedup(
     exact flat assignment runs unchanged; above it the assignment is the
     documented IVF approximation, the price of staying off the n*k wall.
     Force either route with ``hierarchical=True/False``.
+    ``n_probe_super`` is the hierarchy's recall dial. Its approximation
+    cost was measured on the WORST case (structure-free uniform vectors,
+    n=20-21k): per-vector assignment agreement with flat is only
+    0.22/0.33/0.43 at p=1/2/3 (k=256) — near-equidistant centroids make
+    the "true" nearest arbitrary — but DEDUP PAIR RECALL is what the
+    operator needs, and near-identical vectors route through the same
+    supers to the same cluster TOGETHER: injected near-dup pairs are
+    caught 996/1000 at k=256 and 999/1000 at k=512 with the default
+    p=2, vs the exact flat path's 999/1000 (docs/BENCH_NOTES.md).
+    Pair-recall parity with flat is regression-pinned in
+    tests/test_similarity.py.
     ``centroids`` defaults to the lowest-id corpus
     vectors (deterministic, oracle-checkable); plug
     :func:`kmeans_centroids` in for real recall.
@@ -353,7 +365,8 @@ def semantic_dedup(
         # route assignment through the sqrt(k) super-quantizer (the n*k
         # escape hatch documented above); the pairwise stage is identical
         h = assign_to_centroids_hierarchical(
-            corpus, centroids, id_col=id_col, vec_col=vec_col
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            n_probe_super=n_probe_super,
         ).select(F.col(id_col).alias("__vid"), F.col("centroid_id").alias("cluster_id"))
         asg = v.join(h, "__vid").select("__vid", "cluster_id", "__v", "__n")
     else:

@@ -324,6 +324,36 @@ def test_semantic_dedup_auto_routes_hierarchical_above_threshold(spark, sf_oracl
     assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, flat.collect()))
 
 
+def test_hierarchical_dedup_pair_recall_matches_flat(spark, sf_oracle):
+    """The hierarchy's approximation cost, measured where it matters:
+    per-vector assignment agreement with flat is only ~0.33 on
+    structure-free vectors (p=2 — near-equidistant centroids make the
+    'true' nearest arbitrary), but near-IDENTICAL vectors route through
+    the same supers to the same cluster TOGETHER, so dedup pair recall
+    tracks flat. Inject 60 near-copies into the 500-vector corpus and
+    demand the routed path catches >= flat - 2 of them (measured at
+    n=21k/k=256: 996 vs 999 of 1000)."""
+    emb = table(spark, sf_oracle, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(1e-3)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    k = sim.HIERARCHICAL_K_THRESHOLD  # forces the routed regime
+    caught = {}
+    for mode, hier in (("flat", False), ("hier", True)):
+        out = sim.semantic_dedup(corpus, n_centroids=k, hierarchical=hier)
+        dropped = {r["vec_id"] for r in out.filter(~F.col("is_kept")).collect()}
+        caught[mode] = sum(
+            1 for i in range(60) if i in dropped or (i + 1_000_000) in dropped
+        )
+    assert caught["flat"] >= 58, caught  # the injected pairs are real
+    assert caught["hier"] >= caught["flat"] - 2, caught
+
+
 def test_moments_parity_n_sweep(spark, tmp_path):
     """Regression for the two quotient-boundary classes (r8 verdict item 1):
     sweep synthetic corpora of n in {500, 512, 1000} vectors through the
