@@ -477,7 +477,17 @@ def cdc_chunk_documents(
     0-based. Purely map-side HOFs over ONE projected token array (hash
     filter for boundary positions, zip_with over start/end position
     arrays, slice per chunk); deterministic md5 token hashes shared with
-    the DuckDB oracle."""
+    the DuckDB oracle.
+
+    Case fidelity: ``chunk_text`` preserves the SOURCE case — tokens
+    come from a raw whitespace split, and only the boundary hash
+    lowercases its token. Boundary positions are therefore identical to
+    a fully-lowercased chunking (same chunks, same ``n_tokens``), but a
+    downstream cleaner that reassembles documents from kept chunks
+    (``remove_shared_spans``) returns the original text, not a
+    case-folded copy. Consumers that want case-insensitive chunk
+    CONTENT identity (dedup, span frequency) must lowercase the chunk
+    text in their own hash."""
     from .scalars import md5_long
 
     toks = F.col("__toks")
@@ -490,7 +500,7 @@ def cdc_chunk_documents(
     ).otherwise(F.array().cast("array<int>"))
     bpos = F.filter(
         positions,
-        lambda i: md5_long(F.element_at(toks, i)) % divisor == 0,
+        lambda i: md5_long(F.lower(F.element_at(toks, i))) % divisor == 0,
     )
     starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
     ends = F.concat(bpos, F.array(F.size(toks)))
@@ -507,7 +517,7 @@ def cdc_chunk_documents(
         lambda c: c.isNotNull(),
     )
     return (
-        df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+        df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
         .select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .select(
             id_col,

@@ -620,6 +620,14 @@ def remove_shared_spans(
     with ``cleaned_text = ''`` for documents made entirely of shared
     spans.
 
+    Case fidelity: ``cleaned_text`` preserves the SOURCE case of every
+    kept span (chunking tokenizes without case-folding; only the
+    frequency hash lowercases), but it IS a whitespace-NORMALIZED
+    reconstruction — runs of whitespace/newlines inside and between kept
+    chunks collapse to single spaces. Span detection itself is
+    case-insensitive: two documents sharing a boilerplate paragraph that
+    differs only in casing still both lose it.
+
     Scale shape: chunking is map-side HOFs (zero shuffle); then three
     keyed shuffles — the chunk-hash frequency groupBy (map-side partial
     agg collapses each partition to its distinct hashes), the
@@ -644,7 +652,8 @@ def remove_shared_spans(
         "chunk_idx",
         "chunk_text",
         "n_tokens",
-        md5_long(F.col("chunk_text")).alias("__h"),
+        # case-insensitive span identity; chunk_text itself keeps source case
+        md5_long(F.lower(F.col("chunk_text"))).alias("__h"),
     )
     freq = (
         chunks.select("__h", id_col)

@@ -364,10 +364,12 @@ def _stream_live_sinks_oracle() -> str:
     # a silent no-op .replace would leave the oracle computing over the
     # twin-injected corpus and only surface as a confusing digest
     # mismatch at run time — fail at import with a clear message instead
-    assert pt._DOCS2 in lsh_sql, (
-        "ns_dedup_minhash_lsh oracle no longer embeds parity_text._DOCS2 "
-        "verbatim; ns_stream_live_sinks' textual rebase would no-op"
-    )
+    # (explicit raise, not assert: the guard must survive `python -O`)
+    if pt._DOCS2 not in lsh_sql:
+        raise RuntimeError(
+            "ns_dedup_minhash_lsh oracle no longer embeds parity_text._DOCS2 "
+            "verbatim; ns_stream_live_sinks' textual rebase would no-op"
+        )
     pairs = lsh_sql.replace(pt._DOCS2, "SELECT doc_id, text FROM documents")
     grams2 = (
         "CASE WHEN len(toks) >= 2 THEN "

@@ -569,12 +569,14 @@ _CDC_DIV = 8
 # (doc_id, chunk_idx, chunk_text, n_tokens) — the DuckDB twin of
 # functions/text.py:cdc_chunk_documents. Shared by the chunking probe,
 # the CDC chunk-dedup twin, and the shared-span remediation oracle.
+# Tokens keep SOURCE case (chunk_text is not case-folded); only the
+# boundary hash lowercases — mirroring the Spark side exactly.
 _CDC_CHUNKS_CTE = f"""
-    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH toks_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     b AS (
         SELECT doc_id, toks,
                list_filter(generate_series(1, len(toks)),
-                           i -> {_md5h('toks[i]', _CDC_DIV)} = 0) AS bpos
+                           i -> {_md5h('lower(toks[i])', _CDC_DIV)} = 0) AS bpos
         FROM toks_t
     ),
     p AS (
@@ -612,13 +614,12 @@ _CDC_CHUNKS_CTE = f"""
 )
 def ns_text_cdc_chunking(spark, sf_dir):
     """Content-defined chunking (rsync/LBFS rolling-hash boundaries on
-    token streams): a chunk ends after any token whose md5 hash is
-    0 mod {div} — boundaries are a function of CONTENT, so an insertion
-    perturbs only its own chunk and every later chunk hash survives for
-    chunk-level dedup (fixed windows shift wholesale and match nothing).
-    Map-side HOFs over one projected token array; zero shuffle.""".format(
-        div=_CDC_DIV
-    )
+    token streams): a chunk ends after any token whose lowercased md5
+    hash is 0 mod 8 — boundaries are a function of CONTENT, so an
+    insertion perturbs only its own chunk and every later chunk hash
+    survives for chunk-level dedup (fixed windows shift wholesale and
+    match nothing). chunk_text preserves source case. Map-side HOFs over
+    one projected token array; zero shuffle."""
     return tx.cdc_chunk_documents(
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
@@ -715,7 +716,7 @@ _SPAN_MAX_DOC_FREQ = 1
     + f""",
     hashed AS (
         SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-               ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS h
+               ('0x' || substr(md5(lower(chunk_text)), 1, 15))::BIGINT AS h
         FROM cdc_chunks
     ),
     freq AS (
@@ -738,14 +739,14 @@ _SPAN_MAX_DOC_FREQ = 1
 def ns_text_remove_spans(spark, sf_dir):
     """Substring-dedup REMEDIATION (operators/text_dedup.py
     remove_shared_spans): drop every CDC chunk whose content occurs in
-    more than {mdf} distinct document(s) and reassemble each document
-    from its surviving chunks in order — the RefinedWeb/Lee-et-al.
-    removal step that turns the engine's substring-duplication DETECTORS
-    (winnowing, CDC chunk hashes) into an actual cleaning operator.
-    Chunking is map-side; then three keyed shuffles (hash frequency,
-    chunk-to-frequency join, per-document reassembly).""".format(
-        mdf=_SPAN_MAX_DOC_FREQ
-    )
+    more than 1 distinct document (case-insensitively) and reassemble
+    each document from its surviving chunks in order — the
+    RefinedWeb/Lee-et-al. removal step that turns the engine's
+    substring-duplication DETECTORS (winnowing, CDC chunk hashes) into
+    an actual cleaning operator. cleaned_text preserves source case
+    (whitespace-normalized). Chunking is map-side; then three keyed
+    shuffles (hash frequency, chunk-to-frequency join, per-document
+    reassembly)."""
     return td.remove_shared_spans(
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",

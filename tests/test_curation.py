@@ -909,15 +909,17 @@ def test_cdc_chunking_insertion_robustness(spark):
 
 def _py_cdc_chunks(text: str, divisor: int) -> list[str]:
     """Pure-Python reference of cdc_chunk_documents' boundary rule:
-    a boundary falls AFTER any token whose md5-prefix hash is
-    0 mod divisor; a boundary on the last token yields no empty chunk."""
+    a boundary falls AFTER any token whose LOWERCASED md5-prefix hash is
+    0 mod divisor (chunk text itself keeps source case); a boundary on
+    the last token yields no empty chunk."""
     import hashlib
 
-    toks = text.lower().split(" ")
+    toks = text.split(" ")
     bpos = [
         i + 1
         for i, t in enumerate(toks)
-        if int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % divisor == 0
+        if int(hashlib.md5(t.lower().encode()).hexdigest()[:15], 16) % divisor
+        == 0
     ]
     starts = [1] + [p + 1 for p in bpos]
     ends = bpos + [len(toks)]
@@ -1052,11 +1054,45 @@ def test_remove_shared_spans_edit_locality(spark):
     assert got[2]["n_tokens_removed"] > 100
     # ...but the divergent chunk (the edit site) survives in each
     assert "tok80" in got[1]["cleaned_text"]
-    # tokens() lowercases, so the edit survives as its lowercase form
-    assert "edited" in got[2]["cleaned_text"]
+    # kept spans preserve SOURCE case — the edit survives verbatim
+    assert "EDITED" in got[2]["cleaned_text"]
+    assert "edited" not in got[2]["cleaned_text"]
     # and the unrelated doc is byte-identical
     assert got[3]["cleaned_text"] == docs[2][1]
     assert got[3]["n_tokens_removed"] == 0
+
+
+def test_remove_shared_spans_case_insensitive_detection_case_preserving_output(
+    spark,
+):
+    """Span DETECTION is case-insensitive (a boilerplate paragraph that
+    differs only in casing is still scrubbed from both carriers) while
+    kept spans preserve their source case — the fidelity contract."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        remove_shared_spans,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(60))
+    docs = [
+        (1, boiler.upper() + " " + " ".join(f"Alpha{i}" for i in range(40))),
+        (2, boiler + " " + " ".join(f"Beta{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_shared_spans(
+            df, "doc_id", "text", divisor=8, max_doc_freq=1
+        ).collect()
+    }
+    # the case-variant boilerplate was detected as shared and scrubbed
+    assert got[1]["n_tokens_removed"] > 40
+    assert got[2]["n_tokens_removed"] > 40
+    assert "BOILER30" not in got[1]["cleaned_text"]
+    assert "boiler30" not in got[2]["cleaned_text"]
+    # kept unique prose survives with its ORIGINAL mixed case
+    assert "Alpha20" in got[1]["cleaned_text"]
+    assert "Beta20" in got[2]["cleaned_text"]
+    assert "alpha20" not in got[1]["cleaned_text"]
 
 
 def test_chunk_dedup_cdc_survives_injected_edit_fixed_does_not(spark):
