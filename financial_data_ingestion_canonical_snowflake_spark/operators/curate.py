@@ -37,6 +37,9 @@ def curate_and_export(
     budget: int = 512,
     num_shards: int = 8,
     fmt: str = "parquet",
+    remove_spans: bool = False,
+    span_divisor: int = 8,
+    span_max_doc_freq: int = 1,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation funnel over ``df`` and export survivors as
     training shards under ``out_dir``.
@@ -46,11 +49,24 @@ def curate_and_export(
     1. quality — at least ``min_tokens`` tokens and ``min_alpha_ratio``
        alphabetic characters;
     2. language — n-gram heuristic language id in ``langs``;
-    3. exact dedup — survivor = min id per normalized-text hash.
+    3. exact dedup — survivor = min id per normalized-text hash;
+    4. (``remove_spans=True``) shared-span REMEDIATION — CDC chunks
+       occurring in more than ``span_max_doc_freq`` surviving documents
+       are dropped and each document reassembles from its kept chunks
+       (operators/text_dedup.py::remove_shared_spans); documents made
+       entirely of shared boilerplate drop out of the corpus. The chunk
+       frame is computed ONCE (persisted) and feeds both the frequency
+       side and the reassembly side — the single-pass prechunked path.
+       Token counts for the packing budget are recomputed on the
+       cleaned text, so ``span_tokens_removed`` is real budget savings,
+       not just accounting.
 
     Returns ``(manifest_df, report)`` where ``manifest_df`` is the
     shard-manifest read back from disk (``fmt`` = "parquet" or "jsonl")
-    and ``report`` counts documents entering/surviving each stage.
+    and ``report`` counts documents entering/surviving each stage, plus
+    (when ``remove_spans``) ``after_span_removal`` (documents with any
+    text left) and ``span_tokens_removed`` (whitespace tokens scrubbed
+    corpus-wide).
     """
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"unsupported shard format: {fmt}")
@@ -108,6 +124,39 @@ def curate_and_export(
         "after_language": int(gate_row["ql"] or 0),
         "after_dedup": survivors.count(),
     }
+
+    chunk_frame = None
+    if remove_spans:
+        from .text_dedup import remove_shared_spans
+
+        # one chunking pass, persisted: remove_shared_spans consumes the
+        # chunk frame twice (frequency side + scored/reassembly side)
+        chunk_frame = tx.cdc_chunk_documents(
+            survivors, id_col, text_col, divisor=span_divisor
+        ).persist()
+        cleaned = remove_shared_spans(
+            survivors,
+            id_col,
+            text_col,
+            divisor=span_divisor,
+            max_doc_freq=span_max_doc_freq,
+            chunks=chunk_frame,
+        ).cache()
+        # one aggregate pass: survivor count AND corpus-wide removed
+        # tokens (including documents emptied entirely)
+        span_row = cleaned.agg(
+            F.sum((F.length("cleaned_text") > 0).cast("long")).alias("kept"),
+            F.coalesce(F.sum("n_tokens_removed"), F.lit(0)).alias("removed"),
+        ).first()
+        report["after_span_removal"] = int(span_row["kept"] or 0)
+        report["span_tokens_removed"] = int(span_row["removed"])
+        survivors.unpersist()
+        survivors = cleaned.filter(F.length("cleaned_text") > 0).select(
+            id_col,
+            F.col("cleaned_text").alias(text_col),
+            tx.bpe_ish_token_count(F.col("cleaned_text")).alias("tokens"),
+        )
+
     if fmt == "parquet":
         manifest = export_shards(
             survivors.drop(text_col), id_col, "tokens", out_dir,
@@ -119,4 +168,7 @@ def curate_and_export(
             budget=budget, num_shards=num_shards,
         )
     survivors.unpersist()
+    if remove_spans:
+        cleaned.unpersist()
+        chunk_frame.unpersist()
     return manifest, report
