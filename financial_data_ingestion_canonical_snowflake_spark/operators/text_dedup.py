@@ -592,12 +592,13 @@ def winnowing_pairs(
 
 
 def remove_shared_spans(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     divisor: int = 8,
     max_doc_freq: int = 1,
     chunks: DataFrame | None = None,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-dedup REMEDIATION (the RefinedWeb / Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" removal
@@ -641,11 +642,24 @@ def remove_shared_spans(
     corpus. At scale, chunk once with ``cdc_chunk_documents`` (same
     ``divisor``!), persist/checkpoint it, reuse it for chunk-level dedup
     AND pass it here as ``chunks`` to make this operator single-pass.
+
+    An incrementally-ingested corpus passes BOTH ``chunks`` and ``freq``
+    from the stream-maintained state tables
+    (streaming/chunk_freq_stream.py::CdcChunkSink): ``chunks`` is the
+    running chunk table, ``freq`` a ``(chunk_hash, doc_freq)`` frame
+    (chunk_hash = md5_long of the LOWERCASED chunk text — the sink's
+    convention). With ``freq`` supplied the corpus-wide frequency
+    groupBy is skipped entirely, so span removal over a maintained
+    corpus costs one join + one reassembly — no full rechunk, no full
+    recount. A chunk absent from ``freq`` is treated as unseen
+    (doc_freq 0 → kept).
     """
     from ..functions.scalars import md5_long
     from ..functions.text import cdc_chunk_documents
 
     if chunks is None:
+        if df is None:
+            raise ValueError("remove_shared_spans: pass df or chunks")
         chunks = cdc_chunk_documents(df, id_col, text_col, divisor=divisor)
     chunks = chunks.select(
         id_col,
@@ -655,14 +669,22 @@ def remove_shared_spans(
         # case-insensitive span identity; chunk_text itself keeps source case
         md5_long(F.lower(F.col("chunk_text"))).alias("__h"),
     )
-    freq = (
-        chunks.select("__h", id_col)
-        .distinct()
-        .groupBy("__h")
-        .agg(F.count(F.lit(1)).cast("long").alias("__doc_freq"))
-    )
-    kept = F.col("__doc_freq") <= max_doc_freq
-    scored = chunks.join(freq, "__h").select(
+    if freq is None:
+        freq = (
+            chunks.select("__h", id_col)
+            .distinct()
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).cast("long").alias("__doc_freq"))
+        )
+        freq_join = "inner"  # internally derived: every hash present
+    else:
+        freq = freq.select(
+            F.col("chunk_hash").alias("__h"),
+            F.col("doc_freq").cast("long").alias("__doc_freq"),
+        )
+        freq_join = "left"  # external table may lag the chunk frame
+    kept = F.coalesce(F.col("__doc_freq"), F.lit(0)) <= max_doc_freq
+    scored = chunks.join(freq, "__h", freq_join).select(
         id_col,
         "chunk_idx",
         F.when(kept, F.col("chunk_text")).alias("__kept_text"),

@@ -384,11 +384,28 @@ def _stream_live_sinks_oracle() -> str:
         FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents)
     ) GROUP BY 1
     """
+    # third drain truth: the CDC chunk-hash -> distinct-doc frequency
+    # table over the whole corpus (parity_text's shared chunk CTE + the
+    # sink's lowercased-chunk hash convention)
+    chunk_freq = (
+        pt._CDC_CHUNKS_CTE
+        + """,
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(lower(chunk_text)), 1, 15))::BIGINT AS h
+        FROM cdc_chunks
+    )
+    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM hashed GROUP BY 1
+    """
+    )
     return (
         f"SELECT 'lsh_pair' AS kind, id_a AS k1, id_b AS k2, "
         f"matching_minhashes AS v FROM ({pairs}) __p"
         "\nUNION ALL\n"
         f"SELECT 'feature', bucket, 0, cnt FROM ({feats}) __f"
+        "\nUNION ALL\n"
+        f"SELECT 'chunk_freq', h, 0, doc_freq FROM ({chunk_freq}) __cf"
     )
 
 
@@ -410,10 +427,15 @@ def ns_stream_live_sinks(spark, sf_dir):
     - ``ImportanceFeatureSink`` (streaming/importance_stream.py): additive
       hashed-2-gram bucket counts with the in-table replay ledger; the
       drained table must equal the whole-corpus feature counts.
+    - ``CdcChunkSink`` (streaming/chunk_freq_stream.py): the CDC
+      chunk-hash -> distinct-document frequency fold (span removal's
+      incremental input); the drained frequency table must equal the
+      whole-corpus rechunk-and-count.
 
     Fresh state tables + checkpoints per call; the sliced source dir is
     session-cached like the other live-stream feeds."""
     from ..operators.storage import ParquetTable
+    from ..streaming.chunk_freq_stream import CdcChunkSink, stream_cdc_chunks
     from ..streaming.dedup_stream import MinHashLshDedupSink, stream_minhash_dedup
     from ..streaming.importance_stream import (
         ImportanceFeatureSink,
@@ -425,10 +447,12 @@ def ns_stream_live_sinks(spark, sf_dir):
     sig_t = ParquetTable(work + "/sigs")
     pairs_t = ParquetTable(work + "/pairs")
     feat_t = ParquetTable(work + "/features")
+    chunk_t = ParquetTable(work + "/chunks")
+    cfreq_t = ParquetTable(work + "/chunk_freq")
 
-    # start BOTH drains before awaiting either: the queries share no state
+    # start ALL drains before awaiting any: the queries share no state
     # (separate tables + checkpoints), so their micro-batches interleave
-    # across the executor pool instead of serializing two harness startups
+    # across the executor pool instead of serializing harness startups
     q1 = stream_minhash_dedup(
         spark, src, sig_t, pairs_t, work + "/ckpt_lsh",
         max_files_per_trigger=1, num_hashes=16, bands=4, min_matching=8,
@@ -438,10 +462,15 @@ def ns_stream_live_sinks(spark, sf_dir):
         spark, src, feat_t, work + "/ckpt_imp",
         shingle_len=2, hash_bits=_IMP_BITS, max_files_per_trigger=1,
     )
-    for q, what in ((q1, "LSH"), (q2, "feature")):
+    q3 = stream_cdc_chunks(
+        spark, src, chunk_t, cfreq_t, work + "/ckpt_chunks",
+        divisor=8, max_files_per_trigger=1,
+    )
+    for q, what in ((q1, "LSH"), (q2, "feature"), (q3, "chunk_freq")):
         if not q.awaitTermination(300):
             q1.stop()
             q2.stop()
+            q3.stop()
             raise RuntimeError(
                 f"ns_stream_live_sinks: {what} drain timed out (300s)"
             )
@@ -458,4 +487,10 @@ def ns_stream_live_sinks(spark, sf_dir):
         F.lit(0).cast("long").alias("k2"),
         F.col("cnt").alias("v"),
     )
-    return pairs.unionByName(feats)
+    cfreq = CdcChunkSink(chunk_t, cfreq_t).freq(spark).select(
+        F.lit("chunk_freq").alias("kind"),
+        F.col("chunk_hash").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("doc_freq").alias("v"),
+    )
+    return pairs.unionByName(feats).unionByName(cfreq)

@@ -1,0 +1,199 @@
+"""Streaming maintenance of the CDC chunk state that span removal needs:
+the running chunk table and the chunk-hash -> document-frequency table.
+
+``operators.text_dedup.remove_shared_spans`` consumes a chunk frame twice
+(frequency side + reassembly side); over an incrementally-ingested corpus
+a full rechunk-and-recount per refresh is exactly the corpus-wide pass a
+100 TB pipeline can't afford. Chunking is deterministic map work and
+document frequency is mergeable state (per-hash DISTINCT-doc counts add
+across batches as long as a document arrives in exactly one micro-batch —
+the file-source guarantee: a file is read once, a document lives in one
+file). So this sink folds each micro-batch into two persisted tables:
+
+- ``chunks_table`` ``(id, chunk_idx, chunk_text, n_tokens, chunk_hash)``
+  — the batch's ``cdc_chunk_documents`` output, merged by
+  ``(id, chunk_idx)`` via :func:`operators.merge.merge_upsert`, so a
+  replayed at-least-once delivery re-merges the same rows idempotently;
+- ``freq_table`` ``(chunk_hash, doc_freq)`` — additive fold of the
+  batch's per-hash distinct-document counts. Additive folds double-count
+  replays, so the table carries the applied-batch LEDGER as a sentinel
+  row (``chunk_hash = -1``, doc_freq = last applied batch_id; real
+  hashes are md5-derived 60-bit non-negatives), the
+  importance_stream.py pattern: the ledger swaps atomically WITH the
+  counts, and a replayed ``batch_id <= ledger`` skips the freq fold.
+
+Fold order makes every crash point safe: chunks merge FIRST (idempotent
+— re-merging is harmless whether or not the freq fold landed), freq +
+ledger swap SECOND; a crash anywhere replays the batch, the chunk merge
+no-ops semantically, and the ledger decides whether the freq fold
+re-applies.
+
+Invariant (pytest: tests/test_streaming_chunkfreq.py): after draining
+any prefix of the stream — across restarts and replays —
+``chunks_table`` equals ``cdc_chunk_documents`` over every document
+ingested so far, ``freq_table`` equals the batch frequency count over
+the same corpus, and ``remove_shared_spans(chunks=..., freq=...)`` over
+the maintained state equals the from-scratch batch operator. Live-drain
+hash-certified cross-engine in ns_stream_live_sinks.
+
+Per-trigger cost: one batch-sized chunking (map-side HOFs) + one keyed
+merge per table — batch-proportional, never a corpus re-scan. Chunk
+hashes use md5 of the LOWERCASED chunk text (remove_shared_spans'
+case-insensitive span identity; the stored chunk_text keeps source
+case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalars import md5_long
+from ..functions.text import cdc_chunk_documents
+from ..operators.merge import merge_upsert
+from ..operators.storage import ParquetTable
+
+FREQ_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_hash", T.LongType()),
+        T.StructField("doc_freq", T.LongType()),
+    ]
+)
+
+_LEDGER_HASH = -1
+
+
+def _chunk_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_text", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("chunk_hash", T.LongType()),
+        ]
+    )
+
+
+class CdcChunkSink:
+    """foreachBatch sink maintaining the chunk + chunk-frequency tables."""
+
+    def __init__(
+        self,
+        chunks_table: ParquetTable,
+        freq_table: ParquetTable,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        divisor: int = 8,
+    ):
+        if chunks_table.schema is None:
+            chunks_table.schema = _chunk_schema(id_col)
+        if freq_table.schema is None:
+            freq_table.schema = FREQ_SCHEMA
+        self.chunks_table = chunks_table
+        self.freq_table = freq_table
+        self.id_col = id_col
+        self.text_col = text_col
+        self.divisor = divisor
+
+    def _last_applied(self, current_freq: DataFrame) -> int:
+        row = (
+            current_freq.filter(F.col("chunk_hash") == _LEDGER_HASH)
+            .select("doc_freq")
+            .collect()
+        )
+        return int(row[0][0]) if row else -1
+
+    def chunks(self, spark: SparkSession) -> DataFrame:
+        """The maintained chunk table — remove_shared_spans' ``chunks=``."""
+        return self.chunks_table.read(spark)
+
+    def freq(self, spark: SparkSession) -> DataFrame:
+        """The maintained ``(chunk_hash, doc_freq)`` table (ledger row
+        excluded) — remove_shared_spans' ``freq=``."""
+        return self.freq_table.read(spark).filter(
+            F.col("chunk_hash") != _LEDGER_HASH
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current_freq = self.freq_table.read(spark).cache()
+        try:
+            if batch_id <= self._last_applied(current_freq):
+                return  # replayed at-least-once delivery: already folded
+            batch_chunks = (
+                cdc_chunk_documents(
+                    batch_df, self.id_col, self.text_col, divisor=self.divisor
+                )
+                .withColumn(
+                    "chunk_hash", md5_long(F.lower(F.col("chunk_text")))
+                )
+                .persist()
+            )
+            try:
+                # 1) chunk merge (idempotent by key) — safe to re-apply
+                merged_chunks = merge_upsert(
+                    self.chunks_table.read(spark),
+                    batch_chunks,
+                    keys=[self.id_col, "chunk_idx"],
+                )
+                self.chunks_table.overwrite_atomic(merged_chunks)
+                # 2) additive freq fold + ledger, swapped atomically
+                b = (
+                    batch_chunks.select("chunk_hash", self.id_col)
+                    .distinct()
+                    .groupBy("chunk_hash")
+                    .agg(F.count(F.lit(1)).cast("long").alias("__b_cnt"))
+                )
+                t = current_freq.filter(
+                    F.col("chunk_hash") != _LEDGER_HASH
+                ).select("chunk_hash", F.col("doc_freq").alias("__t_cnt"))
+                merged_freq = (
+                    t.join(b, "chunk_hash", "full_outer")
+                    .select(
+                        "chunk_hash",
+                        (
+                            F.coalesce("__t_cnt", F.lit(0))
+                            + F.coalesce("__b_cnt", F.lit(0))
+                        )
+                        .cast("long")
+                        .alias("doc_freq"),
+                    )
+                    .unionByName(
+                        spark.createDataFrame(
+                            [(_LEDGER_HASH, batch_id)], FREQ_SCHEMA
+                        )
+                    )
+                )
+                self.freq_table.overwrite_atomic(merged_freq)
+            finally:
+                batch_chunks.unpersist()
+        finally:
+            current_freq.unpersist()
+
+
+def stream_cdc_chunks(
+    spark: SparkSession,
+    source_dir: str,
+    chunks_table: ParquetTable,
+    freq_table: ParquetTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Stream a parquet document directory into the CDC chunk + frequency
+    state tables (span removal's incremental inputs)."""
+    from .dedup_stream import _start_parquet_batch_stream
+
+    return _start_parquet_batch_stream(
+        spark,
+        source_dir,
+        CdcChunkSink(chunks_table, freq_table, id_col, text_col, divisor),
+        checkpoint_dir,
+        max_files_per_trigger,
+        available_now,
+    )
