@@ -126,6 +126,15 @@ def test_pillow_decode_parity_when_library_present(spark):
 
     decoded = mm.pillow_image_decode(png)
     assert decoded.tolist() == pixels.ravel().astype(float).tolist()
+    # the two REAL tiers agree bit-for-bit on the same bytes (gray + RGB)
+    assert mm.png_image_decode(png).tolist() == decoded.tolist()
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5
+    buf2 = BytesIO()
+    PIL_Image.fromarray(rgb, mode="RGB").save(buf2, format="PNG")
+    assert (
+        mm.png_image_decode(buf2.getvalue()).tolist()
+        == mm.pillow_image_decode(buf2.getvalue()).tolist()
+    )
 
     df = spark.createDataFrame(
         [(1, "image", bytearray(png))],
@@ -138,3 +147,150 @@ def test_pillow_decode_parity_when_library_present(spark):
     assert [round(f, 6) for f in row.features] == [
         round(float(h) / 16, 6) for h in hist
     ]
+
+
+def _forward_filter(recon: "np.ndarray", bpp: int, ftypes: list[int]) -> bytes:
+    """Apply PNG spec §6 filters FORWARD (the encoder direction) row by
+    row, so the decoder's unfilter paths 1-4 get exercised by
+    construction, not just filter-0 round-trips."""
+    h, stride = recon.shape
+    out = b""
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        r = recon[y].astype(np.int64)
+        f = ftypes[y % len(ftypes)]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), r[:-bpp]]) if bpp <= stride else np.zeros(stride, dtype=np.int64)
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]]) if bpp <= stride else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            filt = r
+        elif f == 1:
+            filt = r - left
+        elif f == 2:
+            filt = r - prior
+        elif f == 3:
+            filt = r - ((left + prior) >> 1)
+        else:  # Paeth
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = r - pred
+        out += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = r
+    return out
+
+
+def _handmade_png(recon: "np.ndarray", color_type: int, ftypes: list[int]) -> bytes:
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    h, stride = recon.shape
+    w = stride // ch
+    raw = _forward_filter(recon, ch, ftypes)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_grayscale_and_rgb():
+    """png_encode -> png_image_decode reproduces the pixel buffer exactly
+    (grayscale identity; RGB through the documented integer luma)."""
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    assert mm.png_image_decode(mm.png_encode(gray)).tolist() == (
+        gray.astype(np.float64).ravel().tolist()
+    )
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    r, g, b = (rgb[:, :, i].astype(np.int64) for i in range(3))
+    luma = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.float64)
+    assert mm.png_image_decode(mm.png_encode(rgb)).tolist() == luma.ravel().tolist()
+
+
+def test_png_decode_all_filter_types():
+    """Every PNG filter type (Sub/Up/Average/Paeth + None) unfilters back
+    to the reference reconstruction, for 1- and 3-channel images."""
+    rng = np.random.default_rng(11)
+    for ch, color_type in ((1, 0), (3, 2)):
+        recon = rng.integers(0, 256, (10, 7 * ch), dtype=np.uint8)
+        png = _handmade_png(recon, color_type, ftypes=[0, 1, 2, 3, 4])
+        got = mm.png_image_decode(png)
+        px = recon.reshape(10, 7, ch)
+        if ch == 1:
+            want = px[:, :, 0].astype(np.float64)
+        else:
+            r, g, b = (px[:, :, i].astype(np.int64) for i in range(3))
+            want = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+                np.float64
+            )
+        assert got.tolist() == want.ravel().tolist(), (ch, color_type)
+
+
+def test_png_decode_rejects_garbage_and_exotics():
+    import pytest
+
+    with pytest.raises(ValueError, match="bad signature"):
+        mm.png_image_decode(b"JFIF not a png")
+    # 16-bit depth is out of scope -> loud NotImplementedError, not junk
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        mm.png_image_decode(png16)
+
+
+def test_decode_features_over_real_png_bytes(spark):
+    """The REAL-bytes branch of the mapInPandas kernel, ungated: encode
+    deterministic gradients to actual PNG files, run decode_features with
+    the stdlib decoder through Spark, and assert the histogram/stats equal
+    a direct numpy computation on the known pixels."""
+    imgs = {
+        i: (np.arange(i * 64, dtype=np.uint8).reshape(i * 8, 8) * 3) % 256
+        for i in (1, 2, 3)
+    }
+    rows = [(int(i), "image", bytearray(mm.png_encode(px))) for i, px in imgs.items()]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    ).repartition(2)
+    out = {
+        r.media_id: r
+        for r in mm.decode_features(df, decoder=mm.png_image_decode).collect()
+    }
+    assert set(out) == set(imgs)
+    for i, px in imgs.items():
+        buf = px.astype(np.float64).ravel()
+        assert out[i].n_samples == len(buf)
+        assert abs(out[i].mean_level - buf.mean()) < 1e-9
+        hist, _ = np.histogram(buf, bins=mm.FEATURE_DIM, range=(0.0, 256.0))
+        np.testing.assert_allclose(
+            out[i].features, (hist / len(buf)).astype(np.float32)
+        )
+
+
+def test_resize_over_real_png_decoded_pixels(spark):
+    """Binary-in/binary-out plumbing over real encoded bytes: decode the
+    PNG pixels driver-side as the reference, downsample the decoded buffer
+    via the same seam shape (decode -> resize on raw bytes stays the fake
+    path; here we prove the real decode feeds the pipeline)."""
+    px = (np.arange(256, dtype=np.uint8).reshape(16, 16) * 5) % 256
+    png = mm.png_encode(px)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))], "media_id long, kind string, content binary"
+    )
+    # real decode through Spark, then histogram equality at factor-dowsampled
+    # granularity driver-side
+    feats = mm.decode_features(df, decoder=mm.png_image_decode).collect()[0]
+    assert feats.n_samples == 256
+    assert feats.mean_level == px.astype(np.float64).mean()
