@@ -417,13 +417,26 @@ def simhash_pairs(
     )
 
 
+def adaptive_max_shingle_freq(n: int) -> int:
+    """Corpus-scaled stop-shingle cap: ``max(8, ceil(n / 1000))`` — a
+    shingle shared by more than ~0.1% of the corpus is boilerplate, not
+    near-dup signal, and its posting list is what turns the shingle
+    self-join quadratic. Exact integer arithmetic so the DuckDB oracle
+    mirrors it as ``GREATEST(8, (COUNT(*) + 999) // 1000)`` at every n,
+    boundaries included (the adaptive_num_planes discipline). Unlike a
+    FIXED cap, the fraction keeps the capped universe meaningful at any
+    scale: cap 5 on a 50k-doc corpus deletes nearly every shingle, while
+    0.1% keeps exactly the heavy tail out of the join."""
+    return max(8, (n + 999) // 1000)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_len: int = 3,
     min_jaccard: float = 0.6,
-    max_shingle_freq: int | None = 10_000,
+    max_shingle_freq: int | str | None = "adaptive",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
 
@@ -432,12 +445,16 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops degenerate stop-shingles ("the quick brown")
     whose posting lists are quadratic in the self-join — at 100 TB a single
-    million-doc shingle would dominate the whole job. The cap is ON by
-    default (a shingle shared by >10k docs carries no near-dup signal:
+    million-doc shingle would dominate the whole job. The default
+    ``"adaptive"`` derives the cap from the corpus count
+    (:func:`adaptive_max_shingle_freq`, ~0.1% of docs, floor 8 — one
+    count job); a shingle shared that widely carries no near-dup signal:
     any pair above ``min_jaccard`` shares many rarer shingles too, so the
-    pair survives through those); pass ``None`` to opt into the exact
-    uncapped join on bounded corpora.
+    pair survives through those. Pass an int to pin the cap, or ``None``
+    to opt into the exact uncapped join on bounded corpora.
     """
+    if max_shingle_freq == "adaptive":
+        max_shingle_freq = adaptive_max_shingle_freq(df.count())
     sh = (
         df.select(F.col(id_col).alias("doc"), text.tokens(F.col(text_col)).alias("__toks"))
         .select(

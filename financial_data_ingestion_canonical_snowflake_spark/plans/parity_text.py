@@ -373,6 +373,52 @@ def ns_dedup_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+@parity(
+    "ns_dedup_ngram_jaccard_adaptive",
+    driver=False,  # driver slot: folded into ns_dedup_ngram_jaccard_modes
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    cap_t AS (SELECT GREATEST(8, (COUNT(*) + 999) // 1000) AS cap FROM docs2),
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    sh_all AS (
+        SELECT DISTINCT doc_id AS doc, UNNEST({_SHINGLES}) AS shingle FROM toks
+    ),
+    keep AS (
+        SELECT shingle FROM sh_all GROUP BY shingle
+        HAVING COUNT(*) <= (SELECT cap FROM cap_t)
+    ),
+    sh AS (SELECT doc, shingle FROM sh_all JOIN keep USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def ns_dedup_ngram_jaccard_adaptive(spark, sf_dir):
+    """Jaccard pairs through the PRODUCTION default
+    (``max_shingle_freq="adaptive"``): the stop-shingle cap derives from
+    the corpus count — max(8, ceil(n/1000)), ~0.1% of docs
+    (operators/text_dedup.py adaptive_max_shingle_freq) — and the oracle
+    mirrors the derivation with exact integer arithmetic over its own
+    COUNT(*). Certifies the adaptive path end-to-end: count -> cap ->
+    surviving shingle universe -> pairs. Unlike the FIXED cap twin, this
+    scales with the corpus, so the capped universe stays meaningful at
+    sf1+ where cap=5 would delete nearly every shingle."""
+    return td.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text",
+        shingle_len=3, min_jaccard=0.6, max_shingle_freq="adaptive",
+    )
+
+
 # word 4-gram shingles for the winnowing probe (k=4 separates the
 # fingerprint grams from the 3-gram jaccard probes sharing this corpus)
 _SHINGLES4 = (
@@ -1941,6 +1987,7 @@ def ns_doc_curation_funnel(spark, sf_dir):
 _JACCARD_MODES = [
     ("uncapped", "ns_dedup_ngram_jaccard"),
     ("capped", "ns_dedup_ngram_jaccard_capped"),
+    ("adaptive", "ns_dedup_ngram_jaccard_adaptive"),
 ]
 
 
@@ -1956,9 +2003,10 @@ def _jaccard_modes_oracle() -> str:
 
 @parity("ns_dedup_ngram_jaccard_modes", oracle=_jaccard_modes_oracle())
 def ns_dedup_ngram_jaccard_modes(spark, sf_dir):
-    """Exact n-gram Jaccard pairs both ways — uncapped posting-list join and
-    the max_shingle_freq=5 stop-shingle-capped variant — unioned with a mode
-    label so one driver slot certifies both universes."""
+    """Exact n-gram Jaccard pairs three ways — uncapped posting-list join,
+    the fixed max_shingle_freq=5 stop-shingle cap, and the production
+    corpus-adaptive cap (max(8, ceil(n/1000))) — unioned with a mode label
+    so one driver slot certifies all three universes."""
     from .registry import ALL_QUERIES
 
     out = None

@@ -1174,3 +1174,34 @@ def test_remove_shared_spans_accepts_prechunked_frame(spark):
         assert fed[3]["n_tokens_removed"] == 0 and fed[1]["n_tokens_removed"] > 0
     finally:
         pre.unpersist()
+
+
+def test_adaptive_max_shingle_freq_boundaries(spark):
+    """Integer-exact corpus-scaled cap (max(8, ceil(n/1000))) and the
+    'adaptive' default routing through it — boundaries match the DuckDB
+    mirror GREATEST(8, (n + 999) // 1000) by construction."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        adaptive_max_shingle_freq,
+        ngram_jaccard_pairs,
+    )
+
+    assert adaptive_max_shingle_freq(1) == 8
+    assert adaptive_max_shingle_freq(8000) == 8
+    assert adaptive_max_shingle_freq(8001) == 9
+    assert adaptive_max_shingle_freq(50_000) == 50
+    assert adaptive_max_shingle_freq(1_000_000) == 1000
+    # ceil boundaries
+    assert adaptive_max_shingle_freq(9000) == 9
+    assert adaptive_max_shingle_freq(9001) == 10
+
+    # the adaptive default == the explicit derived cap on a real frame
+    docs = [
+        (i, " ".join(f"w{i}x{j}" for j in range(10)) + " shared trigram here")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    auto = ngram_jaccard_pairs(df, "doc_id", "text").collect()
+    pinned = ngram_jaccard_pairs(
+        df, "doc_id", "text", max_shingle_freq=adaptive_max_shingle_freq(30)
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
