@@ -24,6 +24,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,6 +40,34 @@ N_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 # takes ~7 min idle; the budget only bites under heavy contention, and the
 # per-query "runs" arrays in BENCH_DETAIL.json make any clamping visible.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+
+# Host-state calibration marker: a FIXED data-independent CPU workload
+# (codegen'd range -> xxhash64 -> bit_xor fold, ~1 s warm on the target
+# box) timed at sweep start AND end. Two uses: (a) a swing between the
+# two markers attributes mid-sweep host-state drift from the JSON alone
+# (the r10 streaming investigation needed a manual 90-min re-run for
+# this); (b) a round-over-round shift in the START marker normalizes
+# cross-round comparisons for host speed. Row count pinned — changing it
+# breaks the cross-round comparability that is the marker's whole point.
+CALIBRATION_ROWS = 1_600_000_000
+
+
+def _calibration_runs(spark, reps: int = 3) -> list[float]:
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(
+                0, CALIBRATION_ROWS, 1, spark.sparkContext.defaultParallelism
+            )
+            .selectExpr("bit_xor(xxhash64(id)) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs
+
 
 HEADLINE = [
     "a1_pricing_summary",
@@ -134,6 +163,8 @@ def main() -> None:
     warmup_failures: list[str] = []
     timings: dict[str, float] = {}
     rep_runs: dict[str, list[float]] = {}
+    # first calibration run doubles as its own warm-up; record all runs
+    calibration_start = _calibration_runs(spark)
     bench_t0 = time.perf_counter()
     for qi, name in enumerate(names):
         # Isolate queries from one another (outside the timed region):
@@ -196,6 +227,7 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
         rep_runs[name] = runs
+    calibration_end = _calibration_runs(spark)
 
     # Per-table row counts: the driver regenerates testdata between rounds
     # (documents/embeddings/events sizes have changed before), which shifts
@@ -223,7 +255,22 @@ def main() -> None:
         # finds the explanations (r10: streaming-drain swing root cause)
         "notes": "docs/BENCH_NOTES.md",
         "queries": timings,
+        # medians alongside minima: a query whose median drifts while its
+        # min holds is seeing host contention, not plan regression
+        "medians": {
+            n: round(statistics.median(r), 3) for n, r in rep_runs.items()
+        },
         "runs": rep_runs,
+        # fixed-workload host-state markers (docs/BENCH_NOTES.md r11):
+        # start vs end swing = mid-sweep drift, machine-attributable
+        # without a manual re-run
+        "calibration": {
+            "rows": CALIBRATION_ROWS,
+            "start_runs": calibration_start,
+            "end_runs": calibration_end,
+            "start_min": min(calibration_start),
+            "end_min": min(calibration_end),
+        },
         "warmup_failures": warmup_failures,
         "table_rows": table_rows,
         "sf": sf_val,
@@ -253,6 +300,10 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_warmup_failures": len(warmup_failures),
+                "calibration_min": [
+                    min(calibration_start),
+                    min(calibration_end),
+                ],
                 "queries": {
                     n: round(timings[n], 2) for n in HEADLINE if n in timings
                 },
