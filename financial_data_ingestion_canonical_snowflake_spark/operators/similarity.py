@@ -49,14 +49,20 @@ def adaptive_n_centroids(n: int) -> int:
 # 5.7s / 5.1s) — the crossover sits near k = 64 and the gap reaches
 # 6x at k=512, 10.7x at k=1024 (gated smoke:
 # tests/test_scale_smoke.py::test_hierarchical_assignment_crossover).
-# The auto-route default switches at 256, NOT at the crossover: the flat
-# assignment is exact, the hierarchy is the documented IVF approximation,
-# so routing exists to escape the O(n*k) wall (k grows with the corpus
-# under adaptive_n_centroids), not to shave a 2x where exactness is
-# cheap. 256 also sits >3x above every oracle-certified scale (sf1
-# adaptive k = 78), so certified results are flat-path bit-stable by
-# construction.
-HIERARCHICAL_K_THRESHOLD = 256
+# The auto-route default switches above the crossover, not at it: the
+# flat assignment is exact, the hierarchy is the documented IVF
+# approximation, so routing exists to escape the O(n*k) wall (k grows
+# with the corpus under adaptive_n_centroids), not to shave a 2x where
+# exactness is cheap. The threshold was 256 through round 10; the
+# round-11 REAL-CORPUS decade sweep (BENCH_SF3.json) measured the flat
+# path at k=235 — one notch below that threshold — costing 8.04x for 3x
+# data (sf1 11.3s -> sf3 90.7s on 60k vectors) while the routed sf10
+# step (k=782, 200k vectors, 3.33x more data) cost only 1.29x more than
+# sf3 — the wall sat exactly in the [128, 256) gap the old threshold
+# left open. 128 still clears every oracle-certified scale (sf1
+# adaptive k = 79), so certified results remain flat-path bit-stable by
+# construction; pass hierarchical=False to force exactness at any k.
+HIERARCHICAL_K_THRESHOLD = 128
 
 
 def _with_cosine(joined: DataFrame) -> DataFrame:
@@ -320,8 +326,9 @@ def semantic_dedup(
     ``hierarchical=None`` (the default) therefore AUTO-ROUTES assignment
     through the sqrt(k) super-quantizer of
     :func:`assign_to_centroids_hierarchical` once k >=
-    ``HIERARCHICAL_K_THRESHOLD`` (256 — measured crossover curve at the
-    constant). Below the threshold (every oracle-certified scale) the
+    ``HIERARCHICAL_K_THRESHOLD`` (128 — measured crossover curve and the
+    r11 real-corpus decade sweep at the constant). Below the threshold
+    (every oracle-certified scale) the
     exact flat assignment runs unchanged; above it the assignment is the
     documented IVF approximation, the price of staying off the n*k wall.
     Force either route with ``hierarchical=True/False``.

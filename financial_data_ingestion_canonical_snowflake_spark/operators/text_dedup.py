@@ -383,20 +383,40 @@ def frequent_line_removal(
     )
 
 
+def adaptive_prefix_bits(n: int) -> int:
+    """Corpus-scaled SimHash bucket width: smallest ``b`` with
+    ``256 * 2**b >= n``, clamped to [8, 24] — the adaptive_num_planes
+    formula with a 256-bucket floor, in exact integer arithmetic so the
+    DuckDB twin's threshold-CASE agrees at every n. Expected bucket
+    width lands in (128, 256] above the clamp floor; a FIXED prefix
+    keeps bucket count constant while width grows ∝ n, turning the
+    within-bucket pair join quadratic (measured: the fixed-8-bit probe
+    cost 7.18x for 3.33x data at the sf3->sf10 step, BENCH_SF3.json)."""
+    import math
+
+    p = max(0, (max(1, math.ceil(n / 256)) - 1).bit_length())
+    return min(24, max(8, p))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
-    prefix_bits: int = 8,
+    prefix_bits: int | str = "adaptive",
 ) -> DataFrame:
     """SimHash near-dup pairs bucketed by the signature's top bits.
 
     Candidates share the ``prefix_bits`` high bits (an LSH on hamming
     locality: near-identical docs rarely differ in the high bits); exact
-    hamming distance (bit_count of xor) filters within the bucket. Set
-    ``prefix_bits=0`` for the exhaustive variant.
+    hamming distance (bit_count of xor) filters within the bucket. The
+    default ``"adaptive"`` derives the prefix width from the corpus
+    count (:func:`adaptive_prefix_bits`, one count job) so bucket width
+    stays ~256 at any scale; pass an int to pin it, or ``0`` for the
+    exhaustive variant.
     """
+    if prefix_bits == "adaptive":
+        prefix_bits = adaptive_prefix_bits(df.count())
     sigs = df.select(
         F.col(id_col).alias("doc"), text.simhash32(F.col(text_col)).alias("simhash")
     ).persist()  # both sides of the bucket self-join — see minhash_lsh_pairs

@@ -207,9 +207,68 @@ def ns_dedup_minhash_lsh_modes(spark, sf_dir):
     """,
 )
 def ns_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs, prefix-bucketed, hamming <= 6."""
+    """SimHash near-dup pairs, prefix-bucketed (fixed 8 bits), hamming <= 6."""
     return td.simhash_pairs(
         _docs2(spark, sf_dir), "doc_id", "text", max_hamming=6, prefix_bits=8
+    )
+
+
+# adaptive_prefix_bits mirror: smallest b in [8, 24] with 256*2^b >= n —
+# an integer threshold CASE (the adaptive_num_planes oracle discipline)
+_SQL_ADAPTIVE_BITS = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {256 << j} THEN {j}" for j in range(8, 24)
+    )
+    + " ELSE 24 END"
+)
+
+
+@parity(
+    "ns_dedup_simhash_adaptive",
+    driver=False,  # driver slot: folded into ns_text_digest
+    oracle=f"""
+    WITH docs2 AS ({_DOCS2}),
+    bits_t AS (
+        SELECT {_SQL_ADAPTIVE_BITS} AS bits
+        FROM (SELECT COUNT(*) AS n FROM ({_DOCS2}) __c) __cnt
+    ),
+    hashed AS (
+        SELECT doc_id AS doc,
+               list_transform({_TOKS}, t -> {_md5h('t', P31)}) AS hs
+        FROM docs2
+    ),
+    sims AS (
+        SELECT doc,
+               CAST(list_sum(list_transform(generate_series(0, 31), b ->
+                    CASE WHEN list_sum(list_transform(hs,
+                         h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM hashed
+    ),
+    bucketed AS (
+        SELECT doc, simhash, simhash >> (32 - (SELECT bits FROM bits_t)) AS bucket
+        FROM sims
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bucketed a JOIN bucketed b USING (bucket)
+    WHERE a.doc < b.doc AND bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def ns_dedup_simhash_adaptive(spark, sf_dir):
+    """SimHash pairs through the PRODUCTION default
+    (``prefix_bits="adaptive"``): the bucket prefix derives from the
+    corpus count — smallest b in [8, 24] with 256*2^b >= n
+    (operators/text_dedup.py adaptive_prefix_bits) — mirrored in the
+    oracle as an integer threshold CASE over its own COUNT(*). A fixed
+    prefix keeps 2^8 buckets whose width grows with the corpus (the
+    within-bucket join then quadratic: measured 7.18x cost for 3.33x
+    data at sf3->sf10, BENCH_SF3.json); the adaptive prefix holds
+    bucket width ~256 at any scale."""
+    return td.simhash_pairs(
+        _docs2(spark, sf_dir), "doc_id", "text", max_hamming=6,
+        prefix_bits="adaptive",
     )
 
 
@@ -1544,6 +1603,10 @@ _TEXT_DIGEST = [
         ],
     ),
     ("ns_dedup_pagerank_fixed", [("node", "s"), ("rank_units", "s")]),
+    (
+        "ns_dedup_simhash_adaptive",
+        [("id_a", "s"), ("id_b", "s"), ("hamming", "s")],
+    ),
     (
         "ns_text_quality_stats",
         [

@@ -1205,3 +1205,19 @@ def test_adaptive_max_shingle_freq_boundaries(spark):
         df, "doc_id", "text", max_shingle_freq=adaptive_max_shingle_freq(30)
     ).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+
+
+def test_adaptive_prefix_bits_boundaries():
+    """Integer-exact corpus-scaled simhash prefix (smallest b in [8,24]
+    with 256*2^b >= n) — matches the oracle threshold CASE by construction."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        adaptive_prefix_bits,
+    )
+
+    assert adaptive_prefix_bits(1) == 8
+    assert adaptive_prefix_bits(65_536) == 8     # 256 << 8
+    assert adaptive_prefix_bits(65_537) == 9
+    assert adaptive_prefix_bits(131_072) == 9
+    assert adaptive_prefix_bits(131_073) == 10
+    assert adaptive_prefix_bits(500_000) == 11
+    assert adaptive_prefix_bits(10**12) == 24    # clamp ceiling

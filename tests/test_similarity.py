@@ -290,7 +290,7 @@ def test_semantic_dedup_hierarchical_route(spark, sf_oracle):
 def test_semantic_dedup_auto_routes_flat_below_threshold(spark, sf_oracle):
     """hierarchical=None (the default) below HIERARCHICAL_K_THRESHOLD must
     be row-identical to the forced flat path — every oracle-certified
-    scale (sf1 adaptive k = 78 is the largest) lives here, so the
+    scale (sf1 adaptive k = 79 is the largest) lives here, so the
     auto-route default cannot perturb a certified result."""
     emb = table(spark, sf_oracle, "embeddings")
     assert 8 < sim.HIERARCHICAL_K_THRESHOLD
@@ -308,7 +308,7 @@ def test_semantic_dedup_auto_routes_hierarchical_above_threshold(spark, sf_oracl
     ``centroids`` frame with no k hint stays flat by design (counting it
     could re-execute an expensive centroid pipeline)."""
     emb = table(spark, sf_oracle, "embeddings")
-    k = sim.HIERARCHICAL_K_THRESHOLD + 44  # 300 of the 500 corpus vectors
+    k = sim.HIERARCHICAL_K_THRESHOLD + 44  # 172 of the 500 corpus vectors
     auto = sorted(map(tuple, sim.semantic_dedup(emb, n_centroids=k).collect()))
     hier = sorted(
         map(tuple, sim.semantic_dedup(emb, n_centroids=k, hierarchical=True).collect())
