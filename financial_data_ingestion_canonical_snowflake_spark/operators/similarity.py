@@ -294,6 +294,77 @@ def ivf_topk(
     )
 
 
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF top-k over an ALREADY-ASSIGNED inverted-list table
+    ``(id_col, centroid_id, vec_col)`` — the query path for an index
+    maintained incrementally (streaming/ivf_stream.py) or persisted from
+    a prior build: corpus assignment is skipped entirely, so serving a
+    query batch costs probe-assignment + the probed-list join, never a
+    corpus re-scan. Row-identical to :func:`ivf_topk` over the same
+    corpus/centroids (pytest-pinned): same probe rule (``n_probe``
+    nearest lists, sqrt(k) default), same cosine, same
+    (score desc, neighbor_id) tie-break."""
+    if n_probe is None:
+        n_probe = max(1, round(math.sqrt(centroids.count())))
+    cents = F.broadcast(
+        _normed(
+            centroids.select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+            ),
+            "cent_vec", "cent_norm",
+        )
+    )
+    probes_scored = (
+        _normed(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "q_vec", "q_norm",
+        )
+        .crossJoin(cents)
+        .withColumn(
+            "cent_sim",
+            vectors.dot(F.col("q_vec"), F.col("cent_vec"))
+            / (F.col("q_norm") * F.col("cent_norm")),
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        probes_scored.withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
+    )
+    inv_lists = _normed(
+        index.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        ),
+        "c_vec", "c_norm",
+    )
+    scored = _with_cosine(probes.join(inv_lists, "centroid_id")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame | None = None,

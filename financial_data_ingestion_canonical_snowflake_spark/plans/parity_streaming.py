@@ -352,6 +352,39 @@ def _doc_slices(spark, sf_dir: str, n_slices: int = 3) -> str:
     return src
 
 
+_EMB_SLICES_CACHE: dict[tuple[int, str], str] = {}
+_IVF_K = 8
+
+
+def _emb_slices(spark, sf_dir: str, n_slices: int = 3) -> str:
+    """Embeddings as ``n_slices`` vec_id-ranged parquet files with pinned
+    ascending mtimes — the _doc_slices pattern for the IVF index drain."""
+    import os
+
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _EMB_SLICES_CACHE:
+        return _EMB_SLICES_CACHE[key]
+    d = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lo, hi = d.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    if lo is None:
+        raise ValueError(f"_emb_slices: empty embeddings table in {sf_dir}")
+    src = tempfile.mkdtemp(prefix="fincan_embslices_")
+    span = int(hi) - int(lo) + 1
+    stamped: set[str] = set()
+    for i in range(n_slices):
+        a = int(lo) + span * i // n_slices
+        b = int(lo) + span * (i + 1) // n_slices
+        sl = d.filter((F.col("vec_id") >= a) & (F.col("vec_id") < b))
+        sl.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f.startswith("part-") and f not in stamped:
+                t_ns = 10**9 * (i + 1)
+                os.utime(os.path.join(src, f), ns=(t_ns, t_ns))
+                stamped.add(f)
+    _EMB_SLICES_CACHE[key] = src
+    return src
+
+
 def _stream_live_sinks_oracle() -> str:
     # batch truths: the registered full-LSH-self-join oracle rebased from
     # the twin-injected docs2 corpus onto the raw documents table, plus
@@ -399,6 +432,28 @@ def _stream_live_sinks_oracle() -> str:
     FROM hashed GROUP BY 1
     """
     )
+    # fourth drain truth: nearest-centroid assignment of every embedding
+    # to the deterministic lowest-id quantizer (the assign_to_centroids
+    # mirror the kmeans/semantic oracles already certify)
+    from . import parity_vector as pv
+
+    ivf_assign = f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, e AS cent_vec
+        FROM emb WHERE vec_id < {_IVF_K}
+    )
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM (
+        SELECT emb.vec_id, centroid_id,
+               row_number() OVER (PARTITION BY emb.vec_id
+                    ORDER BY {pv._sql_cos('e', 'cent_vec')} DESC, centroid_id)
+                   AS crank
+        FROM emb CROSS JOIN cents
+    ) WHERE crank = 1
+    """
     return (
         f"SELECT 'lsh_pair' AS kind, id_a AS k1, id_b AS k2, "
         f"matching_minhashes AS v FROM ({pairs}) __p"
@@ -406,6 +461,8 @@ def _stream_live_sinks_oracle() -> str:
         f"SELECT 'feature', bucket, 0, cnt FROM ({feats}) __f"
         "\nUNION ALL\n"
         f"SELECT 'chunk_freq', h, 0, doc_freq FROM ({chunk_freq}) __cf"
+        "\nUNION ALL\n"
+        f"SELECT 'ivf_assign', vec_id, centroid_id, 0 FROM ({ivf_assign}) __iv"
     )
 
 
@@ -431,8 +488,12 @@ def ns_stream_live_sinks(spark, sf_dir):
       chunk-hash -> distinct-document frequency fold (span removal's
       incremental input); the drained frequency table must equal the
       whole-corpus rechunk-and-count.
+    - ``IvfIndexSink`` (streaming/ivf_stream.py): embedding micro-batches
+      fold into the maintained IVF inverted-list table (keyed merge,
+      fixed lowest-id quantizer); the drained assignments must equal the
+      batch ``assign_to_centroids`` over the whole embeddings table.
 
-    Fresh state tables + checkpoints per call; the sliced source dir is
+    Fresh state tables + checkpoints per call; the sliced source dirs are
     session-cached like the other live-stream feeds."""
     from ..operators.storage import ParquetTable
     from ..streaming.chunk_freq_stream import CdcChunkSink, stream_cdc_chunks
@@ -441,14 +502,24 @@ def ns_stream_live_sinks(spark, sf_dir):
         ImportanceFeatureSink,
         stream_importance_features,
     )
+    from ..streaming.ivf_stream import IvfIndexSink, stream_ivf_index
 
     src = _doc_slices(spark, sf_dir)
+    emb_src = _emb_slices(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="fincan_live_sinks_")
     sig_t = ParquetTable(work + "/sigs")
     pairs_t = ParquetTable(work + "/pairs")
     feat_t = ParquetTable(work + "/features")
     chunk_t = ParquetTable(work + "/chunks")
     cfreq_t = ParquetTable(work + "/chunk_freq")
+    index_t = ParquetTable(work + "/ivf_index")
+    cents_t = ParquetTable(work + "/ivf_cents")
+    cents_t.overwrite_atomic(
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_IVF_K)
+    )
 
     # start ALL drains before awaiting any: the queries share no state
     # (separate tables + checkpoints), so their micro-batches interleave
@@ -466,11 +537,17 @@ def ns_stream_live_sinks(spark, sf_dir):
         spark, src, chunk_t, cfreq_t, work + "/ckpt_chunks",
         divisor=8, max_files_per_trigger=1,
     )
-    for q, what in ((q1, "LSH"), (q2, "feature"), (q3, "chunk_freq")):
+    q4 = stream_ivf_index(
+        spark, emb_src, index_t, cents_t, work + "/ckpt_ivf",
+        max_files_per_trigger=1,
+    )
+    drains = (
+        (q1, "LSH"), (q2, "feature"), (q3, "chunk_freq"), (q4, "ivf_index")
+    )
+    for q, what in drains:
         if not q.awaitTermination(300):
-            q1.stop()
-            q2.stop()
-            q3.stop()
+            for qq, _ in drains:
+                qq.stop()
             raise RuntimeError(
                 f"ns_stream_live_sinks: {what} drain timed out (300s)"
             )
@@ -493,4 +570,10 @@ def ns_stream_live_sinks(spark, sf_dir):
         F.lit(0).cast("long").alias("k2"),
         F.col("doc_freq").alias("v"),
     )
-    return pairs.unionByName(feats).unionByName(cfreq)
+    ivf = IvfIndexSink(index_t, cents_t).index(spark).select(
+        F.lit("ivf_assign").alias("kind"),
+        F.col("vec_id").alias("k1"),
+        F.col("centroid_id").cast("long").alias("k2"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    return pairs.unionByName(feats).unionByName(cfreq).unionByName(ivf)

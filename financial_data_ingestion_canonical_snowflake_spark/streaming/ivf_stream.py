@@ -1,0 +1,118 @@
+"""Streaming maintenance of an IVF (inverted-file) ANN index.
+
+A training-data pipeline ingests embeddings continuously; rebuilding the
+ANN index from the full corpus per refresh is the corpus-wide pass a
+100 TB deployment can't afford. Centroid assignment is per-row map work
+against a FIXED broadcast quantizer, so the inverted-list table is
+mergeable state: this sink folds each micro-batch's assignments
+``(vec_id, centroid_id, embedding)`` into a persisted index via
+:func:`operators.merge.merge_upsert` keyed on the vector id — a replayed
+at-least-once delivery re-merges the same rows idempotently (no ledger
+needed: the fold is keyed, not additive), and a RE-INGESTED vector
+updates its assignment and embedding instead of duplicating.
+
+Centroids are pinned at sink construction (their own ParquetTable,
+written once by the caller — a kmeans_centroids output or any
+deterministic quantizer). Re-clustering is a deliberate full rebuild,
+the standard IVF operational story: assignments are only comparable
+within one quantizer generation.
+
+Queries serve from the maintained table via
+:func:`operators.similarity.ivf_topk_from_index` — probe-assignment +
+probed-list join, never a corpus re-scan. Invariant (pytest:
+tests/test_streaming_ivf.py): after draining any prefix of the stream,
+across restarts and replays, the index equals the batch
+``assign_to_centroids`` over everything ingested, and top-k served from
+it is row-identical to ``ivf_topk`` over the same corpus + centroids.
+
+Per-trigger cost: one broadcast crossJoin over the BATCH (k centroid
+candidates per vector, map-side max_by collapse) + one keyed merge
+against the index — batch-proportional. At 100 TB the index table is
+the corpus's (id, int, vector) projection, hash-partitionable by
+centroid_id for probe-locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.merge import merge_upsert
+from ..operators.similarity import assign_to_centroids
+from ..operators.storage import ParquetTable
+
+
+def _index_schema(id_col: str, vec_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+class IvfIndexSink:
+    """foreachBatch sink folding embedding micro-batches into the index."""
+
+    def __init__(
+        self,
+        index_table: ParquetTable,
+        centroids_table: ParquetTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        if index_table.schema is None:
+            index_table.schema = _index_schema(id_col, vec_col)
+        self.index_table = index_table
+        self.centroids_table = centroids_table
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def index(self, spark: SparkSession) -> DataFrame:
+        """The maintained inverted-list table — ivf_topk_from_index input."""
+        return self.index_table.read(spark)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = assign_to_centroids(
+            batch_df,
+            self.centroids_table.read(spark),
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        ).join(
+            batch_df.select(
+                self.id_col,
+                F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+            ),
+            self.id_col,
+        ).select(self.id_col, "centroid_id", self.vec_col)
+        merged = merge_upsert(
+            self.index_table.read(spark), assigned, keys=[self.id_col]
+        )
+        self.index_table.overwrite_atomic(merged)
+
+
+def stream_ivf_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_table: ParquetTable,
+    centroids_table: ParquetTable,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Stream a parquet embedding directory into the maintained IVF index."""
+    from .dedup_stream import _start_parquet_batch_stream
+
+    return _start_parquet_batch_stream(
+        spark,
+        source_dir,
+        IvfIndexSink(index_table, centroids_table, id_col, vec_col),
+        checkpoint_dir,
+        max_files_per_trigger,
+        available_now,
+    )
