@@ -385,3 +385,60 @@ def test_remove_spans_skew_safe_join_and_partial_reassembly(spark, sf_oracle):
     for schema in re.findall(r"ReadSchema: struct<([^>]*)", plan):
         cols = {f.split(":")[0] for f in schema.split(",") if ":" in f}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_remove_spans_state_fed_skips_frequency_aggregate(spark):
+    """The incremental path (r11): with a maintained (chunk_hash,
+    doc_freq) table supplied, remove_shared_spans must NOT rebuild the
+    corpus-wide frequency aggregate — the plan carries exactly one
+    count-style aggregate pair (the per-document reassembly), no
+    count(distinct)-shaped frequency pass, and the freq lookup stays an
+    equi-join on the hash."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_canonical_snowflake_spark.functions.scalars import (
+        md5_long,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.functions.text import (
+        cdc_chunk_documents,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        remove_shared_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunk_documents(docs, "doc_id", "text", divisor=8)
+    freq = (
+        chunks.withColumn("chunk_hash", md5_long(F.lower(F.col("chunk_text"))))
+        .select("chunk_hash", "doc_id")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    )
+    # materialize the state tables as parquet (what the sink maintains)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fincan_spanstate_")
+    chunks.write.mode("overwrite").parquet(d + "/chunks")
+    freq.write.mode("overwrite").parquet(d + "/freq")
+    out = remove_shared_spans(
+        None,
+        "doc_id",
+        "text",
+        max_doc_freq=1,
+        chunks=spark.read.parquet(d + "/chunks"),
+        freq=spark.read.parquet(d + "/freq"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    # exactly ONE aggregate chain (reassembly); a rebuilt frequency pass
+    # would add a second partial/final count pair over the chunk frame
+    assert plan.count("partial_collect_list") == 1, plan
+    assert "distinct" not in plan.lower(), plan
+    # freq lookup joins on the hash (left join: external table may lag)
+    assert re.search(r"Join .*__h", plan) or "Join [__h" in plan, plan
