@@ -85,6 +85,7 @@ def parity(
 
 _SEP = "\x1f"
 _NUL = "\x01"
+_DIGEST_P = 2_147_483_647  # Mersenne-31: per-row digest-hash modulus
 
 
 def digest_frame(df: DataFrame, probe: str) -> DataFrame:
@@ -106,7 +107,17 @@ def digest_frame(df: DataFrame, probe: str) -> DataFrame:
             rendered = col.cast("string")
         parts.append(F.coalesce(rendered, F.lit(_NUL)))
     line = F.concat_ws(_SEP, *parts)
-    h = F.conv(F.substring(F.md5(line), 1, 10), 16, 10).cast("long")
+    # Per-row hash reduced mod 2^31-1 BEFORE the sum: a raw 40-bit hash
+    # summed as int64 overflows (ANSI: throws) past ~2^23 rows — hit for
+    # real by the sf1 simhash pair set (17M+ rows). 31-bit terms give
+    # ~4e9 rows of headroom while the sum stays a driver-exact BIGINT
+    # (a DECIMAL final is NOT an option: the driver's arrow fetch
+    # converts DuckDB decimals to float, losing exactness above 2^53 —
+    # see tests/oracle_compare.py::_fetch_oracle).
+    h = (
+        F.conv(F.substring(F.md5(line), 1, 10), 16, 10).cast("long")
+        % F.lit(_DIGEST_P)
+    )
     return (
         df.select(h.alias("__h"))
         .agg(
@@ -134,7 +145,7 @@ def digest_sql(probe: str, sql: str, cols: list[tuple[str, str]]) -> str:
     line = " || chr(31) || ".join(renders)
     return (
         f"SELECT '{probe}' AS probe, COUNT(*) AS row_cnt, "
-        f"CAST(COALESCE(SUM(('0x' || substr(md5({line}), 1, 10))::BIGINT), 0) AS BIGINT)"
+        f"CAST(COALESCE(SUM(('0x' || substr(md5({line}), 1, 10))::BIGINT % {_DIGEST_P}), 0) AS BIGINT)"
         f" AS content_sum FROM ({sql}) __probe"
     )
 
