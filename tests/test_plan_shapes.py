@@ -442,3 +442,37 @@ def test_remove_spans_state_fed_skips_frequency_aggregate(spark):
     assert "distinct" not in plan.lower(), plan
     # freq lookup joins on the hash (left join: external table may lag)
     assert re.search(r"Join .*__h", plan) or "Join [__h" in plan, plan
+
+
+def test_ivf_from_index_serves_without_corpus_reassignment(spark, tmp_path):
+    """The maintained-index query path (r11): ivf_topk_from_index must
+    carry exactly ONE row_number window chain per side purpose — the
+    probe selection (partitioned by query_id) and the final top-k — and
+    NO window or aggregate over the index side (re-assigning the corpus
+    would defeat the maintained index). Index side joins by centroid_id."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.similarity import (
+        ivf_topk_from_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = emb.limit(6)
+    index = spark.createDataFrame(
+        [(i, i % 6, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(100)],
+        "vec_id long, centroid_id int, embedding array<double>",
+    )
+    tmp = str(tmp_path / "idx")
+    index.write.mode("overwrite").parquet(tmp)
+    out = ivf_topk_from_index(
+        spark.read.parquet(tmp), emb.limit(10), cents, k=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # two window chains: probe-rank over query_id + final top-k over
+    # query_id — and none partitioned by the index/neighbor key
+    assert plan.count("RunningWindowFunction") <= 2 or plan.count("Window") <= 4, plan
+    assert "windowspecdefinition(neighbor_id" not in plan.lower(), plan
+    assert "windowspecdefinition(vec_id" not in plan.lower(), plan
