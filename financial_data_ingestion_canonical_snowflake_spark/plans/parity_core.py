@@ -1025,7 +1025,7 @@ def anomaly_rules_header_line(spark, sf_dir):
     "skew_salted_join",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS line_cnt,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -1034,7 +1034,12 @@ def skew_salted_join(spark, sf_dir):
     """Salted join == plain join, proved against a plain-join oracle: the
     lineitem side is salted 16 ways, the orders side replicated, results
     identical (operators/skew.py; salting is the manual fallback where AQE
-    skew-splitting can't rebalance a single hot build key)."""
+    skew-splitting can't rebalance a single hot build key).
+
+    total_price is a DECIMAL(28,6) STRING final (the a1 money-sum
+    discipline): the r11 sf3 spot-check caught the double final drifting
+    one ulp between the engines' decimal->double casts once the scale-6
+    unit sum crossed 2^53 (3.6M joined rows, sum ~1.9e17 units)."""
     from ..operators.skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -1044,7 +1049,10 @@ def skew_salted_join(spark, sf_dir):
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("line_cnt"),
-        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("total_price"),
+        F.sum(_dec(F.col("l_extendedprice")))
+        .cast("decimal(28,6)")
+        .cast("string")
+        .alias("total_price"),
     )
 
 
