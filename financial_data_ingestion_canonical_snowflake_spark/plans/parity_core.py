@@ -288,7 +288,7 @@ def w2_duplicate_counts(spark, sf_dir):
         SELECT 'CSV', o_totalprice FROM orders WHERE o_orderstatus NOT IN ('F','O')
     )
     SELECT source_system, COUNT(*) AS txn_cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS total_amount
     FROM tagged GROUP BY source_system
     """,
 )
@@ -307,9 +307,15 @@ def u1_union_all_by_source(spark, sf_dir):
         ),
     ]
     unioned = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    # DECIMAL(28,6)-string money final (a1 discipline): the r11 sf3
+    # spot-check caught the double final's decimal->double cast drifting
+    # between engines once the scale-6 unit sum crossed 2^53
     return unioned.groupBy("source_system").agg(
         F.count(F.lit(1)).alias("txn_cnt"),
-        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+        F.sum(_dec(F.col("o_totalprice")))
+        .cast("decimal(28,6)")
+        .cast("string")
+        .alias("total_amount"),
     )
 
 
@@ -509,7 +515,7 @@ def f1_f5_scalar_chain(spark, sf_dir):
     driver=False,  # driver slot: folded into a probe_digest_* composite
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS txn_cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS total_amount
     FROM orders GROUP BY 1
     """,
 )
@@ -518,7 +524,11 @@ def f11_month_rollup(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")).agg(
         F.count(F.lit(1)).alias("txn_cnt"),
-        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_amount"),
+        # string money final: per-month unit sums cross 2^53 near sf10
+        F.sum(_dec(F.col("o_totalprice")))
+        .cast("decimal(28,6)")
+        .cast("string")
+        .alias("total_amount"),
     )
 
 
@@ -1343,7 +1353,7 @@ _DIGEST_RELATIONAL = [
     ("a4_smoke_counts", [("table_name", "s"), ("row_cnt", "s")]),
     ("a5_distinct", [("l_returnflag", "s"), ("l_linestatus", "s")]),
     ("w2_duplicate_counts", [("o_custkey", "s"), ("dup_cnt", "s")]),
-    ("u1_union_all_by_source", [("source_system", "s"), ("txn_cnt", "s"), ("total_amount", "d")]),
+    ("u1_union_all_by_source", [("source_system", "s"), ("txn_cnt", "s"), ("total_amount", "s")]),
     (
         "o1_o3_ordered_probes",
         [("probe_rank", "s"), ("n_name", "s"), ("r_name", "s"), ("cust_cnt", "s"), ("total_bal", "d")],
@@ -1359,7 +1369,7 @@ _DIGEST_SCALAR = [
         [("c_custkey", "s"), ("segment_norm", "s"), ("name_suffix", "s"), ("nvl_demo", "s")],
     ),
     ("f3_f4_try_casts", [("event_id", "s"), ("k_num", "d"), ("bad_num", "d"), ("ts_roundtrip", "s")]),
-    ("f11_month_rollup", [("order_month", "s"), ("txn_cnt", "s"), ("total_amount", "d")]),
+    ("f11_month_rollup", [("order_month", "s"), ("txn_cnt", "s"), ("total_amount", "s")]),
 ]
 
 _DIGEST_VARIANT = [
