@@ -20,14 +20,42 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _T_PRESENT = "__merge_t_present"
 _S_PRESENT = "__merge_s_present"
+
+#: per-column matched-row merge expression: (target_col, source_col) -> Column
+MergeExpr = Callable[[Column, Column], Column]
+
+
+@dataclass(frozen=True)
+class LedgerSpec:
+    """Per-bucket applied-batch ledger for NON-idempotent scoped folds.
+
+    An additive merge expression (``dup_cnt``, ``doc_freq``, feature counts)
+    double-counts a replayed at-least-once delivery; keyed/min/max folds
+    don't. ``merge_upsert_scoped`` with a ledger stores, INSIDE each bucket
+    partition, one sentinel row (``keys[0] == sentinel``; real keys never
+    take the sentinel value) whose ``value_col`` holds the last applied
+    ``batch_id`` for that bucket. Because ``replace_partitions`` swaps each
+    bucket directory atomically, a bucket's data and its ledger move
+    together — a crash mid-swap leaves every bucket either fully applied
+    (ledger advanced) or fully unapplied (ledger stale), and the replay
+    re-folds ONLY the unapplied buckets. This upgrades the whole-table
+    sinks' documented at-least-once edge (a crash between table swap and
+    checkpoint commit re-adds one batch) to exactly-once per bucket.
+
+    Readers must exclude sentinel rows (the sinks' accessor methods do).
+    """
+
+    sentinel: object
+    value_col: str
 
 #: hidden hash-bucket partition column for partition-scoped merges
 PART_COL = "txn_part"
@@ -87,6 +115,7 @@ def merge_upsert(
     set_on_update: dict | None = None,
     set_on_insert: dict | None = None,
     evolve_schema: bool = False,
+    merge_exprs: dict[str, MergeExpr] | None = None,
 ) -> DataFrame:
     """MERGE emulation: returns the post-merge table as a DataFrame.
 
@@ -97,6 +126,14 @@ def merge_upsert(
     - unmatched source rows -> inserted
     - ``set_on_update`` / ``set_on_insert``: column->Column overrides applied
       to matched / inserted rows (e.g. ``updated_ts = current_timestamp()``).
+    - ``merge_exprs``: column -> ``(target_col, source_col) -> Column``
+      combiner applied on MATCHED rows — the WHEN MATCHED THEN UPDATE SET
+      ``c = f(t.c, s.c)`` surface the streaming state sinks need (additive
+      counts, ``least()`` survivors, ``greatest()`` sketch registers).
+      Inserted rows take the source value (the correct base case for every
+      fold whose combiner is associative with the absent side as identity:
+      ``coalesce(NULL,0)+s = s``, ``least(NULL,s) = s``). Disjoint from
+      ``keys``/``preserve``/``set_on_update`` by assertion.
     - ``evolve_schema=True`` merges mismatched schemas instead of asserting:
       columns only in the source APPEND to the table (typed NULL for
       pre-existing rows), columns missing from the source are PRESERVED from
@@ -173,11 +210,21 @@ def merge_upsert(
     inserted = F.col(_T_PRESENT).isNull()
     set_on_update = set_on_update or {}
     set_on_insert = set_on_insert or {}
+    merge_exprs = merge_exprs or {}
+    clash = set(merge_exprs) & (set(keys) | set(preserve) | set(set_on_update))
+    assert not clash, (
+        f"merge_upsert: merge_exprs columns {sorted(clash)} clash with "
+        "keys/preserve/set_on_update — a column can have one merge rule"
+    )
 
     projections = []
     for c in out_cols:
         tc, sc = F.col(f"__t_{c}"), F.col(f"__s_{c}")
-        if c in preserve:
+        if c in merge_exprs:
+            base = F.when(matched, merge_exprs[c](tc, sc)).when(
+                inserted, sc
+            ).otherwise(tc)
+        elif c in preserve:
             base = F.when(matched, tc).when(inserted, sc).otherwise(tc)
         else:
             base = F.when(matched | inserted, sc).otherwise(tc)
@@ -257,6 +304,9 @@ def merge_upsert_scoped(
     dedupe_order: Sequence | None = None,
     set_on_update: dict | None = None,
     set_on_insert: dict | None = None,
+    merge_exprs: dict[str, MergeExpr] | None = None,
+    ledger: LedgerSpec | None = None,
+    batch_id: int | None = None,
 ) -> list[str]:
     """Partition-scoped MERGE into a hash-bucketed ``ParquetTable``.
 
@@ -268,59 +318,141 @@ def merge_upsert_scoped(
        is laid out with, so matches can only live in the source's buckets;
     2. read ONLY those buckets from the target (hive partition pruning — the
        ``isin`` filter prunes directories, verified in tests);
-    3. ``merge_upsert`` within the touched buckets;
+    3. ``merge_upsert`` within the touched buckets (with ``merge_exprs``
+       custom matched-row combiners when given — the streaming state sinks'
+       additive / least / greatest folds);
     4. swap just those partition directories (``replace_partitions``).
 
     A batch touching k of N buckets reads and rewrites k/N of the table. At
     100 TB with e.g. 4096 buckets, an incremental batch costs GBs, not TBs.
     ``table`` must have ``partition_by=[PART_COL]``. Returns the replaced
     partition rel-paths.
+
+    ``ledger`` + ``batch_id`` add per-bucket replay protection for
+    non-idempotent folds (see :class:`LedgerSpec`): buckets whose stored
+    ledger already reached ``batch_id`` are skipped wholesale (not read,
+    not rewritten), the rest fold and land with their ledger row advanced
+    in the same atomic directory swap.
     """
     keys = list(keys)
+    if (ledger is None) != (batch_id is None):
+        raise ValueError(
+            "merge_upsert_scoped: ledger and batch_id must be given together"
+        )
     if n_buckets is None:
         n_buckets = table.n_buckets
     n_buckets = _validated_n_buckets(table, n_buckets)
     src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
     persisted = False
-    if table.exists():
+    exists = table.exists()
+    parts: list[int] | None = None
+    if exists or ledger is not None:
         # The incremental path needs the touched-bucket list BEFORE the join
         # (it prunes the target scan), so the source evaluates twice: once
         # for the bucket collect, once inside the merge. Persist it — the
         # source is the small delta by construction, and recomputing a
         # window-deduped transform chain per consumer is the expensive half.
+        # (A ledger also needs the list on the FIRST batch, to stamp one
+        # ledger row per written bucket.)
         src = src.persist()
         persisted = True
         # bounded by n_buckets -> driver-small collect
         parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
-        data_cols = [f.name for f in table.schema.fields]
+    if exists:
+        data_cols = (
+            [f.name for f in table.schema.fields]
+            if table.schema is not None
+            else [c for c in source.columns]
+        )
         tgt = (
             spark.read.parquet(table.path)
             .filter(F.col(PART_COL).isin(parts))
             .select(*data_cols, PART_COL)
         )
+        if ledger is not None:
+            sentinel = F.lit(ledger.sentinel)
+            applied = {
+                r[0]: r[1]
+                for r in tgt.filter(F.col(keys[0]).eqNullSafe(sentinel))
+                .select(PART_COL, ledger.value_col)
+                .collect()
+            }
+            parts = [
+                p
+                for p in parts
+                if applied.get(p) is None or applied[p] < batch_id
+            ]
+            if not parts:
+                src.unpersist()
+                return []  # whole batch already applied (replay)
+            src = src.filter(F.col(PART_COL).isin(parts))
+            tgt = tgt.filter(
+                F.col(PART_COL).isin(parts)
+                & ~F.col(keys[0]).eqNullSafe(sentinel)
+            )
         merged = merge_upsert(
-            tgt, src, keys, preserve, dedupe_order, set_on_update, set_on_insert
+            tgt,
+            src,
+            keys,
+            preserve,
+            dedupe_order,
+            set_on_update,
+            set_on_insert,
+            merge_exprs=merge_exprs,
         )
-        # one write task per touched bucket -> one right-sized file per
-        # partition dir instead of (shuffle-width x buckets) small files
-        merged = merged.repartition(max(len(parts), 1), F.col(PART_COL))
     else:
         # first batch: MERGE into empty = dedupe + insert-only projection —
-        # skip the full-outer join against nothing, AND skip the
-        # touched-bucket collect (it only feeds target pruning, and
-        # replace_partitions derives the written partition list from the
+        # skip the full-outer join against nothing (and without a ledger,
+        # skip the touched-bucket collect too: it only feeds target pruning,
+        # and replace_partitions derives the written partition list from the
         # files themselves): one Spark job total instead of two.
         merged = src
         if dedupe_order is not None:
             merged = dedupe_source(merged, keys, dedupe_order)
         for c, expr in (set_on_insert or {}).items():
             merged = merged.withColumn(c, expr)
-        merged = merged.repartition(n_buckets, F.col(PART_COL))
+    if ledger is not None:
+        merged = merged.unionByName(
+            _ledger_rows(spark, source, keys[0], ledger, batch_id, parts)
+        )
+    # one write task per touched bucket -> one right-sized file per
+    # partition dir instead of (shuffle-width x buckets) small files
+    merged = merged.repartition(
+        len(parts) if parts else n_buckets, F.col(PART_COL)
+    )
     replaced = table.replace_partitions(merged)
     if persisted:
         src.unpersist()
     table.write_meta(n_buckets=n_buckets, part_col=PART_COL, keys=keys)
     return replaced
+
+
+def _ledger_rows(
+    spark: SparkSession,
+    source: DataFrame,
+    key0: str,
+    ledger: LedgerSpec,
+    batch_id: int,
+    parts: Sequence[int],
+) -> DataFrame:
+    """One sentinel ledger row per applied bucket, typed to the source
+    schema + the bucket column (every non-key, non-value column NULL)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(source.schema.fields) + [T.StructField(PART_COL, T.IntegerType())]
+    )
+    rows = [
+        tuple(
+            ledger.sentinel
+            if f.name == key0
+            else (batch_id if f.name == ledger.value_col else None)
+            for f in source.schema.fields
+        )
+        + (int(p),)
+        for p in parts
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def _validated_n_buckets(table, n_buckets: int) -> int:

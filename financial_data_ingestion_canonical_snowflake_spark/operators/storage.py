@@ -82,11 +82,22 @@ class ParquetTable:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the table; an absent table reads as empty when a schema is
-        declared (lets the first merge run against an empty target)."""
+        declared (lets the first merge run against an empty target).
+
+        The internal hash-bucket column of a scoped-merge layout
+        (``partition_by == [merge.PART_COL]``) is a physical detail, not
+        table data — it is dropped here so schema-less readers see the same
+        logical columns a whole-table layout would give them. Real partition
+        columns (client_id, load_date, ...) are data and stay."""
         if self.exists():
             df = spark.read.parquet(self.path)
             if self.schema is not None:
                 df = df.select(*[f.name for f in self.schema.fields])
+            else:
+                from .merge import PART_COL  # local: avoids an import cycle
+
+                if self.partition_by == [PART_COL]:
+                    df = df.drop(PART_COL)
             return df
         if self.schema is None:
             raise FileNotFoundError(f"table not found and no schema: {self.path}")
@@ -126,6 +137,11 @@ class ParquetTable:
         df = spark.read.parquet(gens[-n_back])
         if self.schema is not None:
             df = df.select(*[f.name for f in self.schema.fields])
+        else:
+            from .merge import PART_COL  # local: avoids an import cycle
+
+            if self.partition_by == [PART_COL]:
+                df = df.drop(PART_COL)
         return df
 
     def overwrite_atomic(self, df: DataFrame) -> None:

@@ -8,19 +8,31 @@ a full rechunk-and-recount per refresh is exactly the corpus-wide pass a
 document frequency is mergeable state (per-hash DISTINCT-doc counts add
 across batches as long as a document arrives in exactly one micro-batch —
 the file-source guarantee: a file is read once, a document lives in one
-file). So this sink folds each micro-batch into two persisted tables:
+file; a document RE-INGESTED under the same id in a later batch would
+corrupt the additive counts, so the sink detects that and fails loudly,
+see below). So this sink folds each micro-batch into two persisted tables:
 
-- ``chunks_table`` ``(id, chunk_idx, chunk_text, n_tokens, chunk_hash)``
-  — the batch's ``cdc_chunk_documents`` output, merged by
+- ``chunks_table`` ``(id, chunk_idx, chunk_text, n_tokens, chunk_hash,
+  src_batch_id)`` — the batch's ``cdc_chunk_documents`` output, merged by
   ``(id, chunk_idx)`` via :func:`operators.merge.merge_upsert`, so a
-  replayed at-least-once delivery re-merges the same rows idempotently;
+  replayed at-least-once delivery re-merges the same rows idempotently.
+  ``src_batch_id`` records which micro-batch delivered the document; it is
+  what lets the re-ingest guard tell a REPLAY of the same batch (stored id
+  == incoming id: benign, re-merge) from a true re-ingest in a LATER batch
+  (stored id != incoming id: raises — re-chunking under a shortened text
+  would also strand stale higher-``chunk_idx`` rows, so re-ingest is
+  rejected rather than silently mis-counted). Read through
+  :meth:`CdcChunkSink.chunks`, which drops the bookkeeping column.
 - ``freq_table`` ``(chunk_hash, doc_freq)`` — additive fold of the
   batch's per-hash distinct-document counts. Additive folds double-count
-  replays, so the table carries the applied-batch LEDGER as a sentinel
-  row (``chunk_hash = -1``, doc_freq = last applied batch_id; real
-  hashes are md5-derived 60-bit non-negatives), the
-  importance_stream.py pattern: the ledger swaps atomically WITH the
-  counts, and a replayed ``batch_id <= ledger`` skips the freq fold.
+  replays, so the fold is ledger-guarded: on a plain table, one sentinel
+  row (``chunk_hash = -1``, doc_freq = last applied batch_id; real hashes
+  are md5-derived 60-bit non-negatives) swaps atomically WITH the counts,
+  and a replayed ``batch_id <= ledger`` skips the fold; on a
+  hash-BUCKETED table (``partition_by=[merge.PART_COL]``) the ledger is
+  PER BUCKET (merge.LedgerSpec), each swapping atomically with its
+  bucket's counts, so a crash mid-swap replays only the buckets that
+  didn't land.
 
 Fold order makes every crash point safe: chunks merge FIRST (idempotent
 — re-merging is harmless whether or not the freq fold landed), freq +
@@ -36,11 +48,17 @@ the same corpus, and ``remove_shared_spans(chunks=..., freq=...)`` over
 the maintained state equals the from-scratch batch operator. Live-drain
 hash-certified cross-engine in ns_stream_live_sinks.
 
-Per-trigger cost: one batch-sized chunking (map-side HOFs) + one keyed
-merge per table — batch-proportional, never a corpus re-scan. Chunk
-hashes use md5 of the LOWERCASED chunk text (remove_shared_spans'
-case-insensitive span identity; the stored chunk_text keeps source
-case).
+Per-trigger cost: COMPUTE is batch-proportional (one batch-sized
+chunking via map-side HOFs + one keyed merge per table). WRITE I/O
+depends on the table layout: a plain table rewrites the whole state per
+trigger (``overwrite_atomic`` — state-sized write amplification, fine
+for bounded fixtures, wrong for a corpus-sized chunk table); a
+hash-BUCKETED table rewrites only the buckets the batch touches — the
+reference's MERGE-touches-matched-rows economics
+(sql/05_merge_canonical.sql:6-53), the layout a 100 TB deployment should
+use. Chunk hashes use md5 of the LOWERCASED chunk text
+(remove_shared_spans' case-insensitive span identity; the stored
+chunk_text keeps source case).
 """
 
 from __future__ import annotations
@@ -51,7 +69,13 @@ from pyspark.sql import types as T
 
 from ..functions.scalars import md5_long
 from ..functions.text import cdc_chunk_documents
-from ..operators.merge import merge_upsert
+from ..operators.merge import (
+    PART_COL,
+    LedgerSpec,
+    merge_upsert,
+    merge_upsert_scoped,
+    part_expr,
+)
 from ..operators.storage import ParquetTable
 
 FREQ_SCHEMA = T.StructType(
@@ -63,6 +87,12 @@ FREQ_SCHEMA = T.StructType(
 
 _LEDGER_HASH = -1
 
+_ADD = {
+    "doc_freq": lambda t, s: (
+        F.coalesce(t, F.lit(0)) + F.coalesce(s, F.lit(0))
+    ).cast("long")
+}
+
 
 def _chunk_schema(id_col: str) -> T.StructType:
     return T.StructType(
@@ -72,6 +102,7 @@ def _chunk_schema(id_col: str) -> T.StructType:
             T.StructField("chunk_text", T.StringType()),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("chunk_hash", T.LongType()),
+            T.StructField("src_batch_id", T.LongType()),
         ]
     )
 
@@ -106,21 +137,72 @@ class CdcChunkSink:
         return int(row[0][0]) if row else -1
 
     def chunks(self, spark: SparkSession) -> DataFrame:
-        """The maintained chunk table — remove_shared_spans' ``chunks=``."""
-        return self.chunks_table.read(spark)
+        """The maintained chunk table — remove_shared_spans' ``chunks=``
+        (the ``src_batch_id`` bookkeeping column dropped)."""
+        return self.chunks_table.read(spark).drop("src_batch_id")
 
     def freq(self, spark: SparkSession) -> DataFrame:
-        """The maintained ``(chunk_hash, doc_freq)`` table (ledger row
+        """The maintained ``(chunk_hash, doc_freq)`` table (ledger rows
         excluded) — remove_shared_spans' ``freq=``."""
         return self.freq_table.read(spark).filter(
             F.col("chunk_hash") != _LEDGER_HASH
         )
 
+    def _guard_reingest(
+        self, spark: SparkSession, batch_chunks: DataFrame, batch_id: int
+    ) -> None:
+        """Fail loudly when a doc_id in this batch already has chunks from
+        a DIFFERENT batch: the additive doc-frequency fold would
+        double-count it, and a shortened re-ingest would strand stale
+        higher-index chunk rows. Same-batch matches are replays — benign.
+
+        Cost: one semi-ish join of the batch's ids against the chunk
+        table's id projection — bucket-pruned on a scoped layout (the
+        batch ids' buckets only), so the guard stays batch-footprint-
+        proportional at corpus scale."""
+        if not self.chunks_table.exists():
+            return
+        existing = spark.read.parquet(self.chunks_table.path)
+        batch_ids = batch_chunks.select(self.id_col).distinct()
+        if self.chunks_table.partition_by == [PART_COL]:
+            n = self.chunks_table.read_meta()["n_buckets"]
+            parts = [
+                r[0]
+                for r in batch_ids.select(
+                    part_expr(self.id_col, n).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            existing = existing.filter(F.col(PART_COL).isin(parts))
+        clash = (
+            existing.select(self.id_col, "src_batch_id")
+            .join(batch_ids, self.id_col)
+            .filter(F.col("src_batch_id") != F.lit(batch_id))
+            .select(self.id_col)
+            .distinct()
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            ids = sorted(r[0] for r in clash)
+            raise ValueError(
+                f"CdcChunkSink: doc ids {ids} were already ingested by an "
+                f"earlier batch; re-ingesting a document corrupts the "
+                f"additive doc-frequency state (and a shortened text would "
+                f"strand stale chunk rows). This sink requires each "
+                f"document to arrive in exactly one micro-batch — the "
+                f"parquet file-source contract. Rebuild the state tables "
+                f"to absorb revised documents."
+            )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        current_freq = self.freq_table.read(spark).cache()
+        scoped = self.freq_table.partition_by == [PART_COL]
+        if not scoped:
+            current_freq = self.freq_table.read(spark).cache()
         try:
-            if batch_id <= self._last_applied(current_freq):
+            if not scoped and batch_id <= self._last_applied(current_freq):
                 return  # replayed at-least-once delivery: already folded
             batch_chunks = (
                 cdc_chunk_documents(
@@ -129,48 +211,77 @@ class CdcChunkSink:
                 .withColumn(
                     "chunk_hash", md5_long(F.lower(F.col("chunk_text")))
                 )
+                .withColumn("src_batch_id", F.lit(batch_id).cast("long"))
                 .persist()
             )
             try:
+                self._guard_reingest(spark, batch_chunks, batch_id)
                 # 1) chunk merge (idempotent by key) — safe to re-apply
-                merged_chunks = merge_upsert(
-                    self.chunks_table.read(spark),
-                    batch_chunks,
-                    keys=[self.id_col, "chunk_idx"],
-                )
-                self.chunks_table.overwrite_atomic(merged_chunks)
+                if self.chunks_table.partition_by == [PART_COL]:
+                    merge_upsert_scoped(
+                        spark,
+                        self.chunks_table,
+                        batch_chunks,
+                        keys=[self.id_col, "chunk_idx"],
+                    )
+                else:
+                    merged_chunks = merge_upsert(
+                        self.chunks_table.read(spark),
+                        batch_chunks,
+                        keys=[self.id_col, "chunk_idx"],
+                    )
+                    self.chunks_table.overwrite_atomic(merged_chunks)
                 # 2) additive freq fold + ledger, swapped atomically
                 b = (
                     batch_chunks.select("chunk_hash", self.id_col)
                     .distinct()
                     .groupBy("chunk_hash")
-                    .agg(F.count(F.lit(1)).cast("long").alias("__b_cnt"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
                 )
-                t = current_freq.filter(
-                    F.col("chunk_hash") != _LEDGER_HASH
-                ).select("chunk_hash", F.col("doc_freq").alias("__t_cnt"))
-                merged_freq = (
-                    t.join(b, "chunk_hash", "full_outer")
-                    .select(
-                        "chunk_hash",
-                        (
-                            F.coalesce("__t_cnt", F.lit(0))
-                            + F.coalesce("__b_cnt", F.lit(0))
-                        )
-                        .cast("long")
-                        .alias("doc_freq"),
+                if scoped:
+                    merge_upsert_scoped(
+                        spark,
+                        self.freq_table,
+                        b,
+                        keys=["chunk_hash"],
+                        merge_exprs=_ADD,
+                        ledger=LedgerSpec(_LEDGER_HASH, "doc_freq"),
+                        batch_id=batch_id,
                     )
-                    .unionByName(
-                        spark.createDataFrame(
-                            [(_LEDGER_HASH, batch_id)], FREQ_SCHEMA
+                else:
+                    t = current_freq.filter(
+                        F.col("chunk_hash") != _LEDGER_HASH
+                    ).select("chunk_hash", F.col("doc_freq").alias("__t_cnt"))
+                    merged_freq = (
+                        t.join(
+                            b.select(
+                                "chunk_hash",
+                                F.col("doc_freq").alias("__b_cnt"),
+                            ),
+                            "chunk_hash",
+                            "full_outer",
+                        )
+                        .select(
+                            "chunk_hash",
+                            (
+                                F.coalesce("__t_cnt", F.lit(0))
+                                + F.coalesce("__b_cnt", F.lit(0))
+                            )
+                            .cast("long")
+                            .alias("doc_freq"),
+                        )
+                        .unionByName(
+                            spark.createDataFrame(
+                                [(_LEDGER_HASH, batch_id)], FREQ_SCHEMA
+                            )
                         )
                     )
-                )
-                self.freq_table.overwrite_atomic(merged_freq)
+                    self.freq_table.overwrite_atomic(merged_freq)
             finally:
                 batch_chunks.unpersist()
         finally:
-            current_freq.unpersist()
+            if not scoped:
+                current_freq.unpersist()
 
 
 def stream_cdc_chunks(

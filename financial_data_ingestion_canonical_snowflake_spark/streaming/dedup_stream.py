@@ -22,11 +22,19 @@ table swap and the checkpoint commit re-applies one batch, the documented
 at-least-once edge every non-transactional sink shares — the production
 seam is an ACID table format).
 
-Scale note: the fold is a full-outer merge keyed on content_hash. On a
-hash-BUCKETED survivor table the same fold runs bucket-scoped (only
-buckets the batch touches rewrite — operators/merge.py's scoped pattern);
-kept whole-table here because the additive dup_cnt needs a custom merge
-expression the generic scoped merge doesn't take yet.
+Scale note: the fold is a full-outer merge keyed on content_hash. Give the
+sink a hash-BUCKETED survivor table (``partition_by=[merge.PART_COL]``)
+and the fold runs bucket-scoped: a micro-batch reads and rewrites ONLY the
+buckets its content hashes land in — per-trigger I/O proportional to the
+batch's bucket footprint, not the corpus (the reference's
+MERGE-touches-matched-rows economics, sql/05_merge_canonical.sql:6-53).
+The scoped path also carries a per-bucket replay ledger (sentinel
+``content_hash = '__ledger__'`` row inside each bucket partition), so the
+additive ``dup_cnt`` is exactly-once per bucket even across the
+crash-between-swap-and-checkpoint edge that the whole-table path documents
+as at-least-once. Read survivors through :meth:`ExactDedupSink.survivors`
+(it excludes the sentinel rows). A plain unpartitioned table keeps the
+legacy whole-table rewrite.
 """
 
 from __future__ import annotations
@@ -35,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import (
+    PART_COL,
+    LedgerSpec,
+    merge_upsert,
+    merge_upsert_scoped,
+)
 from ..operators.storage import ParquetTable
 from ..operators.text_dedup import (
     exact_dedup,
@@ -51,6 +64,24 @@ SURVIVOR_SCHEMA = T.StructType(
     ]
 )
 
+#: sentinel content_hash of the scoped path's per-bucket ledger rows —
+#: real hashes are hex digests, which can never take this value
+LEDGER_HASH = "__ledger__"
+
+#: the survivor fold's matched-row combiners: min-id survivor (least()
+#: ignores NULL sides, so a later batch backfilling a smaller id still
+#: wins — identical to batch exact_dedup), additive duplicate counts
+_SURVIVOR_EXPRS = {
+    "survivor_id": lambda t, s: F.least(t, s).cast("long"),
+    "dup_cnt": lambda t, s: (
+        F.coalesce(t, F.lit(0)) + F.coalesce(s, F.lit(0))
+    ).cast("long"),
+}
+
+
+def _is_bucketed(table: ParquetTable) -> bool:
+    return table.partition_by == [PART_COL]
+
 
 class ExactDedupSink:
     """foreachBatch sink folding each micro-batch into the survivor table."""
@@ -62,32 +93,32 @@ class ExactDedupSink:
         self.id_col = id_col
         self.text_col = text_col
 
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """The maintained survivor table (scoped-path ledger rows
+        excluded) — identical schema/content to batch ``exact_dedup``."""
+        return self.table.read(spark).filter(
+            ~F.col("content_hash").eqNullSafe(F.lit(LEDGER_HASH))
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = exact_dedup(batch_df, self.id_col, self.text_col)
-        target = self.table.read(spark)
-        t = target.select(
-            "content_hash",
-            F.col("survivor_id").alias("__t_sid"),
-            F.col("dup_cnt").alias("__t_cnt"),
-        )
-        b = batch.select(
-            "content_hash",
-            F.col("survivor_id").alias("__b_sid"),
-            F.col("dup_cnt").alias("__b_cnt"),
-        )
-        merged = t.join(b, "content_hash", "full_outer").select(
-            "content_hash",
-            # least() ignores NULL sides, so the running survivor is the
-            # MIN id across every batch — identical to batch exact_dedup
-            # even when a later batch backfills a smaller id (a coalesce
-            # keeping the first-seen id would diverge there)
-            F.least("__t_sid", "__b_sid").cast("long").alias("survivor_id"),
-            (
-                F.coalesce("__t_cnt", F.lit(0)) + F.coalesce("__b_cnt", F.lit(0))
+        if _is_bucketed(self.table):
+            merge_upsert_scoped(
+                spark,
+                self.table,
+                batch,
+                keys=["content_hash"],
+                merge_exprs=_SURVIVOR_EXPRS,
+                ledger=LedgerSpec(LEDGER_HASH, "dup_cnt"),
+                batch_id=batch_id,
             )
-            .cast("long")
-            .alias("dup_cnt"),
+            return
+        merged = merge_upsert(
+            self.table.read(spark),
+            batch,
+            keys=["content_hash"],
+            merge_exprs=_SURVIVOR_EXPRS,
         )
         self.table.overwrite_atomic(merged)
 
@@ -160,7 +191,9 @@ class MinHashLshDedupSink:
        table — new-vs-corpus and new-vs-new candidate pairs only;
     3. both tables fold via ``merge_upsert`` (keyed on doc / (id_a, id_b)),
        so a replayed micro-batch after a restart re-merges the same rows
-       idempotently instead of appending duplicates.
+       idempotently instead of appending duplicates. Hash-BUCKETED tables
+       (``partition_by=[merge.PART_COL]``) fold bucket-scoped — per-trigger
+       I/O proportional to the batch's bucket footprint, not the corpus.
 
     The invariant (pytest-proven here in streaming form; the batch twin is
     proven in tests/test_curation.py): after draining any prefix of the
@@ -217,12 +250,23 @@ class MinHashLshDedupSink:
                 max_bucket_width=self.max_bucket_width,
                 persist=False,  # nb lifecycle covered by new_sigs persist
             )
-            merged_pairs = merge_upsert(
-                self.pairs_table.read(spark), pairs, keys=["id_a", "id_b"]
-            )
-            self.pairs_table.overwrite_atomic(merged_pairs)
-            merged_sigs = merge_upsert(corpus_sigs, new_sigs, keys=["doc"])
-            self.sig_table.overwrite_atomic(merged_sigs)
+            # both folds are keyed upserts (idempotent under replay — no
+            # ledger needed); a bucketed table gets the scoped rewrite,
+            # a plain table the legacy whole-table swap
+            if _is_bucketed(self.pairs_table):
+                merge_upsert_scoped(
+                    spark, self.pairs_table, pairs, keys=["id_a", "id_b"]
+                )
+            else:
+                merged_pairs = merge_upsert(
+                    self.pairs_table.read(spark), pairs, keys=["id_a", "id_b"]
+                )
+                self.pairs_table.overwrite_atomic(merged_pairs)
+            if _is_bucketed(self.sig_table):
+                merge_upsert_scoped(spark, self.sig_table, new_sigs, keys=["doc"])
+            else:
+                merged_sigs = merge_upsert(corpus_sigs, new_sigs, keys=["doc"])
+                self.sig_table.overwrite_atomic(merged_sigs)
         finally:
             new_sigs.unpersist()
 

@@ -25,6 +25,14 @@ full-outer merge against a table bounded by the 2**hash_bits feature
 space (65,536 rows at the default 16 bits) — trigger cost is batch-
 proportional with a hash-space-bounded state, the same shape as the
 streaming HLL sink.
+
+A hash-BUCKETED table (``partition_by=[merge.PART_COL]``) folds
+bucket-scoped instead: only the buckets the batch's features land in are
+read and rewritten, and the replay ledger moves from one global sentinel
+row to one PER BUCKET (each swaps atomically with its bucket's counts —
+merge.LedgerSpec), so a crash mid-swap replays only the buckets that
+didn't land. For this sink the state is hash-space-bounded either way;
+the scoped path exists so the fold shape matches the corpus-sized sinks.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.importance import hashed_ngram_features
+from ..operators.merge import PART_COL, LedgerSpec, merge_upsert_scoped
 from ..operators.storage import ParquetTable
 
 FEATURE_SCHEMA = T.StructType(
@@ -79,6 +88,34 @@ class ImportanceFeatureSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if self.table.partition_by == [PART_COL]:
+            # bucket-scoped fold: batch counts -> additive merge into the
+            # touched buckets only; per-bucket ledger handles replay skip
+            b = (
+                hashed_ngram_features(
+                    batch_df,
+                    self.id_col,
+                    self.text_col,
+                    shingle_len=self.shingle_len,
+                    hash_bits=self.hash_bits,
+                )
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            merge_upsert_scoped(
+                spark,
+                self.table,
+                b,
+                keys=["bucket"],
+                merge_exprs={
+                    "cnt": lambda t, s: (
+                        F.coalesce(t, F.lit(0)) + F.coalesce(s, F.lit(0))
+                    ).cast("long")
+                },
+                ledger=LedgerSpec(_LEDGER_BUCKET, "cnt"),
+                batch_id=batch_id,
+            )
+            return
         # ONE table read per trigger: the cached frame feeds both the
         # ledger probe and the merge input (the table is hash-space-bounded
         # — 2**hash_bits + 1 rows — so the cache is small by construction);

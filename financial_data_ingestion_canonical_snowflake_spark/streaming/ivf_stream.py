@@ -25,11 +25,19 @@ across restarts and replays, the index equals the batch
 ``assign_to_centroids`` over everything ingested, and top-k served from
 it is row-identical to ``ivf_topk`` over the same corpus + centroids.
 
-Per-trigger cost: one broadcast crossJoin over the BATCH (k centroid
-candidates per vector, map-side max_by collapse) + one keyed merge
-against the index — batch-proportional. At 100 TB the index table is
-the corpus's (id, int, vector) projection, hash-partitionable by
-centroid_id for probe-locality.
+Per-trigger cost: COMPUTE is batch-proportional — one broadcast
+crossJoin over the BATCH (k centroid candidates per vector, map-side
+max_by collapse) + one keyed merge against the index. WRITE I/O depends
+on the table layout: a plain table rewrites the whole index per trigger
+(``overwrite_atomic`` — state-sized write amplification, wrong for a
+corpus-sized index); a hash-BUCKETED index
+(``partition_by=[merge.PART_COL]``) rewrites only the buckets the
+batch's vector ids land in — the reference's MERGE-touches-matched-rows
+economics (sql/05_merge_canonical.sql:6-53), the layout a 100 TB
+deployment should use. The fold is a keyed upsert (idempotent under
+replay — no ledger needed). At 100 TB the index table is the corpus's
+(id, int, vector) projection, hash-partitionable by centroid_id for
+probe-locality.
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import PART_COL, merge_upsert, merge_upsert_scoped
 from ..operators.similarity import assign_to_centroids
 from ..operators.storage import ParquetTable
 
@@ -88,6 +96,11 @@ class IvfIndexSink:
             ),
             self.id_col,
         ).select(self.id_col, "centroid_id", self.vec_col)
+        if self.index_table.partition_by == [PART_COL]:
+            merge_upsert_scoped(
+                spark, self.index_table, assigned, keys=[self.id_col]
+            )
+            return
         merged = merge_upsert(
             self.index_table.read(spark), assigned, keys=[self.id_col]
         )

@@ -38,7 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import (
+    PART_COL,
+    merge_upsert,
+    merge_upsert_scoped,
+    part_expr,
+)
 from ..operators.scd import scd2_build
 from ..operators.storage import ParquetTable
 
@@ -76,6 +81,7 @@ class Scd2Sink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        scoped = self.table.partition_by == [PART_COL]
         events = batch_df.select(
             self.key_col, self.state_col, self.ts_col, self.seq_col
         )
@@ -83,6 +89,24 @@ class Scd2Sink:
         if self.table.exists():
             target = self.table.read(spark)
             affected = events.select(self.key_col).distinct()
+            if scoped:
+                # bucket-prune the version read to the batch keys' buckets
+                # (same part_expr the table is laid out with), THEN key-join
+                # — the dimension scan never leaves the batch's footprint
+                n = self.table.read_meta()["n_buckets"]
+                parts = [
+                    r[0]
+                    for r in affected.select(
+                        part_expr(self.key_col, n).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                target = (
+                    spark.read.parquet(self.table.path)
+                    .filter(F.col(PART_COL).isin(parts))
+                    .drop(PART_COL)
+                )
             touched = target.join(affected, self.key_col)  # batch-sized
             recomputed_src = self._as_events(touched).unionByName(events)
         recomputed = scd2_build(
@@ -93,6 +117,16 @@ class Scd2Sink:
             self.seq_col,
             with_seq=True,
         )
+        if scoped:
+            # keyed upsert (idempotent re-collapse — replay-safe); only the
+            # affected keys' buckets are rewritten
+            merge_upsert_scoped(
+                spark,
+                self.table,
+                recomputed,
+                keys=[self.key_col, "version_n"],
+            )
+            return
         if self.table.exists():
             merged = merge_upsert(
                 self.table.read(spark),
@@ -125,6 +159,19 @@ class Scd2Sink:
             self.seq_col,
             with_seq=True,
         )
+        if self.table.partition_by == [PART_COL]:
+            # a rebuild rewrites everything by definition; re-derive the
+            # bucket layout so subsequent scoped folds keep pruning
+            meta = self.table.read_meta()
+            n = meta["n_buckets"] if meta else self.table.n_buckets
+            rebuilt = rebuilt.withColumn(
+                PART_COL, part_expr(self.key_col, n)
+            ).repartition(n, F.col(PART_COL))
+            self.table.overwrite_atomic(rebuilt)
+            self.table.write_meta(
+                n_buckets=n, part_col=PART_COL, keys=[self.key_col, "version_n"]
+            )
+            return
         self.table.overwrite_atomic(rebuilt)
 
 

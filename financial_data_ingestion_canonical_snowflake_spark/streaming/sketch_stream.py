@@ -15,6 +15,12 @@ per input partition shuffle, map-side partial max) plus a register-keyed
 merge against a table bounded by groups x 2^b rows — never a re-scan of
 history. The distinct-count estimate reads off the table at any time via
 ``hll_estimate``.
+
+The register table is bounded by the hash space, so whole-table rewrite
+per trigger is cheap here; a hash-BUCKETED table
+(``partition_by=[merge.PART_COL]``) nevertheless folds bucket-scoped
+(keyed greatest() merge on (bucket, group) — idempotent under replay, no
+ledger needed), matching the fold shape of the corpus-sized sinks.
 """
 
 from __future__ import annotations
@@ -22,7 +28,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.merge import PART_COL, merge_upsert_scoped
 from ..operators.sketches import hll_estimate, hll_merge, hll_state
 from ..operators.storage import ParquetTable
 
@@ -45,6 +53,20 @@ class HllSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_state = hll_state(batch_df, self.group_cols, self.value_col, self.b)
+        if self.table.partition_by == [PART_COL]:
+            # register-keyed elementwise max — "bucket" leads the key list
+            # so the table hash-partitions on the register index (uniform)
+            # rather than a possibly-low-cardinality group column
+            merge_upsert_scoped(
+                spark,
+                self.table,
+                batch_state,
+                keys=["bucket", *self.group_cols],
+                merge_exprs={
+                    "r": lambda t, s: F.greatest(t, s).cast("int")
+                },
+            )
+            return
         if self.table.exists():
             merged = hll_merge(
                 [self.table.read(spark), batch_state], self.group_cols
