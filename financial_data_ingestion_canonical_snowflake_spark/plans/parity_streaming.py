@@ -214,13 +214,17 @@ def stream_live_scd2(spark, sf_dir):
     hash-matches the one-shot batch SCD2 oracle, proving the incremental
     fold's state converges to the batch truth. Fresh state + checkpoint
     per call (the fold itself is the measured work); the sliced source
-    dir is session-cached like the other live-stream feeds."""
+    dir is session-cached like the other live-stream feeds. The state
+    table is hash-BUCKETED, so each trigger runs the bucket-scoped fold
+    (only the batch keys' buckets read + rewritten) — the production
+    layout, hash-certified here."""
+    from ..operators.merge import PART_COL
     from ..operators.storage import ParquetTable
     from ..streaming.scd2_stream import Scd2Sink, stream_scd2
 
     src = _scd2_event_slices(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="fincan_scd2_state_")
-    state = ParquetTable(work + "/versions")
+    state = ParquetTable(work + "/versions", partition_by=[PART_COL], n_buckets=8)
     q = stream_scd2(
         spark,
         src,
@@ -494,7 +498,13 @@ def ns_stream_live_sinks(spark, sf_dir):
       batch ``assign_to_centroids`` over the whole embeddings table.
 
     Fresh state tables + checkpoints per call; the sliced source dirs are
-    session-cached like the other live-stream feeds."""
+    session-cached like the other live-stream feeds. Every state table is
+    hash-BUCKETED (the production layout), so each drain exercises the
+    bucket-scoped folds — per-trigger I/O proportional to the batch's
+    bucket footprint, with the additive folds (feature counts, chunk
+    doc-freq) ledger-guarded per bucket — and the resulting state is
+    hash-certified against the batch oracle."""
+    from ..operators.merge import PART_COL
     from ..operators.storage import ParquetTable
     from ..streaming.chunk_freq_stream import CdcChunkSink, stream_cdc_chunks
     from ..streaming.dedup_stream import MinHashLshDedupSink, stream_minhash_dedup
@@ -507,12 +517,18 @@ def ns_stream_live_sinks(spark, sf_dir):
     src = _doc_slices(spark, sf_dir)
     emb_src = _emb_slices(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="fincan_live_sinks_")
-    sig_t = ParquetTable(work + "/sigs")
-    pairs_t = ParquetTable(work + "/pairs")
-    feat_t = ParquetTable(work + "/features")
-    chunk_t = ParquetTable(work + "/chunks")
-    cfreq_t = ParquetTable(work + "/chunk_freq")
-    index_t = ParquetTable(work + "/ivf_index")
+
+    def _bucketed(name: str) -> ParquetTable:
+        return ParquetTable(
+            work + "/" + name, partition_by=[PART_COL], n_buckets=8
+        )
+
+    sig_t = _bucketed("sigs")
+    pairs_t = _bucketed("pairs")
+    feat_t = _bucketed("features")
+    chunk_t = _bucketed("chunks")
+    cfreq_t = _bucketed("chunk_freq")
+    index_t = _bucketed("ivf_index")
     cents_t = ParquetTable(work + "/ivf_cents")
     cents_t.overwrite_atomic(
         table(spark, sf_dir, "embeddings")
