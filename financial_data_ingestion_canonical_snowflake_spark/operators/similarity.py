@@ -185,19 +185,24 @@ def cosine_near_dup_pairs(
     FIXED plane count is quadratic at scale — per-bucket width grows
     with n, and the sf1 slope bench measured the fixed-6-plane probe at
     18x cost for 10x vectors while the adaptive setting holds the
-    growth linear. Costs one bounded count() when defaulted; pass an
+    growth linear. Costs one bounded count() when defaulted — run over a
+    PERSISTED (id, vec) projection so an expensive upstream lineage (a
+    decode/feature pipeline, not a bare scan) executes once: the count
+    materializes the cache both self-join sides then read; pass an
     explicit value for oracle-pinned probes."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    if bucketed and num_planes is None:
+        base = base.persist()
+        num_planes = adaptive_num_planes(base.count())
     a = _normed(
-        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec")),
+        base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("q_vec")),
         "q_vec", "q_norm",
     )
     b = _normed(
-        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("c_vec")),
+        base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("c_vec")),
         "c_vec", "c_norm",
     )
     if bucketed:
-        if num_planes is None:
-            num_planes = adaptive_num_planes(df.count())
         planes = vectors.hyperplanes(num_planes, dim)
         a = a.withColumn("bucket", vectors.lsh_bucket(F.col("q_vec"), planes))
         b = b.withColumn("bucket", vectors.lsh_bucket(F.col("c_vec"), planes))
@@ -423,7 +428,11 @@ def semantic_dedup(
         "__v", "__n",
     )
     if centroids is None and n_centroids is None:
-        n_centroids = adaptive_n_centroids(corpus.count())
+        # count the persisted projection, not the raw corpus lineage — an
+        # expensive upstream plan executes once, and the assignment /
+        # pairwise stages reuse the cache (the text_dedup discipline)
+        v = v.persist()
+        n_centroids = adaptive_n_centroids(v.count())
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     if hierarchical is None:

@@ -413,13 +413,16 @@ def simhash_pairs(
     default ``"adaptive"`` derives the prefix width from the corpus
     count (:func:`adaptive_prefix_bits`, one count job) so bucket width
     stays ~256 at any scale; pass an int to pin it, or ``0`` for the
-    exhaustive variant.
+    exhaustive variant. The count runs over the PERSISTED signature
+    projection (not the raw input lineage), so an expensive upstream
+    plan — a generated or unioned corpus — executes once: the count
+    materializes the cache the self-join then reuses.
     """
-    if prefix_bits == "adaptive":
-        prefix_bits = adaptive_prefix_bits(df.count())
     sigs = df.select(
         F.col(id_col).alias("doc"), text.simhash32(F.col(text_col)).alias("simhash")
     ).persist()  # both sides of the bucket self-join — see minhash_lsh_pairs
+    if prefix_bits == "adaptive":
+        prefix_bits = adaptive_prefix_bits(sigs.count())
     bucket = F.shiftright(F.col("simhash"), 32 - prefix_bits) if prefix_bits else F.lit(0)
     sigs = sigs.withColumn("bucket", bucket)
     a = sigs.select(
@@ -471,12 +474,21 @@ def ngram_jaccard_pairs(
     count job); a shingle shared that widely carries no near-dup signal:
     any pair above ``min_jaccard`` shares many rarer shingles too, so the
     pair survives through those. Pass an int to pin the cap, or ``None``
-    to opt into the exact uncapped join on bounded corpora.
+    to opt into the exact uncapped join on bounded corpora. In adaptive
+    mode the count runs over a PERSISTED token projection (not the raw
+    input lineage), so an expensive upstream plan executes once — the
+    count materializes the cache the shingle explode then reads.
     """
+    base = df.select(
+        F.col(id_col).alias("doc"), text.tokens(F.col(text_col)).alias("__toks")
+    )
     if max_shingle_freq == "adaptive":
-        max_shingle_freq = adaptive_max_shingle_freq(df.count())
+        # persisted only on this path — with a pinned cap there is no
+        # second pass to share, and caching token arrays isn't free
+        base = base.persist()
+        max_shingle_freq = adaptive_max_shingle_freq(base.count())
     sh = (
-        df.select(F.col(id_col).alias("doc"), text.tokens(F.col(text_col)).alias("__toks"))
+        base
         .select(
             "doc",
             F.explode(

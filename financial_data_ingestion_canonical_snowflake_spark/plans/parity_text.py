@@ -1110,9 +1110,11 @@ def ns_dedup_graph_stats(spark, sf_dir):
     components.py graph_stats): node/edge counts, max degree, wedges and
     triangles via the edge-iterator join — tight duplicate clusters are
     triangle-dense, boilerplate skew shows as degree blowup. Integer
-    outputs, engine-exact. Pairs come from the CAPPED jaccard generator
-    (max_shingle_freq=5, the production default) so the oracle twin stays
-    single-node-feasible at sf >= 1."""
+    outputs, engine-exact. Pairs come from the jaccard generator with the
+    cap PINNED at 5 — not the corpus-adaptive production default
+    (adaptive_max_shingle_freq, certified separately by
+    ns_dedup_ngram_jaccard_adaptive) — so the oracle twin stays
+    deterministic and single-node-feasible at sf >= 1."""
     from ..operators.components import graph_stats
 
     pairs = td.ngram_jaccard_pairs(
@@ -1817,10 +1819,11 @@ def ns_dedup_components(spark, sf_dir):
     """Dedup-group closure: n-gram-Jaccard pairs -> connected components
     (large-star/small-star), every doc labeled with its canonical survivor
     (component min) and group size. Oracle: recursive min-label walk over
-    the CAPPED pair set (max_shingle_freq=5, the production default —
-    the uncapped shingle self-join exhausts single-node oracle disk at
-    sf >= 1; the uncapped twin stays certified by
-    ns_dedup_ngram_jaccard)."""
+    the pair set with the cap PINNED at 5 — the uncapped shingle
+    self-join exhausts single-node oracle disk at sf >= 1, and pinning
+    keeps the oracle twin deterministic; the corpus-adaptive production
+    default is certified separately by ns_dedup_ngram_jaccard_adaptive,
+    the uncapped twin by ns_dedup_ngram_jaccard."""
     from pyspark.sql import Window
 
     from ..operators.components import connected_components

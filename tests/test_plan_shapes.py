@@ -471,8 +471,12 @@ def test_ivf_from_index_serves_without_corpus_reassignment(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # two window chains: probe-rank over query_id + final top-k over
-    # query_id — and none partitioned by the index/neighbor key
-    assert plan.count("RunningWindowFunction") <= 2 or plan.count("Window") <= 4, plan
-    assert "windowspecdefinition(neighbor_id" not in plan.lower(), plan
-    assert "windowspecdefinition(vec_id" not in plan.lower(), plan
+    # exactly two window specs in the whole plan — probe-rank over
+    # query_id + final top-k over query_id — and none partitioned by the
+    # index/neighbor key (a third window would mean the index side is
+    # being re-ranked, defeating the maintained index)
+    lp = plan.lower()
+    assert lp.count("windowspecdefinition(") == 2, plan
+    assert lp.count("windowspecdefinition(query_id") == 2, plan
+    assert "windowspecdefinition(neighbor_id" not in lp, plan
+    assert "windowspecdefinition(vec_id" not in lp, plan
