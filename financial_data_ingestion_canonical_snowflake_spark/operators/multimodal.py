@@ -5,7 +5,9 @@ the only schema that scales to 100 TB: content stays a byte buffer the JVM
 never interprets; all per-row decode work happens in Arrow-batched Python
 (``mapInPandas``), where the real codec libraries would run.
 
-Decoder tiers (the ``decoder=`` seam of :func:`decode_features`):
+Decoder tiers (the ``decoder=`` seam of :func:`decode_features`;
+``auto_image_decode`` — the DEFAULT — routes among them by content
+signature, so real bytes take the real path without caller opt-in):
 
 1. ``pillow_image_decode`` — the production decoder; raises
    ``NotImplementedError`` where Pillow is absent instead of faking.
@@ -102,6 +104,37 @@ def pillow_image_decode(content: bytes) -> np.ndarray:  # pragma: no cover
             "use png_image_decode (stdlib PNG) or fake_image_decode"
         ) from exc
     return np.asarray(Image.open(BytesIO(content)).convert("L"), dtype=np.float64).ravel()
+
+
+# non-PNG real-image magic numbers -> the Pillow tier. JPEG's 0xFF lead
+# byte is impossible in UTF-8, so synthetic text content can never route
+# here; GIF/WEBP magics are ASCII and could in principle open a text
+# document, but the collision fails LOUDLY (NotImplementedError /
+# decode error), never as silently-faked features.
+_REAL_IMAGE_SIGS = (b"\xff\xd8\xff", b"GIF87a", b"GIF89a")
+
+
+def auto_image_decode(content: bytes) -> np.ndarray:
+    """Signature-sniffing tiered decoder — the :func:`decode_features`
+    default, so real bytes take a real codec without caller opt-in:
+
+    - PNG magic (8 bytes, impossible in UTF-8) -> :func:`png_image_decode`
+      (stdlib, runs everywhere);
+    - JPEG/GIF/WEBP magic -> :func:`pillow_image_decode`, which raises
+      loudly where Pillow is absent — real image bytes are NEVER silently
+      faked;
+    - anything else -> :func:`fake_image_decode` (the synthetic-fixture
+      convention: bytes ARE the pixel buffer).
+
+    Routing is per-row, so mixed-format media tables decode in one pass.
+    """
+    if content[:8] == _PNG_SIG:
+        return png_image_decode(content)
+    if content[:3] == _REAL_IMAGE_SIGS[0] or content[:6] in _REAL_IMAGE_SIGS[1:] or (
+        content[:4] == b"RIFF" and content[8:12] == b"WEBP"
+    ):
+        return pillow_image_decode(content)
+    return fake_image_decode(content)
 
 
 # ---------------------------------------------------------------------------
@@ -253,15 +286,19 @@ def png_image_decode(content: bytes) -> np.ndarray:
 def decode_features(
     df: DataFrame,
     content_col: str = "content",
-    decoder: Callable[[bytes], np.ndarray] = fake_image_decode,
+    decoder: Callable[[bytes], np.ndarray] = auto_image_decode,
     dim: int = FEATURE_DIM,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas.
 
     Output: one row per input row with a ``dim``-bucket normalized byte/pixel
     histogram as ``features array<float>`` plus basic signal stats. The
-    histogram of a decoded buffer is a real (if simple) visual feature — and
-    is deterministic for the fake decoder, so tests can assert exact values.
+    default decoder is the signature-sniffing :func:`auto_image_decode`
+    tier — real PNG bytes hit the stdlib codec, JPEG/GIF/WEBP hit the
+    Pillow seam (loud where absent), and unrecognized content falls back
+    to the deterministic fake — so the synthetic fixtures' results are
+    byte-identical to the old ``fake_image_decode`` default while real
+    bytes now take a real codec without caller opt-in.
     """
     out_schema = T.StructType(
         [

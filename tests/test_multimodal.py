@@ -4,6 +4,7 @@ mapInPandas plumbing and exact-value determinism of the fake kernels."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from financial_data_ingestion_canonical_snowflake_spark.operators import multimodal as mm
@@ -294,3 +295,52 @@ def test_resize_over_real_png_decoded_pixels(spark):
     feats = mm.decode_features(df, decoder=mm.png_image_decode).collect()[0]
     assert feats.n_samples == 256
     assert feats.mean_level == px.astype(np.float64).mean()
+
+
+def test_auto_decoder_default_routes_by_signature(spark):
+    """The decode_features DEFAULT (auto_image_decode, r12): real PNG
+    bytes take the stdlib codec, text bytes keep the fake tier — one
+    mixed-format table, one pass, per-row routing."""
+    px = (np.arange(128, dtype=np.uint8).reshape(16, 8) * 7) % 256
+    txt = b"plain utf-8 text content, bytes are pixels"
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(mm.png_encode(px))),
+            (2, "image", bytearray(txt)),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    out = {r.media_id: r for r in mm.decode_features(df).collect()}
+    # row 1: PNG magic -> stdlib decode -> stats over the PIXELS
+    assert out[1].n_samples == px.size
+    assert abs(out[1].mean_level - px.astype(np.float64).mean()) < 1e-9
+    # row 2: no signature -> fake tier -> stats over the raw BYTES
+    buf = np.frombuffer(txt, dtype=np.uint8).astype(np.float64)
+    assert out[2].n_samples == len(buf)
+    assert abs(out[2].mean_level - buf.mean()) < 1e-9
+
+
+def test_auto_decoder_never_silently_fakes_real_images():
+    """JPEG/GIF/WEBP magic must reach the Pillow seam — loud
+    NotImplementedError where the library is absent, never fake
+    features for real image bytes."""
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    gif_ish = b"GIF89a" + b"\x00" * 32
+    webp_ish = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+    for blob in (jpeg_ish, gif_ish, webp_ish):
+        if have_pillow:
+            with pytest.raises(Exception):  # truncated garbage: decode error
+                mm.auto_image_decode(blob)
+        else:
+            with pytest.raises(NotImplementedError):
+                mm.auto_image_decode(blob)
+    # and the synthetic convention still routes to the fake tier
+    assert mm.auto_image_decode(b"hello").tolist() == [
+        float(b) for b in b"hello"
+    ]
