@@ -150,6 +150,106 @@ def digest_sql(probe: str, sql: str, cols: list[tuple[str, str]]) -> str:
     )
 
 
+def digest_cols_for(df: DataFrame) -> list[tuple[str, str]]:
+    """Derive the ``digest_sql`` (column, kind) list from a Spark result
+    frame — kind "d" exactly where :func:`digest_frame` renders through
+    DECIMAL(28,6) (double/float/decimal dtypes), "s" otherwise. Keeps the
+    bucketed certification harness free of hand-maintained column lists."""
+    return [
+        (
+            c,
+            "d" if t in ("double", "float") or t.startswith("decimal") else "s",
+        )
+        for c, t in df.dtypes
+    ]
+
+
+def bucket_expr_sql(col: str, n_buckets: int) -> str:
+    """DuckDB rendering of the certification bucket id for ``col`` —
+    16-bit md5-hex prefix of the string rendering, mod ``n_buckets``.
+    Mirrored bit-for-bit by the Spark side of
+    :func:`digest_frame_bucketed`; integer string renderings agree
+    between the engines, so the same row lands in the same bucket."""
+    return (
+        f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {n_buckets})"
+    )
+
+
+def digest_frame_bucketed(
+    df: DataFrame, bucket_col: str, n_buckets: int
+) -> DataFrame:
+    """Per-bucket split of :func:`digest_frame`: (bucket, row_cnt,
+    content_sum) with the SAME row rendering and hash — so the sum of
+    per-bucket (row_cnt, content_sum) equals the whole-frame digest by
+    construction. Purpose: single-node-oracle certification ABOVE the
+    oracle's memory ceiling — DuckDB evaluates the oracle one bucket at a
+    time (``bucket_expr_sql`` filter pushed into the heavy intermediate)
+    while Spark digests the full result once, grouped by the same bucket
+    id (VERDICT r11 next-step #2)."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c, t in df.dtypes:
+        col = F.col(c)
+        if t == "double" or t == "float" or t.startswith("decimal"):
+            rendered = col.cast("decimal(28,6)").cast("string")
+        else:
+            rendered = col.cast("string")
+        parts.append(F.coalesce(rendered, F.lit(_NUL)))
+    line = F.concat_ws(_SEP, *parts)
+    h = (
+        F.conv(F.substring(F.md5(line), 1, 10), 16, 10).cast("long")
+        % F.lit(_DIGEST_P)
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(bucket_col).cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % F.lit(n_buckets)
+    )
+    return (
+        df.select(b.alias("bucket"), h.alias("__h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_cnt"),
+            F.coalesce(F.sum("__h"), F.lit(0)).alias("content_sum"),
+        )
+    )
+
+
+def digest_sql_bucketed(
+    sql: str,
+    cols: list[tuple[str, str]],
+    bucket_col: str,
+    n_buckets: int,
+    bucket: int,
+) -> str:
+    """DuckDB twin of ONE bucket of :func:`digest_frame_bucketed` —
+    deliberately one query per bucket (not GROUP BY bucket) so the oracle
+    engine holds only a 1/``n_buckets`` slice of the heavy intermediate
+    at a time; the bucket filter sits directly over the oracle body and
+    pushes into self-join sides keyed by ``bucket_col``."""
+    inner = (
+        f"SELECT * FROM ({sql}) __o "
+        f"WHERE {bucket_expr_sql(bucket_col, n_buckets)} = {bucket}"
+    )
+    renders = []
+    for c, kind in cols:
+        r = (
+            f"CAST(CAST({c} AS DECIMAL(28,6)) AS VARCHAR)"
+            if kind == "d"
+            else f"CAST({c} AS VARCHAR)"
+        )
+        renders.append(f"COALESCE({r}, chr(1))")
+    line = " || chr(31) || ".join(renders)
+    return (
+        f"SELECT {bucket} AS bucket, COUNT(*) AS row_cnt, "
+        f"CAST(COALESCE(SUM(('0x' || substr(md5({line}), 1, 10))::BIGINT % {_DIGEST_P}), 0) AS BIGINT)"
+        f" AS content_sum FROM ({inner}) __probe"
+    )
+
+
 def digest_union(
     spark: SparkSession, sf_dir: str, members: list[tuple[str, list[tuple[str, str]]]]
 ) -> DataFrame:
