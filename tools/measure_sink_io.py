@@ -3,11 +3,24 @@
 VERDICT r11 next-step #1 asks for a before/after written-bytes number for
 the streaming sinks' state folds. This drives the SAME sink class
 (ExactDedupSink — additive fold, ledger-guarded in scoped mode; and
-IvfIndexSink — keyed fold) over the same document/embedding batches in
-both layouts and reports, per trigger, the bytes of parquet files that
-were created or changed under the state-table root.
+IvfIndexSink — keyed fold) over the same batches in both layouts and
+reports, per trigger, the bytes of parquet files that were created or
+changed under the state-table root.
 
-Run from repo root:  python tools/measure_sink_io.py [sf_dir] [n_batches]
+The regime matters. A micro-batch touches one bucket per distinct key
+hash, so with B batch keys and N buckets the expected rewrite is
+``N * (1 - exp(-B/N))`` buckets ≈ ``min(B, N)`` — equal slices of the
+whole corpus (B >> N) touch EVERY bucket and measure only layout
+overhead. The regime the scoped fold exists for is steady-state
+streaming: a large accumulated state taking small incremental triggers
+(B << N), where per-trigger I/O is ~``B * state/N`` instead of
+``state``. This script therefore seeds the state with most of the
+corpus, then applies small increments and reports the increment
+triggers' written bytes. Bucket count must scale with state (fixed
+target bucket size) for the economics to hold at 100 TB — that is the
+``n_buckets`` knob being swept here.
+
+Run:  python tools/measure_sink_io.py [sf_dir] [n_incr] [inc_rows] [n_buckets]
 """
 
 from __future__ import annotations
@@ -66,9 +79,26 @@ def run_sink(mk_table, mk_sink, batches) -> list[int]:
     return written
 
 
+def _seed_plus_increments(df, id_col, n, n_incr, inc_rows):
+    """[seed batch of everything above the increment range] + n_incr
+    small batches of inc_rows distinct keys each — the steady-state
+    streaming regime (large state, small triggers)."""
+    lo = n_incr * inc_rows
+    seed = df.filter(F.col(id_col) >= lo)
+    return [seed] + [
+        df.filter(
+            (F.col(id_col) >= i * inc_rows)
+            & (F.col(id_col) < (i + 1) * inc_rows)
+        )
+        for i in range(n_incr)
+    ]
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
+    n_incr = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    inc_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     spark = get_spark(app_name="sink-io", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     docs = (
@@ -77,27 +107,14 @@ def main() -> None:
         .persist()
     )
     n = docs.count()
-    per = n // n_batches
-    doc_batches = [
-        docs.filter(
-            (F.col("doc_id") >= i * per)
-            & (F.col("doc_id") < (i + 1) * per)
-        )
-        for i in range(n_batches)
-    ]
+    doc_batches = _seed_plus_increments(docs, "doc_id", n, n_incr, inc_rows)
     emb = (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         .select("vec_id", "embedding")
         .persist()
     )
     ne = emb.count()
-    pere = ne // n_batches
-    emb_batches = [
-        emb.filter(
-            (F.col("vec_id") >= i * pere) & (F.col("vec_id") < (i + 1) * pere)
-        )
-        for i in range(n_batches)
-    ]
+    emb_batches = _seed_plus_increments(emb, "vec_id", ne, n_incr, inc_rows)
     work = tempfile.mkdtemp(prefix="sink_io_")
     cents = ParquetTable(work + "/cents")
     cents.overwrite_atomic(emb.orderBy("vec_id").limit(16))
@@ -106,9 +123,9 @@ def main() -> None:
     for layout, mk in (
         ("whole_table", lambda nm: ParquetTable(f"{work}/{nm}_flat")),
         (
-            "bucketed_64",
+            f"bucketed_{n_buckets}",
             lambda nm: ParquetTable(
-                f"{work}/{nm}_b", partition_by=[PART_COL], n_buckets=64
+                f"{work}/{nm}_b", partition_by=[PART_COL], n_buckets=n_buckets
             ),
         ),
     ):
@@ -125,17 +142,22 @@ def main() -> None:
         )
         results[f"ivf_index/{layout}"] = w
 
-    print(json.dumps({"sf_dir": sf_dir, "n_batches": n_batches, "docs": n,
-                      "vecs": ne}))
+    print(json.dumps({
+        "sf_dir": sf_dir, "n_incr": n_incr, "inc_rows": inc_rows,
+        "n_buckets": n_buckets, "docs": n, "vecs": ne,
+    }))
     for k, w in results.items():
         mb = [round(x / 1e6, 2) for x in w]
-        print(f"{k:28s} per-trigger MB written: {mb}  total {sum(mb):.1f}")
-    # headline: last-trigger ratio (state is largest there)
-    for fam in ("exact_dedup", "ivf_index"):
-        flat = results[f"{fam}/whole_table"][-1]
-        buck = results[f"{fam}/bucketed_64"][-1]
         print(
-            f"{fam}: final-trigger write {flat / 1e6:.2f} MB whole-table vs "
+            f"{k:28s} seed write {mb[0]} MB; "
+            f"per-increment MB written: {mb[1:]}  incr total {sum(mb[1:]):.2f}"
+        )
+    # headline: mean increment-trigger ratio (the steady-state cost)
+    for fam in ("exact_dedup", "ivf_index"):
+        flat = sum(results[f"{fam}/whole_table"][1:]) / n_incr
+        buck = sum(results[f"{fam}/bucketed_{n_buckets}"][1:]) / n_incr
+        print(
+            f"{fam}: mean increment write {flat / 1e6:.2f} MB whole-table vs "
             f"{buck / 1e6:.2f} MB bucket-scoped ({flat / max(buck, 1):.1f}x)"
         )
     spark.stop()
