@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import parity, table
+from .registry import SYNTH_ID_OFFSET, parity, table
 
 
 def _dec(col):
@@ -723,7 +723,7 @@ def cdc_orders_scenario(o):
         ).otherwise(F.col("o_totalprice")),
     )
     ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_orderkey") + SYNTH_ID_OFFSET).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
@@ -753,7 +753,7 @@ def cdc_orders_scenario(o):
            CAST(epoch_us(o_orderdate) AS BIGINT), o_orderpriority
     FROM cols WHERE o_orderkey % 13 <> 0 AND o_orderkey % 5 = 0
     UNION ALL
-    SELECT o_orderkey + 10000000, 'insert', o_custkey, 'N', o_totalprice,
+    SELECT o_orderkey + 1000000000000, 'insert', o_custkey, 'N', o_totalprice,
            CAST(epoch_us(o_orderdate) AS BIGINT), o_orderpriority
     FROM cols WHERE o_orderkey % 17 = 0
     """,

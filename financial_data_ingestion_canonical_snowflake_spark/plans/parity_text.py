@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions import text as tx
 from ..operators import text_dedup as td
-from .registry import parity, table
+from .registry import SYNTH_ID_OFFSET, parity, table
 
 P31 = tx.MERSENNE31
 FP_P = tx.FP_PRIME
@@ -42,10 +42,13 @@ _SIG_ELEMS = ", ".join(
     for a, b in MINHASH_PARAMS
 )
 
-# documents + synthetic near-duplicates (id + 100000, two tokens appended)
+# documents + synthetic near-duplicates (id + SYNTH_ID_OFFSET, two tokens
+# appended — the offset sits beyond any fixture id domain; the old +100000
+# collided with real doc_ids at sf >= 2, see registry.SYNTH_ID_OFFSET)
 _DOCS2 = (
     "SELECT doc_id, text FROM documents "
-    "UNION ALL SELECT doc_id + 100000, text || ' zz yy' FROM documents WHERE doc_id < 50"
+    f"UNION ALL SELECT doc_id + {SYNTH_ID_OFFSET}, text || ' zz yy' "
+    "FROM documents WHERE doc_id < 50"
 )
 
 
@@ -61,7 +64,7 @@ def _docs2(spark, sf_dir):
     dups = (
         d.filter(F.col("doc_id") < 50)
         .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + SYNTH_ID_OFFSET).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
         )
     )
@@ -130,11 +133,11 @@ def ns_dedup_minhash_lsh(spark, sf_dir):
 # plus the first 25 originals, so the incremental bucket join has new-vs-new
 # pairs (dup of doc < 25 against its original, both new) AND new-vs-corpus
 # pairs (dup of doc in [25, 50) against its corpus-side original).
-_NEW_PRED_SQL = "(id >= 100000 OR id < 25)"
+_NEW_PRED_SQL = f"(id >= {SYNTH_ID_OFFSET} OR id < 25)"
 
 
 def _new_pred(col):
-    return (col >= 100000) | (col < 25)
+    return (col >= SYNTH_ID_OFFSET) | (col < 25)
 
 
 def _minhash_modes_oracle() -> str:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..operators import similarity as sim
-from .registry import parity, table
+from .registry import SYNTH_ID_OFFSET, parity, table
 
 DIM = 64
 NUM_PLANES = 6
@@ -667,7 +667,8 @@ def ns_vector_quantize_int8(spark, sf_dir):
 # --------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (operators/similarity.py semantic_dedup).
 # The corpus has no natural near-duplicates (max pairwise cosine ~0.51 at
-# sf0.01), so synthetic twins are injected in-query — vec_id + 100000 with
+# sf0.01), so synthetic twins are injected in-query — vec_id +
+# registry.SYNTH_ID_OFFSET (beyond any fixture id domain at any scale) with
 # element 0 shifted by +0.5 (cosine ~0.88-0.93 against the original; the
 # dedup threshold 0.85 catches every twin while natural pairs stay out).
 # --------------------------------------------------------------------------
@@ -679,7 +680,7 @@ _EMB2 = f"""
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
     UNION ALL
-    SELECT vec_id + 100000,
+    SELECT vec_id + {SYNTH_ID_OFFSET},
            list_transform(generate_series(1, len(embedding)),
                 i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.5
                           ELSE CAST(embedding[i] AS DOUBLE) END)
@@ -697,7 +698,7 @@ def _emb2(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     twins = emb.filter(F.col("vec_id") < _SEM_N_TWINS).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + SYNTH_ID_OFFSET).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: F.when(i == 0, x + F.lit(0.5)).otherwise(x),

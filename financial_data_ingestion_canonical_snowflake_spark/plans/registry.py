@@ -31,6 +31,17 @@ from ..session import apply_runtime_confs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Synthetic-row id namespace for in-query fixture twins (near-dup docs,
+# shifted embeddings, re-inserted CDC keys). Offsets MUST sit beyond any
+# fixture id domain at any certified scale: the original +100000 collided
+# with real doc_ids at sf >= 2 (150k docs at sf3), where two docs sharing
+# one id broke the id-uniqueness contract and the engines canonicalized
+# the resulting multigraph differently (caught by the r12 bucketed sf3
+# certification — one phantom DISTINCT row in the minhash oracle). 1e12
+# clears every realistic fixture (sf30000's 1.5e9 docs included) while
+# derived surrogates (doc_id * 1e5 + chunk_idx) stay far inside int64.
+SYNTH_ID_OFFSET = 1_000_000_000_000
+
 # Driver-facing surface: the correctness driver verifies the FIRST 50
 # oracle-paired entries in registration order (SURVEY.md §8) — keep this
 # dict at <= 50 total entries so nothing silently falls outside the window.

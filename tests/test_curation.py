@@ -20,6 +20,7 @@ from financial_data_ingestion_canonical_snowflake_spark.operators.packing import
 )
 from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (
     ALL_QUERIES,
+    SYNTH_ID_OFFSET,
     table,
 )
 
@@ -168,7 +169,7 @@ def test_incremental_lsh_equals_full_corpus_restricted(spark, sf_oracle):
     # synthetic near-dups across the old/new split so the incremental join
     # has real cross-batch matches
     dups = docs.filter(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + SYNTH_ID_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
     )
     corpus = docs.unionByName(dups)
@@ -455,7 +456,7 @@ def test_lsh_cap_above_bucket_widths_is_identity(spark, sf_oracle):
 
     docs = table(spark, sf_oracle, "documents").select("doc_id", "text").limit(300)
     dups = docs.filter(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + SYNTH_ID_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
     )
     corpus = docs.unionByName(dups)

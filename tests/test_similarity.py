@@ -12,6 +12,7 @@ from financial_data_ingestion_canonical_snowflake_spark.operators import (  # no
     similarity as sim,
 )
 from financial_data_ingestion_canonical_snowflake_spark.plans.registry import (  # noqa: E402
+    SYNTH_ID_OFFSET,
     table,
 )
 
@@ -169,10 +170,10 @@ def test_semantic_dedup_drops_injected_twins(spark, sf_oracle):
         for r in rows.values():
             by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
         for vid, r in rows.items():
-            if vid >= 100000 and (vid - 100000) in by_cluster.get(r["cluster_id"], []):
+            if vid >= SYNTH_ID_OFFSET and (vid - SYNTH_ID_OFFSET) in by_cluster.get(r["cluster_id"], []):
                 assert not r["is_kept"], vid
         # originals with no smaller near-dup all survive
-        assert all(r["is_kept"] for v, r in rows.items() if v < 100000)
+        assert all(r["is_kept"] for v, r in rows.items() if v < SYNTH_ID_OFFSET)
         assert out.filter(~F.col("is_kept")).count() > 0
     finally:
         out.unpersist()

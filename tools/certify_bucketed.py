@@ -19,6 +19,7 @@ the sf0.01/sf1 contract gives, at a scale the single-node oracle could
 not otherwise reach.
 
 Run:  python tools/certify_bucketed.py [sf_dir] [out_json] [--heavy]
+      [--only=name1,name2]   (re-run a subset, e.g. after a fixture fix)
 """
 
 from __future__ import annotations
@@ -85,6 +86,9 @@ TARGETS = [
     ("ns_dedup_pagerank_fixed", "node", 1),
     ("ns_dedup_graph_stats", "n_nodes", 1),
     ("ns_text_bpe_pairs", "pair", 1),
+    # embedding self-join families (quadratic within LSH buckets)
+    ("ns_vector_near_dup", "id_a", 8),
+    ("ns_vector_near_dup_adaptive", "id_a", 8),
 ]
 
 # the uncapped exact shingle self-join — the single heaviest oracle;
@@ -109,6 +113,10 @@ def main() -> None:
     sf_dir = args[0] if args else "/tmp/testdata/sf3"
     out_json = args[1] if len(args) > 1 else "CERTIFY_SF3.json"
     targets = TARGETS + (HEAVY if "--heavy" in sys.argv else [])
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        wanted = set(only[0].split(","))
+        targets = [t for t in targets if t[0] in wanted]
 
     spark = get_spark(app_name="certify-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
