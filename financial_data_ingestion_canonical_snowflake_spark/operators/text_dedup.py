@@ -484,7 +484,10 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_freq == "adaptive":
         # persisted only on this path — with a pinned cap there is no
-        # second pass to share, and caching token arrays isn't free
+        # second pass to share, and caching token arrays isn't free. The
+        # cache outlives the call (the returned frame reads it lazily);
+        # the session owner drops it between families (bench.py / the
+        # driver clearCache per query).
         base = base.persist()
         max_shingle_freq = adaptive_max_shingle_freq(base.count())
     sh = (

@@ -736,7 +736,7 @@ def cdc_orders_scenario(o):
 @parity(
     "ns_snapshot_diff_cdc",
     driver=False,  # driver slot: folded into probe_digest_relational
-    oracle="""
+    oracle=f"""
     WITH cols AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
@@ -753,7 +753,8 @@ def cdc_orders_scenario(o):
            CAST(epoch_us(o_orderdate) AS BIGINT), o_orderpriority
     FROM cols WHERE o_orderkey % 13 <> 0 AND o_orderkey % 5 = 0
     UNION ALL
-    SELECT o_orderkey + 1000000000000, 'insert', o_custkey, 'N', o_totalprice,
+    SELECT o_orderkey + {SYNTH_ID_OFFSET}, 'insert', o_custkey, 'N',
+           o_totalprice,
            CAST(epoch_us(o_orderdate) AS BIGINT), o_orderpriority
     FROM cols WHERE o_orderkey % 17 = 0
     """,

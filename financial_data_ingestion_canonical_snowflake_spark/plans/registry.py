@@ -165,24 +165,45 @@ def digest_cols_for(df: DataFrame) -> list[tuple[str, str]]:
     """Derive the ``digest_sql`` (column, kind) list from a Spark result
     frame — kind "d" exactly where :func:`digest_frame` renders through
     DECIMAL(28,6) (double/float/decimal dtypes), "s" otherwise. Keeps the
-    bucketed certification harness free of hand-maintained column lists."""
-    return [
-        (
-            c,
-            "d" if t in ("double", "float") or t.startswith("decimal") else "s",
-        )
-        for c, t in df.dtypes
-    ]
+    bucketed certification harness free of hand-maintained column lists.
+
+    Raises for dtypes outside the proven cross-engine string-rendering
+    set: array/timestamp/map/struct outputs render differently between
+    Spark and DuckDB under raw CAST AS STRING, so a family with such a
+    result schema must fail loudly at setup instead of producing a
+    confusing digest mismatch (such families pin their own rendering —
+    e.g. decimal checksums, epoch micros — before registering). Boolean
+    is in the proven set: both engines render "true"/"false" (certified
+    by the green ns_vector_digest composite's is_kept member)."""
+    _OK_S = {"string", "boolean", "tinyint", "smallint", "int", "bigint", "long"}
+    out = []
+    for c, t in df.dtypes:
+        if t in ("double", "float") or t.startswith("decimal"):
+            out.append((c, "d"))
+        elif t in _OK_S:
+            out.append((c, "s"))
+        else:
+            raise TypeError(
+                f"digest_cols_for: column {c!r} has dtype {t!r}, outside "
+                "the proven cross-engine rendering set (integral/string/"
+                "double/decimal) — pin its rendering in the query before "
+                "certifying it bucketed"
+            )
+    return out
 
 
 def bucket_expr_sql(col: str, n_buckets: int) -> str:
     """DuckDB rendering of the certification bucket id for ``col`` —
-    16-bit md5-hex prefix of the string rendering, mod ``n_buckets``.
-    Mirrored bit-for-bit by the Spark side of
+    16-bit md5-hex prefix of the NULL-safe string rendering, mod
+    ``n_buckets``. Mirrored bit-for-bit by the Spark side of
     :func:`digest_frame_bucketed`; integer string renderings agree
-    between the engines, so the same row lands in the same bucket."""
+    between the engines, so the same row lands in the same bucket. A
+    NULL bucket column coalesces to the sentinel byte BEFORE hashing —
+    without it the row would land in bucket NULL on the Spark side and
+    match no ``= k`` filter on the oracle side, silently escaping
+    certification (ADVICE r12)."""
     return (
-        f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::BIGINT"
+        f"(('0x' || substr(md5(COALESCE(CAST({col} AS VARCHAR), chr(1))), 1, 4))::BIGINT"
         f" % {n_buckets})"
     )
 
@@ -197,7 +218,10 @@ def digest_frame_bucketed(
     oracle's memory ceiling — DuckDB evaluates the oracle one bucket at a
     time (``bucket_expr_sql`` filter pushed into the heavy intermediate)
     while Spark digests the full result once, grouped by the same bucket
-    id (VERDICT r11 next-step #2)."""
+    id (VERDICT r11 next-step #2). The bucket column coalesces NULL to
+    the sentinel byte before hashing (mirrors ``bucket_expr_sql``), so
+    NULL-keyed rows land in a real, compared bucket instead of bucket
+    NULL (ADVICE r12)."""
     from pyspark.sql import functions as F
 
     parts = []
@@ -215,7 +239,15 @@ def digest_frame_bucketed(
     )
     b = (
         F.conv(
-            F.substring(F.md5(F.col(bucket_col).cast("string")), 1, 4), 16, 10
+            F.substring(
+                F.md5(
+                    F.coalesce(F.col(bucket_col).cast("string"), F.lit(_NUL))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
         ).cast("long")
         % F.lit(n_buckets)
     )

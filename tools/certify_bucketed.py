@@ -132,6 +132,15 @@ def main() -> None:
                 r.bucket: (r.row_cnt, r.content_sum)
                 for r in digest_frame_bucketed(df, bucket_col, n_buckets).collect()
             }
+            # the bucket expr is NULL-safe (registry coalesces to the
+            # sentinel), so a NULL group here means the mirror broke —
+            # fail loudly, those rows would escape every `= k` filter
+            if None in parts:
+                raise RuntimeError(
+                    f"bucket NULL holds {parts[None][0]} rows — NULL-safe "
+                    "bucket rendering is broken, rows would escape "
+                    "certification"
+                )
             rec["spark_rows"] = sum(p[0] for p in parts.values())
             rec["spark_s"] = round(time.time() - t0, 1)
         except Exception as exc:  # noqa: BLE001
@@ -166,6 +175,14 @@ def main() -> None:
         if status == "pass" and mismatches:
             status = "MISMATCH"
             rec["mismatches"] = mismatches
+        # defense in depth (ADVICE r12): per-bucket equality implies the
+        # totals agree ONLY if every row landed in a compared bucket —
+        # a totals gap means rows escaped the bucket partition on one side
+        if status == "pass" and rec["spark_rows"] != ddb_rows:
+            status = "MISMATCH"
+            rec["mismatches"] = [
+                {"total_rows": {"spark": rec["spark_rows"], "duckdb": ddb_rows}}
+            ]
         rec["status"] = status
         results.append(rec)
         print(json.dumps(rec), flush=True)
