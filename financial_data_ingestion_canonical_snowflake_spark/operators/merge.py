@@ -307,6 +307,7 @@ def merge_upsert_scoped(
     merge_exprs: dict[str, MergeExpr] | None = None,
     ledger: LedgerSpec | None = None,
     batch_id: int | None = None,
+    parts: Sequence[int] | None = None,
 ) -> list[str]:
     """Partition-scoped MERGE into a hash-bucketed ``ParquetTable``.
 
@@ -330,9 +331,19 @@ def merge_upsert_scoped(
 
     ``ledger`` + ``batch_id`` add per-bucket replay protection for
     non-idempotent folds (see :class:`LedgerSpec`): buckets whose stored
-    ledger already reached ``batch_id`` are skipped wholesale (not read,
-    not rewritten), the rest fold and land with their ledger row advanced
-    in the same atomic directory swap.
+    ledger already reached ``batch_id`` are skipped IN-PLAN — a broadcast
+    join against the pruned target's sentinel rows drops both sides'
+    rows for applied buckets, so those buckets produce no output
+    partition and ``replace_partitions`` leaves them untouched. The
+    surviving buckets fold and land with their ledger row advanced in
+    the same atomic directory swap. The ledger check costs no extra
+    driver action (r12: it was a second per-trigger collect).
+
+    ``parts``: optional caller-known superset of the source's touched
+    bucket ids (computed with the SAME ``part_expr(keys[0], n_buckets)``
+    — e.g. from the affected-key set a sink already collected). Skips
+    the touched-bucket driver action, and — when the source is consumed
+    only once — the source persist with it.
     """
     keys = list(keys)
     if (ledger is None) != (batch_id is None):
@@ -343,20 +354,20 @@ def merge_upsert_scoped(
         n_buckets = table.n_buckets
     n_buckets = _validated_n_buckets(table, n_buckets)
     src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
-    persisted = False
+    src_cached = None
     exists = table.exists()
-    parts: list[int] | None = None
-    if exists or ledger is not None:
-        # The incremental path needs the touched-bucket list BEFORE the join
-        # (it prunes the target scan), so the source evaluates twice: once
-        # for the bucket collect, once inside the merge. Persist it — the
-        # source is the small delta by construction, and recomputing a
-        # window-deduped transform chain per consumer is the expensive half.
-        # (A ledger also needs the list on the FIRST batch, to stamp one
-        # ledger row per written bucket.)
-        src = src.persist()
-        persisted = True
-        # bounded by n_buckets -> driver-small collect
+    if parts is not None:
+        parts = [int(p) for p in parts]
+    elif exists:
+        # The incremental path needs the touched-bucket list BEFORE the
+        # join (it statically prunes the target's partition directories —
+        # a join-derived filter would not, DPP does not fire on this
+        # shape), so the source evaluates twice: once for the bucket
+        # collect, once inside the merge. Persist it — the source is the
+        # small delta by construction, and recomputing a window-deduped
+        # transform chain per consumer is the expensive half. Bounded by
+        # n_buckets -> driver-small collect.
+        src_cached = src = src.persist()
         parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
     if exists:
         data_cols = (
@@ -370,25 +381,28 @@ def merge_upsert_scoped(
             .select(*data_cols, PART_COL)
         )
         if ledger is not None:
+            # in-plan replay skip: ≤ len(parts) sentinel rows broadcast
+            # to both sides; an applied bucket (ledger already at/past
+            # batch_id) contributes no rows, hence no output partition,
+            # hence no rewrite — exactly the old driver-side skip, one
+            # driver action cheaper
             sentinel = F.lit(ledger.sentinel)
-            applied = {
-                r[0]: r[1]
-                for r in tgt.filter(F.col(keys[0]).eqNullSafe(sentinel))
-                .select(PART_COL, ledger.value_col)
-                .collect()
-            }
-            parts = [
-                p
-                for p in parts
-                if applied.get(p) is None or applied[p] < batch_id
-            ]
-            if not parts:
-                src.unpersist()
-                return []  # whole batch already applied (replay)
-            src = src.filter(F.col(PART_COL).isin(parts))
-            tgt = tgt.filter(
-                F.col(PART_COL).isin(parts)
-                & ~F.col(keys[0]).eqNullSafe(sentinel)
+            lg = tgt.filter(F.col(keys[0]).eqNullSafe(sentinel)).select(
+                PART_COL, F.col(ledger.value_col).alias("__applied")
+            )
+            keep = F.col("__applied").isNull() | (
+                F.col("__applied") < F.lit(batch_id)
+            )
+            src = (
+                src.join(F.broadcast(lg), PART_COL, "left")
+                .filter(keep)
+                .drop("__applied")
+            )
+            tgt = (
+                tgt.filter(~F.col(keys[0]).eqNullSafe(sentinel))
+                .join(F.broadcast(lg), PART_COL, "left")
+                .filter(keep)
+                .drop("__applied")
             )
         merged = merge_upsert(
             tgt,
@@ -413,7 +427,7 @@ def merge_upsert_scoped(
             merged = merged.withColumn(c, expr)
     if ledger is not None:
         merged = merged.unionByName(
-            _ledger_rows(spark, source, keys[0], ledger, batch_id, parts)
+            _ledger_rows_plan(src, keys[0], ledger, batch_id)
         )
     # one write task per touched bucket -> one right-sized file per
     # partition dir instead of (shuffle-width x buckets) small files
@@ -421,38 +435,173 @@ def merge_upsert_scoped(
         len(parts) if parts else n_buckets, F.col(PART_COL)
     )
     replaced = table.replace_partitions(merged)
-    if persisted:
-        src.unpersist()
-    table.write_meta(n_buckets=n_buckets, part_col=PART_COL, keys=keys)
+    if src_cached is not None:
+        src_cached.unpersist()
+    meta = {"n_buckets": n_buckets, "part_col": PART_COL, "keys": keys}
+    if ledger is not None:
+        # record the ledger layout so maintenance (rebucket) can re-home
+        # sentinel rows without the caller re-supplying the spec
+        meta["ledger_sentinel"] = ledger.sentinel
+        meta["ledger_value_col"] = ledger.value_col
+    table.write_meta(**meta)
     return replaced
 
 
-def _ledger_rows(
-    spark: SparkSession,
-    source: DataFrame,
-    key0: str,
-    ledger: LedgerSpec,
-    batch_id: int,
-    parts: Sequence[int],
+def _ledger_rows_plan(
+    src: DataFrame, key0: str, ledger: LedgerSpec, batch_id: int
 ) -> DataFrame:
-    """One sentinel ledger row per applied bucket, typed to the source
-    schema + the bucket column (every non-key, non-value column NULL)."""
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        list(source.schema.fields) + [T.StructField(PART_COL, T.IntegerType())]
+    """One typed sentinel ledger row per bucket present in ``src``,
+    derived IN-PLAN from the source's own bucket column — no driver-side
+    parts list, so stamping the ledger costs no extra driver action.
+    ``src`` must already exclude replay-skipped buckets (the in-plan
+    ledger join does), so only surviving buckets are stamped."""
+    exprs = []
+    for f in src.schema.fields:
+        if f.name == PART_COL:
+            continue
+        if f.name == key0:
+            e = F.lit(ledger.sentinel).cast(f.dataType)
+        elif f.name == ledger.value_col:
+            e = F.lit(batch_id).cast(f.dataType)
+        else:
+            e = F.lit(None).cast(f.dataType)
+        exprs.append(e.alias(f.name))
+    return (
+        src.select(F.col(PART_COL).cast("int").alias(PART_COL))
+        .distinct()
+        .select(*exprs, F.col(PART_COL))
     )
-    rows = [
-        tuple(
-            ledger.sentinel
-            if f.name == key0
-            else (batch_id if f.name == ledger.value_col else None)
-            for f in source.schema.fields
+
+
+def rebucket(
+    spark: SparkSession,
+    table,
+    new_n_buckets: int,
+    ledger: LedgerSpec | None = None,
+) -> int:
+    """Split a hash-bucketed scoped-merge table to a LARGER bucket modulus.
+
+    The 100 TB state-economics invariant (docs/BENCH_NOTES.md): a scoped
+    merge's per-trigger I/O is ``touched_buckets x mean_bucket_size`` —
+    batch-proportional only while bucket count scales with state. A table
+    seeded at N buckets whose state grows 100x ends up with 100x-target
+    buckets and per-trigger I/O grows with state again (the reference's
+    MERGE stays delta-proportional at any table size,
+    sql/05_merge_canonical.sql:6-53 — micro-partitions split as data
+    grows; this is that maintenance operation for the parquet layout).
+
+    Split-ONLY (``new_n_buckets`` must be a multiple of the stored
+    modulus): under ``part_expr``'s ``pmod(hash, n)``, ``x mod (m*n)``
+    determines ``x mod n``, so every NEW bucket receives rows from exactly
+    ONE old bucket and each old bucket's per-bucket ledger value transfers
+    to its children unambiguously. MERGING buckets would have to combine
+    ledgers of buckets with different applied batch ids — under a
+    mid-replay crash those are genuinely irreconcilable (min double-folds
+    the applied side, max drops the unapplied side), so shrinking requires
+    a quiesced rebuild with a ledger reset and is refused here.
+
+    Ledger sentinel rows re-home structurally: the old bucket ``b``'s
+    sentinel row replicates to children ``{b + j*old_n}`` with its applied
+    value unchanged. The spec comes from the table metadata (recorded by
+    every ledgered scoped merge); pass ``ledger`` only for pre-metadata
+    tables.
+
+    Crash-safe like ``compact``: one atomic directory swap, with the NEW
+    modulus written inside the candidate BEFORE the swap (a crash must
+    never leave the new layout described by the old modulus — the next
+    merge would prune to wrong buckets and silently duplicate keys).
+
+    Call between triggers (foreachBatch sinks are serial per table, so
+    their post-fold call site is quiesced by construction). Returns the
+    new bucket count.
+    """
+    meta = table.read_meta()
+    if not meta or "n_buckets" not in meta or "keys" not in meta:
+        raise ValueError(
+            f"{table.path}: not a scoped-merge table (no bucket metadata); "
+            "rebucket only maintains tables written by merge_upsert_scoped"
         )
-        + (int(p),)
-        for p in parts
-    ]
-    return spark.createDataFrame(rows, schema)
+    old_n = int(meta["n_buckets"])
+    if new_n_buckets <= old_n or new_n_buckets % old_n != 0:
+        raise ValueError(
+            f"{table.path}: rebucket is split-only — new_n_buckets="
+            f"{new_n_buckets} must be a strict multiple of the stored "
+            f"modulus {old_n} (merging buckets cannot reconcile per-bucket "
+            "ledgers; see docstring)"
+        )
+    key0 = meta["keys"][0]
+    if ledger is None and "ledger_sentinel" in meta:
+        ledger = LedgerSpec(meta["ledger_sentinel"], meta["ledger_value_col"])
+    m = new_n_buckets // old_n
+    df = spark.read.parquet(table.path)
+    if ledger is not None:
+        is_led = F.col(key0).eqNullSafe(F.lit(ledger.sentinel))
+        data = df.filter(~is_led).withColumn(
+            PART_COL, part_expr(key0, new_n_buckets)
+        )
+        led = (
+            df.filter(is_led)
+            .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+            .withColumn(
+                PART_COL,
+                (F.col(PART_COL) + F.col("__j") * F.lit(old_n)).cast("int"),
+            )
+            .drop("__j")
+        )
+        out = data.unionByName(led)
+    else:
+        out = df.withColumn(PART_COL, part_expr(key0, new_n_buckets))
+    # one right-sized file per new bucket, same as the scoped write path
+    out = out.repartition(new_n_buckets, F.col(PART_COL))
+    table.overwrite_atomic(out, new_meta=dict(meta, n_buckets=new_n_buckets))
+    table.n_buckets = new_n_buckets
+    return new_n_buckets
+
+
+def maybe_rebucket(
+    spark: SparkSession,
+    table,
+    target_bytes_per_bucket: int = 64 << 20,
+    max_buckets: int = 1 << 20,
+) -> int | None:
+    """Auto-split trigger: double the bucket count (to the smallest
+    power-of-two multiple holding the mean at or under the target) when
+    mean bucket size exceeds ``target_bytes_per_bucket``.
+
+    The check is a driver-side file stat (no Spark job — the same listing
+    class of work ``replace_partitions`` already does per trigger), so
+    calling it after every fold is cheap; the rewrite itself runs only
+    when state actually outgrew the layout, amortized O(log growth) times
+    over a table's life. Returns the new bucket count, or None when no
+    split was needed.
+
+    Keep the target well above parquet's per-file overhead (~1 KB) —
+    splitting adds one file per new bucket, so a target near the overhead
+    can re-trigger on its own output. The default (64 MB) is safely in
+    the regime where mean bucket size is data-dominated.
+    """
+    import os
+
+    meta = table.read_meta()
+    if not meta or "n_buckets" not in meta:
+        return None
+    n = int(meta["n_buckets"])
+    if n >= max_buckets:
+        return None
+    total = 0
+    for r, _d, fs in os.walk(table.path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(r, f))
+    if total <= n * target_bytes_per_bucket:
+        return None
+    factor = 2
+    while (
+        total > n * factor * target_bytes_per_bucket
+        and n * factor * 2 <= max_buckets
+    ):
+        factor *= 2
+    return rebucket(spark, table, n * factor)
 
 
 def _validated_n_buckets(table, n_buckets: int) -> int:

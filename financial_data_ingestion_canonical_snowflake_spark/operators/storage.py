@@ -144,7 +144,7 @@ class ParquetTable:
                 df = df.drop(PART_COL)
         return df
 
-    def overwrite_atomic(self, df: DataFrame) -> None:
+    def overwrite_atomic(self, df: DataFrame, new_meta: dict | None = None) -> None:
         """Write to a temp dir, then swap directories.
 
         The swap window is not transactional on a plain filesystem — the
@@ -153,6 +153,15 @@ class ParquetTable:
         With ``keep_generations > 0`` the displaced version is retained as
         a ``.gen-<seq>-*`` sibling (``read_generation`` time-travels to it)
         and generations past the keep count are pruned here.
+
+        ``new_meta``: layout metadata describing the CANDIDATE (a rebucket
+        changes the bucket modulus). It is written inside the tmp dir
+        BEFORE the swap, so a crash can never leave the new layout
+        described by the displaced layout's metadata — the next scoped
+        merge would prune keys to the wrong buckets and silently
+        duplicate. Without it, the displaced generation's metadata is
+        preserved (a same-layout rewrite like ``compact`` must not drop
+        the bucket modulus).
         """
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
@@ -160,6 +169,11 @@ class ParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
+        if new_meta is not None:
+            meta_tmp = os.path.join(tmp, META_NAME)
+            with open(meta_tmp + ".w", "w") as f:
+                json.dump(new_meta, f)
+            os.replace(meta_tmp + ".w", meta_tmp)
         if os.path.isdir(self.path):
             os.rename(self.path, old)
         os.rename(tmp, self.path)
@@ -167,7 +181,7 @@ class ParquetTable:
             # layout metadata survives a rewrite (compaction must not drop
             # the bucket modulus, or the next scoped merge can't validate)
             old_meta = os.path.join(old, META_NAME)
-            if os.path.isfile(old_meta):
+            if os.path.isfile(old_meta) and new_meta is None:
                 os.replace(old_meta, os.path.join(self.path, META_NAME))
             if self.keep_generations > 0:
                 gens = self._generations()

@@ -72,6 +72,7 @@ from ..functions.text import cdc_chunk_documents
 from ..operators.merge import (
     PART_COL,
     LedgerSpec,
+    maybe_rebucket,
     merge_upsert,
     merge_upsert_scoped,
     part_expr,
@@ -117,6 +118,7 @@ class CdcChunkSink:
         id_col: str = "doc_id",
         text_col: str = "text",
         divisor: int = 8,
+        rebucket_target_bytes: int | None = None,
     ):
         if chunks_table.schema is None:
             chunks_table.schema = _chunk_schema(id_col)
@@ -127,6 +129,9 @@ class CdcChunkSink:
         self.id_col = id_col
         self.text_col = text_col
         self.divisor = divisor
+        # auto-split both growing state tables past this mean bucket size
+        # (merge.maybe_rebucket; see ExactDedupSink docstring)
+        self.rebucket_target_bytes = rebucket_target_bytes
 
     def _last_applied(self, current_freq: DataFrame) -> int:
         row = (
@@ -277,6 +282,12 @@ class CdcChunkSink:
                         )
                     )
                     self.freq_table.overwrite_atomic(merged_freq)
+                if self.rebucket_target_bytes is not None:
+                    for t in (self.chunks_table, self.freq_table):
+                        if t.partition_by == [PART_COL]:
+                            maybe_rebucket(
+                                spark, t, self.rebucket_target_bytes
+                            )
             finally:
                 batch_chunks.unpersist()
         finally:

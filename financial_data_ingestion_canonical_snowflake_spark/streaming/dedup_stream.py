@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 from ..operators.merge import (
     PART_COL,
     LedgerSpec,
+    maybe_rebucket,
     merge_upsert,
     merge_upsert_scoped,
 )
@@ -84,14 +85,28 @@ def _is_bucketed(table: ParquetTable) -> bool:
 
 
 class ExactDedupSink:
-    """foreachBatch sink folding each micro-batch into the survivor table."""
+    """foreachBatch sink folding each micro-batch into the survivor table.
 
-    def __init__(self, table: ParquetTable, id_col: str, text_col: str):
+    ``rebucket_target_bytes``: on a bucketed table, auto-split the bucket
+    layout after a fold whenever mean bucket size exceeds the target
+    (merge.maybe_rebucket) — the knob that keeps per-trigger I/O
+    batch-proportional as the survivor state grows without bound (a fixed
+    modulus re-couples trigger cost to state size; docs/BENCH_NOTES.md).
+    """
+
+    def __init__(
+        self,
+        table: ParquetTable,
+        id_col: str,
+        text_col: str,
+        rebucket_target_bytes: int | None = None,
+    ):
         if table.schema is None:
             table.schema = SURVIVOR_SCHEMA
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
+        self.rebucket_target_bytes = rebucket_target_bytes
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         """The maintained survivor table (scoped-path ledger rows
@@ -113,6 +128,8 @@ class ExactDedupSink:
                 ledger=LedgerSpec(LEDGER_HASH, "dup_cnt"),
                 batch_id=batch_id,
             )
+            if self.rebucket_target_bytes is not None:
+                maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
             return
         merged = merge_upsert(
             self.table.read(spark),
@@ -158,12 +175,18 @@ def stream_exact_dedup(
     text_col: str = "text",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    rebucket_target_bytes: int | None = None,
 ):
     """Stream a parquet document directory into a survivor table."""
     return _start_parquet_batch_stream(
         spark,
         source_dir,
-        ExactDedupSink(table, id_col, text_col),
+        ExactDedupSink(
+            table,
+            id_col,
+            text_col,
+            rebucket_target_bytes=rebucket_target_bytes,
+        ),
         checkpoint_dir,
         max_files_per_trigger,
         available_now,
@@ -218,6 +241,7 @@ class MinHashLshDedupSink:
         bands: int = 4,
         min_matching: int = 8,
         max_bucket_width: int | None = 10_000,
+        rebucket_target_bytes: int | None = None,
     ):
         if pairs_table.schema is None:
             pairs_table.schema = PAIR_SCHEMA
@@ -229,6 +253,9 @@ class MinHashLshDedupSink:
         self.bands = bands
         self.min_matching = min_matching
         self.max_bucket_width = max_bucket_width
+        # auto-split both growing state tables past this mean bucket size
+        # (see ExactDedupSink docstring)
+        self.rebucket_target_bytes = rebucket_target_bytes
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -267,6 +294,10 @@ class MinHashLshDedupSink:
             else:
                 merged_sigs = merge_upsert(corpus_sigs, new_sigs, keys=["doc"])
                 self.sig_table.overwrite_atomic(merged_sigs)
+            if self.rebucket_target_bytes is not None:
+                for t in (self.pairs_table, self.sig_table):
+                    if t.partition_by == [PART_COL]:
+                        maybe_rebucket(spark, t, self.rebucket_target_bytes)
         finally:
             new_sigs.unpersist()
 

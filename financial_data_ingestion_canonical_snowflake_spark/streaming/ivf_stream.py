@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.merge import PART_COL, merge_upsert, merge_upsert_scoped
+from ..operators.merge import (
+    PART_COL,
+    maybe_rebucket,
+    merge_upsert,
+    merge_upsert_scoped,
+)
 from ..operators.similarity import assign_to_centroids
 from ..operators.storage import ParquetTable
 
@@ -70,6 +75,7 @@ class IvfIndexSink:
         centroids_table: ParquetTable,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        rebucket_target_bytes: int | None = None,
     ):
         if index_table.schema is None:
             index_table.schema = _index_schema(id_col, vec_col)
@@ -77,6 +83,9 @@ class IvfIndexSink:
         self.centroids_table = centroids_table
         self.id_col = id_col
         self.vec_col = vec_col
+        # auto-split the bucketed index past this mean bucket size
+        # (merge.maybe_rebucket) — the corpus-sized table's growth knob
+        self.rebucket_target_bytes = rebucket_target_bytes
 
     def index(self, spark: SparkSession) -> DataFrame:
         """The maintained inverted-list table — ivf_topk_from_index input."""
@@ -100,6 +109,10 @@ class IvfIndexSink:
             merge_upsert_scoped(
                 spark, self.index_table, assigned, keys=[self.id_col]
             )
+            if self.rebucket_target_bytes is not None:
+                maybe_rebucket(
+                    spark, self.index_table, self.rebucket_target_bytes
+                )
             return
         merged = merge_upsert(
             self.index_table.read(spark), assigned, keys=[self.id_col]

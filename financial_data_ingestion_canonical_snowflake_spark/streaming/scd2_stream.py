@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import (
     PART_COL,
+    maybe_rebucket,
     merge_upsert,
     merge_upsert_scoped,
     part_expr,
@@ -60,12 +61,17 @@ class Scd2Sink:
         state_col: str,
         ts_col: str,
         seq_col: str,
+        rebucket_target_bytes: int | None = None,
     ):
         self.table = table
         self.key_col = key_col
         self.state_col = state_col
         self.ts_col = ts_col
         self.seq_col = seq_col
+        # auto-split the bucketed version table past this mean bucket size
+        # (merge.maybe_rebucket) — keeps per-trigger I/O batch-proportional
+        # as the dimension grows without bound
+        self.rebucket_target_bytes = rebucket_target_bytes
 
     def versions(self, spark: SparkSession) -> DataFrame:
         """The public SCD2 surface — identical schema to scd2_build."""
@@ -86,6 +92,7 @@ class Scd2Sink:
             self.key_col, self.state_col, self.ts_col, self.seq_col
         )
         recomputed_src = events
+        parts = None
         if self.table.exists():
             target = self.table.read(spark)
             affected = events.select(self.key_col).distinct()
@@ -119,13 +126,20 @@ class Scd2Sink:
         )
         if scoped:
             # keyed upsert (idempotent re-collapse — replay-safe); only the
-            # affected keys' buckets are rewritten
+            # affected keys' buckets are rewritten. The recomputed versions
+            # carry exactly the affected keys, whose buckets were already
+            # collected above — pass them through so the merge skips its
+            # own touched-bucket action AND the source persist (r12: the
+            # bucketed live drain paid two extra driver actions a trigger).
             merge_upsert_scoped(
                 spark,
                 self.table,
                 recomputed,
                 keys=[self.key_col, "version_n"],
+                parts=parts,
             )
+            if self.rebucket_target_bytes is not None:
+                maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
             return
         if self.table.exists():
             merged = merge_upsert(

@@ -21,6 +21,18 @@ target bucket size) for the economics to hold at 100 TB — that is the
 ``n_buckets`` knob being swept here.
 
 Run:  python tools/measure_sink_io.py [sf_dir] [n_incr] [inc_rows] [n_buckets]
+
+Growth mode (``--growth``): the r12 verdict's open question — does
+per-trigger I/O stay FLAT as state grows 10x? With a FIXED modulus it
+cannot (trigger cost = touched_buckets x mean_bucket_size, and mean
+bucket size grows with state); with ``rebucket_target_bytes`` set the
+sink auto-splits to hold mean bucket size at the target, so probe-trigger
+I/O stays ~touched_buckets x target. This mode grows the exact-dedup
+state through 4 phases (~10x end to end), interleaving 3 small fixed-size
+probe batches per phase, and reports per-phase probe write bytes for the
+fixed layout vs the auto-rebucketing layout side by side.
+
+Run:  python tools/measure_sink_io.py --growth [sf_dir] [probe_rows] [target_kb]
 """
 
 from __future__ import annotations
@@ -94,6 +106,102 @@ def _seed_plus_increments(df, id_col, n, n_incr, inc_rows):
     ]
 
 
+def growth_main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/testdata/sf1"
+    probe_rows = int(args[1]) if len(args) > 1 else 20
+    target_kb = int(args[2]) if len(args) > 2 else 16
+    spark = get_spark(app_name="sink-io-growth", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import Row
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40_000)
+        .persist()
+    )
+    docs.count()
+    # ~10x state growth end to end; probes are NEW unique keys each time
+    # (inserts — the steady-state small-trigger shape)
+    phases = [(0, 4_000), (4_000, 8_000), (8_000, 16_000), (16_000, 40_000)]
+
+    def probe(pi: int, j: int):
+        base = 10_000_000 + pi * 10_000 + j * 1_000
+        return spark.createDataFrame(
+            [
+                Row(doc_id=base + i, text=f"probe document {base + i} body")
+                for i in range(probe_rows)
+            ]
+        )
+
+    work = tempfile.mkdtemp(prefix="sink_io_growth_")
+    report = {}
+    for layout, target in (
+        ("fixed_32", None),
+        (f"auto_{target_kb}KB", target_kb << 10),
+    ):
+        table = ParquetTable(
+            f"{work}/{layout}", partition_by=[PART_COL], n_buckets=32
+        )
+        sink = ExactDedupSink(
+            table, "doc_id", "text", rebucket_target_bytes=target
+        )
+        bid = 0
+        phase_stats = []
+        for pi, (lo, hi) in enumerate(phases):
+            sink(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                bid,
+            )
+            bid += 1
+            probes = []
+            for j in range(3):
+                before = _files(table.path)
+                sink(probe(pi, j), bid)
+                bid += 1
+                probes.append(_written_bytes(before, _files(table.path)))
+            state_bytes = sum(sz for sz, _m in _files(table.path).values())
+            n_buckets = table.read_meta()["n_buckets"]
+            phase_stats.append(
+                {
+                    "state_mb": round(state_bytes / 1e6, 2),
+                    "n_buckets": n_buckets,
+                    "probe_mb": [round(p / 1e6, 3) for p in probes],
+                    "probe_mean_mb": round(
+                        sum(probes) / len(probes) / 1e6, 3
+                    ),
+                }
+            )
+        report[layout] = phase_stats
+    print(json.dumps({
+        "mode": "growth", "sf_dir": sf_dir, "probe_rows": probe_rows,
+        "target_kb": target_kb, "phases": [h for _l, h in phases],
+    }))
+    for layout, stats in report.items():
+        print(f"\n{layout}:")
+        for i, s in enumerate(stats):
+            print(
+                f"  phase {i}: state {s['state_mb']:7.2f} MB  "
+                f"buckets {s['n_buckets']:4d}  "
+                f"probe-writes MB {s['probe_mb']}  "
+                f"mean {s['probe_mean_mb']}"
+            )
+    f0 = report["fixed_32"]
+    a0 = report[f"auto_{target_kb}KB"]
+    print(
+        f"\nprobe-write slope phase0 -> phase3: fixed "
+        f"{f0[-1]['probe_mean_mb'] / max(f0[0]['probe_mean_mb'], 1e-9):.1f}x"
+        f" vs auto "
+        f"{a0[-1]['probe_mean_mb'] / max(a0[0]['probe_mean_mb'], 1e-9):.1f}x"
+        f" (state grew "
+        f"{a0[-1]['state_mb'] / max(a0[0]['state_mb'], 1e-9):.1f}x)"
+    )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
     n_incr = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -164,4 +272,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--growth" in sys.argv:
+        growth_main()
+    else:
+        main()
