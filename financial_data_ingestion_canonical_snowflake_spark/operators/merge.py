@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 _T_PRESENT = "__merge_t_present"
 _S_PRESENT = "__merge_s_present"
 
+#: prefixes of the target/source column aliases inside the merge join.
+#: Public contract for ``merge_exprs`` combiners that need SIBLING columns
+#: (e.g. a payload that follows whichever side holds the smaller
+#: survivor_id): reference them as ``F.col(T_PREFIX + "survivor_id")`` /
+#: ``F.col(S_PREFIX + "survivor_id")`` — the combiner evaluates over the
+#: joined frame where every column of both sides is present under these
+#: aliases.
+T_PREFIX = "__t_"
+S_PREFIX = "__s_"
+
 #: per-column matched-row merge expression: (target_col, source_col) -> Column
 MergeExpr = Callable[[Column, Column], Column]
 
@@ -139,9 +149,11 @@ def merge_upsert(
       pre-existing rows), columns missing from the source are PRESERVED from
       the target (the source simply didn't speak to them — Delta
       ``mergeSchema`` semantics); a column present on both sides with
-      different types raises. The scoped/hive-layout variant deliberately
-      does NOT take this flag: evolving a partitioned table's schema requires
-      a table rewrite, not a partition swap.
+      different types raises. The scoped variant supports the flag WITHOUT
+      a table rewrite: untouched bucket files keep the old physical schema
+      and readers supply the evolved schema explicitly (recorded in the
+      table metadata), so missing columns read as typed NULLs — the plain-
+      parquet analog of a metadata-only ADD COLUMN.
 
     NULL key values match null-safely (reference M3 uses
     ``COALESCE(line_number, -1)`` to the same effect,
@@ -202,8 +214,8 @@ def merge_upsert(
         keys,
         _T_PRESENT,
         _S_PRESENT,
-        "__t_",
-        "__s_",
+        T_PREFIX,
+        S_PREFIX,
     )
 
     matched = F.col(_T_PRESENT).isNotNull() & F.col(_S_PRESENT).isNotNull()
@@ -308,6 +320,7 @@ def merge_upsert_scoped(
     ledger: LedgerSpec | None = None,
     batch_id: int | None = None,
     parts: Sequence[int] | None = None,
+    evolve_schema: bool = False,
 ) -> list[str]:
     """Partition-scoped MERGE into a hash-bucketed ``ParquetTable``.
 
@@ -344,6 +357,15 @@ def merge_upsert_scoped(
     — e.g. from the affected-key set a sink already collected). Skips
     the touched-bucket driver action, and — when the source is consumed
     only once — the source persist with it.
+
+    ``evolve_schema=True``: a source with NEW columns widens the table
+    without a rewrite. Only the touched buckets are rewritten with the
+    evolved schema; the union schema is recorded in the table metadata
+    (``schema_json``) and every subsequent target read supplies it
+    explicitly, so untouched buckets' old files read the added columns
+    as typed NULLs (Spark fills missing columns under an explicit read
+    schema) — a mid-stream column addition never forces a state rebuild.
+    Union/conflict semantics are :func:`merge_upsert`'s.
     """
     keys = list(keys)
     if (ledger is None) != (batch_id is None):
@@ -369,14 +391,31 @@ def merge_upsert_scoped(
         # n_buckets -> driver-small collect.
         src_cached = src = src.persist()
         parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
+    stored = table.stored_schema() if exists else None
     if exists:
-        data_cols = (
-            [f.name for f in table.schema.fields]
-            if table.schema is not None
-            else [c for c in source.columns]
-        )
+        if stored is not None:
+            # the table has evolved at least once: bucket files carry MIXED
+            # physical schemas, so the read must supply the recorded union
+            # schema explicitly — old files fill the added columns with
+            # typed NULLs (a footer-inferred read could pick an old file
+            # and drop the new columns entirely)
+            base = spark.read.schema(stored).parquet(table.path)
+            data_cols = [f.name for f in stored.fields]
+        else:
+            base = spark.read.parquet(table.path)
+            if evolve_schema:
+                # first evolution: files are still uniform — the physical
+                # footer schema is the authoritative current layout (the
+                # source's new columns are not in any file yet)
+                data_cols = [c for c in base.columns if c != PART_COL]
+            else:
+                data_cols = (
+                    [f.name for f in table.schema.fields]
+                    if table.schema is not None
+                    else [c for c in source.columns]
+                )
         tgt = (
-            spark.read.parquet(table.path)
+            base
             .filter(F.col(PART_COL).isin(parts))
             .select(*data_cols, PART_COL)
         )
@@ -412,6 +451,7 @@ def merge_upsert_scoped(
             dedupe_order,
             set_on_update,
             set_on_insert,
+            evolve_schema=evolve_schema,
             merge_exprs=merge_exprs,
         )
     else:
@@ -425,40 +465,52 @@ def merge_upsert_scoped(
             merged = dedupe_source(merged, keys, dedupe_order)
         for c, expr in (set_on_insert or {}).items():
             merged = merged.withColumn(c, expr)
+    out_fields = [f for f in merged.schema.fields if f.name != PART_COL]
     if ledger is not None:
         merged = merged.unionByName(
-            _ledger_rows_plan(src, keys[0], ledger, batch_id)
+            _ledger_rows_plan(src, out_fields, keys[0], ledger, batch_id)
         )
     # one write task per touched bucket -> one right-sized file per
     # partition dir instead of (shuffle-width x buckets) small files
     merged = merged.repartition(
         len(parts) if parts else n_buckets, F.col(PART_COL)
     )
-    replaced = table.replace_partitions(merged)
-    if src_cached is not None:
-        src_cached.unpersist()
     meta = {"n_buckets": n_buckets, "part_col": PART_COL, "keys": keys}
     if ledger is not None:
         # record the ledger layout so maintenance (rebucket) can re-home
         # sentinel rows without the caller re-supplying the spec
         meta["ledger_sentinel"] = ledger.sentinel
         meta["ledger_value_col"] = ledger.value_col
+    if exists and (evolve_schema or stored is not None):
+        from pyspark.sql import types as T
+
+        evolved = T.StructType(out_fields)
+        meta["schema_json"] = evolved.jsonValue()
+        if table.schema is not None:
+            table.schema = evolved
+    # meta lands BEFORE the partition swap: a crash in between leaves the
+    # recorded schema wider than some files — harmless (explicit-schema
+    # reads fill NULLs); the reverse order could leave mixed files with no
+    # recorded union schema, breaking every subsequent footer-inferred read
     table.write_meta(**meta)
+    replaced = table.replace_partitions(merged)
+    if src_cached is not None:
+        src_cached.unpersist()
     return replaced
 
 
 def _ledger_rows_plan(
-    src: DataFrame, key0: str, ledger: LedgerSpec, batch_id: int
+    src: DataFrame, out_fields, key0: str, ledger: LedgerSpec, batch_id: int
 ) -> DataFrame:
-    """One typed sentinel ledger row per bucket present in ``src``,
-    derived IN-PLAN from the source's own bucket column — no driver-side
-    parts list, so stamping the ledger costs no extra driver action.
-    ``src`` must already exclude replay-skipped buckets (the in-plan
-    ledger join does), so only surviving buckets are stamped."""
+    """One sentinel ledger row per bucket present in ``src``, derived
+    IN-PLAN from the source's own bucket column — no driver-side parts
+    list, so stamping the ledger costs no extra driver action. ``src``
+    must already exclude replay-skipped buckets (the in-plan ledger join
+    does), so only surviving buckets are stamped. ``out_fields`` types
+    the row to the MERGED output schema (which may be wider than the
+    source under ``evolve_schema``)."""
     exprs = []
-    for f in src.schema.fields:
-        if f.name == PART_COL:
-            continue
+    for f in out_fields:
         if f.name == key0:
             e = F.lit(ledger.sentinel).cast(f.dataType)
         elif f.name == ledger.value_col:
@@ -533,7 +585,12 @@ def rebucket(
     if ledger is None and "ledger_sentinel" in meta:
         ledger = LedgerSpec(meta["ledger_sentinel"], meta["ledger_value_col"])
     m = new_n_buckets // old_n
-    df = spark.read.parquet(table.path)
+    stored = table.stored_schema()
+    df = (
+        spark.read.schema(stored).parquet(table.path)
+        if stored is not None  # evolved layout: mixed files, union schema
+        else spark.read.parquet(table.path)
+    )
     if ledger is not None:
         is_led = F.col(key0).eqNullSafe(F.lit(ledger.sentinel))
         data = df.filter(~is_led).withColumn(

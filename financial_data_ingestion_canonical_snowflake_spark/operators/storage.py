@@ -80,6 +80,19 @@ class ParquetTable:
             json.dump(meta, f)
         os.replace(tmp, p)  # atomic on POSIX
 
+    def stored_schema(self) -> T.StructType | None:
+        """The evolved union schema recorded in the table metadata (by
+        ``merge_upsert_scoped(evolve_schema=True)``), or None for tables
+        that never evolved. When present it is the layout TRUTH: bucket
+        files carry mixed physical schemas and every read must supply
+        this schema explicitly (old files fill added columns with typed
+        NULLs; a footer-inferred read could pick an old file and lose
+        the added columns)."""
+        meta = self.read_meta()
+        if meta and "schema_json" in meta:
+            return T.StructType.fromJson(meta["schema_json"])
+        return None
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the table; an absent table reads as empty when a schema is
         declared (lets the first merge run against an empty target).
@@ -88,9 +101,15 @@ class ParquetTable:
         (``partition_by == [merge.PART_COL]``) is a physical detail, not
         table data — it is dropped here so schema-less readers see the same
         logical columns a whole-table layout would give them. Real partition
-        columns (client_id, load_date, ...) are data and stay."""
+        columns (client_id, load_date, ...) are data and stay. An evolved
+        table (``stored_schema``) reads under its recorded union schema."""
         if self.exists():
-            df = spark.read.parquet(self.path)
+            stored = self.stored_schema()
+            df = (
+                spark.read.schema(stored).parquet(self.path)
+                if stored is not None
+                else spark.read.parquet(self.path)
+            )
             if self.schema is not None:
                 df = df.select(*[f.name for f in self.schema.fields])
             else:
@@ -134,7 +153,12 @@ class ParquetTable:
                 f"{self.path}: no generation {n_back} back "
                 f"({len(gens)} retained)"
             )
-        df = spark.read.parquet(gens[-n_back])
+        stored = self.stored_schema()
+        df = (
+            spark.read.schema(stored).parquet(gens[-n_back])
+            if stored is not None  # pre-evolution snapshots read as NULLs
+            else spark.read.parquet(gens[-n_back])
+        )
         if self.schema is not None:
             df = df.select(*[f.name for f in self.schema.fields])
         else:

@@ -17,6 +17,8 @@ dropped like stop-words.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,16 +36,27 @@ def minhash_params(k: int = 16) -> list[tuple[int, int]]:
     return [(max(p_a, 1), p_b) for p_a, p_b in params]
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
     """Exact content dedup: one row per distinct text hash with the survivor
-    (min id — deterministic) and the duplicate count."""
+    (min id — deterministic) and the duplicate count.
+
+    ``payload_cols`` ride along with the SURVIVOR row (``min_by`` on the
+    id — deterministic under unique ids): the columns a curation pipeline
+    wants to keep for the representative document (lang, source, quality
+    score) without a join back to the corpus."""
     h = scalars.sha256_hex(F.col(text_col))
     return (
-        df.select(F.col(id_col), h.alias("content_hash"))
+        df.select(F.col(id_col), h.alias("content_hash"), *payload_cols)
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("survivor_id"),
             F.count(F.lit(1)).alias("dup_cnt"),
+            *[F.min_by(c, F.col(id_col)).alias(c) for c in payload_cols],
         )
     )
 

@@ -39,12 +39,16 @@ legacy whole-table rewrite.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.merge import (
     PART_COL,
+    S_PREFIX,
+    T_PREFIX,
     LedgerSpec,
     maybe_rebucket,
     merge_upsert,
@@ -80,6 +84,18 @@ _SURVIVOR_EXPRS = {
 }
 
 
+def _payload_expr(t, s):
+    """Matched-row combiner for survivor payload columns: the payload
+    follows whichever side holds the smaller survivor_id (the sibling
+    columns the merge join exposes under T_PREFIX/S_PREFIX) — the fold
+    form of batch ``min_by(payload, id)``, associative across batches
+    because the running survivor_id is itself the running min."""
+    s_wins = F.col(f"{S_PREFIX}survivor_id") < F.col(
+        f"{T_PREFIX}survivor_id"
+    )
+    return F.when(s_wins, s).otherwise(t)
+
+
 def _is_bucketed(table: ParquetTable) -> bool:
     return table.partition_by == [PART_COL]
 
@@ -92,6 +108,18 @@ class ExactDedupSink:
     (merge.maybe_rebucket) — the knob that keeps per-trigger I/O
     batch-proportional as the survivor state grows without bound (a fixed
     modulus re-couples trigger cost to state size; docs/BENCH_NOTES.md).
+
+    ``payload_cols``: survivor payload columns (batch ``exact_dedup``'s
+    ``min_by(payload, id)`` semantics, folded across batches — the
+    payload follows the running min-id survivor). Adding payload columns
+    on a RESTART over state written without them is the supported
+    schema-evolution path (scoped layout): the fold widens the table
+    in-place via ``merge_upsert_scoped(evolve_schema=True)`` — no state
+    rebuild. Rows whose survivor was established before the evolution
+    carry NULL payload until a smaller-id delivery arrives (the payload
+    of the pre-evolution survivor was never stored — Delta mergeSchema's
+    old-rows-are-NULL semantics); every other column still equals the
+    batch operator over the full ingested union (pytest-proven).
     """
 
     def __init__(
@@ -100,13 +128,17 @@ class ExactDedupSink:
         id_col: str,
         text_col: str,
         rebucket_target_bytes: int | None = None,
+        payload_cols: Sequence[str] = (),
     ):
-        if table.schema is None:
+        if table.schema is None and not payload_cols:
+            # payload types are only known from the stream; with payloads
+            # the table reads schema-on-read (evolved union from metadata)
             table.schema = SURVIVOR_SCHEMA
         self.table = table
         self.id_col = id_col
         self.text_col = text_col
         self.rebucket_target_bytes = rebucket_target_bytes
+        self.payload_cols = list(payload_cols)
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         """The maintained survivor table (scoped-path ledger rows
@@ -117,26 +149,38 @@ class ExactDedupSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = exact_dedup(batch_df, self.id_col, self.text_col)
+        batch = exact_dedup(
+            batch_df, self.id_col, self.text_col, self.payload_cols
+        )
+        exprs = dict(_SURVIVOR_EXPRS)
+        for c in self.payload_cols:
+            exprs[c] = _payload_expr
         if _is_bucketed(self.table):
             merge_upsert_scoped(
                 spark,
                 self.table,
                 batch,
                 keys=["content_hash"],
-                merge_exprs=_SURVIVOR_EXPRS,
+                merge_exprs=exprs,
                 ledger=LedgerSpec(LEDGER_HASH, "dup_cnt"),
                 batch_id=batch_id,
+                # widen in place when a restart added payload columns
+                evolve_schema=bool(self.payload_cols),
             )
             if self.rebucket_target_bytes is not None:
                 maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
             return
-        merged = merge_upsert(
-            self.table.read(spark),
-            batch,
-            keys=["content_hash"],
-            merge_exprs=_SURVIVOR_EXPRS,
-        )
+        if self.table.exists():
+            merged = merge_upsert(
+                self.table.read(spark),
+                batch,
+                keys=["content_hash"],
+                merge_exprs=exprs,
+                evolve_schema=bool(self.payload_cols),
+            )
+        else:
+            merged = batch  # first batch (payload mode has no declared
+            # schema for an empty-table read; MERGE into nothing = insert)
         self.table.overwrite_atomic(merged)
 
 
@@ -176,6 +220,7 @@ def stream_exact_dedup(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     rebucket_target_bytes: int | None = None,
+    payload_cols: Sequence[str] = (),
 ):
     """Stream a parquet document directory into a survivor table."""
     return _start_parquet_batch_stream(
@@ -186,6 +231,7 @@ def stream_exact_dedup(
             id_col,
             text_col,
             rebucket_target_bytes=rebucket_target_bytes,
+            payload_cols=payload_cols,
         ),
         checkpoint_dir,
         max_files_per_trigger,

@@ -62,6 +62,7 @@ class Scd2Sink:
         ts_col: str,
         seq_col: str,
         rebucket_target_bytes: int | None = None,
+        evolve_schema: bool = False,
     ):
         self.table = table
         self.key_col = key_col
@@ -72,6 +73,12 @@ class Scd2Sink:
         # (merge.maybe_rebucket) — keeps per-trigger I/O batch-proportional
         # as the dimension grows without bound
         self.rebucket_target_bytes = rebucket_target_bytes
+        # tolerate a version-table schema wider than this software writes
+        # (an upgrade added columns, or an operator widened the table via
+        # merge_upsert_scoped(evolve_schema=True)): untouched columns are
+        # PRESERVED on matched versions instead of failing the fold — a
+        # mid-stream widening never forces a dimension rebuild
+        self.evolve_schema = evolve_schema
 
     def versions(self, spark: SparkSession) -> DataFrame:
         """The public SCD2 surface — identical schema to scd2_build."""
@@ -109,8 +116,14 @@ class Scd2Sink:
                     .distinct()
                     .collect()
                 ]
+                stored = self.table.stored_schema()
+                reader = (
+                    spark.read.schema(stored)  # evolved layout: mixed files
+                    if stored is not None
+                    else spark.read
+                )
                 target = (
-                    spark.read.parquet(self.table.path)
+                    reader.parquet(self.table.path)
                     .filter(F.col(PART_COL).isin(parts))
                     .drop(PART_COL)
                 )
@@ -137,6 +150,7 @@ class Scd2Sink:
                 recomputed,
                 keys=[self.key_col, "version_n"],
                 parts=parts,
+                evolve_schema=self.evolve_schema,
             )
             if self.rebucket_target_bytes is not None:
                 maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
@@ -146,6 +160,7 @@ class Scd2Sink:
                 self.table.read(spark),
                 recomputed,
                 keys=[self.key_col, "version_n"],
+                evolve_schema=self.evolve_schema,
             )
         else:
             merged = recomputed

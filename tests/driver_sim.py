@@ -3,7 +3,10 @@ the correctness driver does — a hostile SparkSession (non-UTC timezone, no
 engine confs), sf0.01, every oracle-paired `queries()` entry compared
 against its DuckDB twin. Run from repo root:
 
-    timeout 580 python tests/driver_sim.py [sf_dir]
+    timeout 580 python tests/driver_sim.py [sf_dir] [--only=name1,name2]
+
+``--only`` re-runs a subset — e.g. the vector family after an embeddings
+fixture change, without paying the full multi-hour sf1 oracle sweep.
 """
 
 from __future__ import annotations
@@ -18,7 +21,10 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    wanted = set(only[0].split(",")) if only else None
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "America/New_York")
@@ -33,6 +39,8 @@ def main() -> int:
     o = e.oracle_sql()
     con = duckdb_conn(sf_dir)
     n_fail = 0
+    if wanted is not None:
+        q = {n: f for n, f in q.items() if n in wanted}
     for name, fn in q.items():
         # per-query isolation — clear leftover operator-internal caches and
         # force a Python GC so py4j releases JVM-side plan/broadcast refs

@@ -20,6 +20,11 @@ not otherwise reach.
 
 Run:  python tools/certify_bucketed.py [sf_dir] [out_json] [--heavy]
       [--only=name1,name2]   (re-run a subset, e.g. after a fixture fix)
+      [--nb-mult=K]          (multiply every bucketed target's bucket
+                              count by K — at sf10 the same 1/n slice is
+                              ~3x the sf3 bytes, so K≈4 keeps each
+                              oracle pass inside the memory budget;
+                              whole-digest n_buckets=1 rows stay 1)
 """
 
 from __future__ import annotations
@@ -86,9 +91,16 @@ TARGETS = [
     ("ns_dedup_pagerank_fixed", "node", 1),
     ("ns_dedup_graph_stats", "n_nodes", 1),
     ("ns_text_bpe_pairs", "pair", 1),
-    # embedding self-join families (quadratic within LSH buckets)
+    # embedding self-join families (quadratic within LSH buckets) — the
+    # scale generator injects ~0.2% deterministic near-dup twins
+    # (gen_testdata_sf.GEN_TWIN_OFFSET ids), so these rows certify a
+    # NON-EMPTY pair set at every generated sf (r12: 0-row agreement)
     ("ns_vector_near_dup", "id_a", 8),
     ("ns_vector_near_dup_adaptive", "id_a", 8),
+    # SemDeDup through the production adaptive default: full-corpus output
+    # (one row per vector), whole-digest mode — the dropped set is
+    # non-empty once the generator twins exist
+    ("ns_dedup_semantic_adaptive", "vec_id", 1),
 ]
 
 # the uncapped exact shingle self-join — the single heaviest oracle;
@@ -117,6 +129,11 @@ def main() -> None:
     if only:
         wanted = set(only[0].split(","))
         targets = [t for t in targets if t[0] in wanted]
+    mult = [int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--nb-mult=")]
+    if mult:
+        targets = [
+            (n, c, nb * mult[0] if nb > 1 else nb) for n, c, nb in targets
+        ]
 
     spark = get_spark(app_name="certify-bucketed")
     spark.sparkContext.setLogLevel("ERROR")

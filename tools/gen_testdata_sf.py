@@ -47,6 +47,12 @@ PART_TYPES = np.array(["LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO"])
 
 US_DAY = 86_400_000_000
 
+#: id namespace of the generator's injected near-dup embedding twins —
+#: beyond any realistic corpus id, and disjoint from the registry's
+#: in-query synthetic domain (SYNTH_ID_OFFSET = 1e12; in-query twins
+#: derive only from vec_id < 25, so 5e11 + i never collides)
+GEN_TWIN_OFFSET = 500_000_000_000
+
 
 def _ts_us(rng: np.random.Generator, n: int, lo_us: int, hi_us: int) -> np.ndarray:
     return rng.integers(lo_us, hi_us, n, dtype=np.int64)
@@ -302,13 +308,34 @@ def generate(sf: float, out_dir: str) -> dict:
     vecs = (raw / np.linalg.norm(raw, axis=1, keepdims=True)).astype(
         np.float32
     )
+    # deterministic near-dup TWINS (~0.2%, ids at GEN_TWIN_OFFSET + i):
+    # a perturbed copy of vector i with cosine ~0.99 against its source,
+    # so the near-dup/semantic-dedup families have a non-empty, scale-
+    # proportional true-positive set at every generated sf (VERDICT r12:
+    # sf3 certified those families on 0-row agreement only). Drawn AFTER
+    # every base draw, so base vectors stay byte-identical to earlier
+    # rounds' generations; the offset clears every realistic corpus while
+    # staying outside the in-query synthetic domain (registry
+    # SYNTH_ID_OFFSET twins derive only from vec_id < 25).
+    n_twin = max(8, n_emb // 500)
+    noise = rng.normal(0, 1.0, (n_twin, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    twin_raw = vecs[:n_twin].astype(np.float64) + 0.12 * noise
+    twins = (
+        twin_raw / np.linalg.norm(twin_raw, axis=1, keepdims=True)
+    ).astype(np.float32)
     _write(
         out_dir,
         "embeddings",
         {
-            "vec_id": np.arange(n_emb, dtype=np.int64),
-            "embedding": list(vecs),
-            "label": labels,
+            "vec_id": np.concatenate(
+                [
+                    np.arange(n_emb, dtype=np.int64),
+                    GEN_TWIN_OFFSET + np.arange(n_twin, dtype=np.int64),
+                ]
+            ),
+            "embedding": list(vecs) + list(twins),
+            "label": np.concatenate([labels, labels[:n_twin]]),
         },
         pa.schema(
             [
@@ -321,7 +348,7 @@ def generate(sf: float, out_dir: str) -> dict:
     return {
         "region": 5, "nation": 25, "customer": n_cust, "supplier": n_supp,
         "part": n_part, "orders": n_ord, "lineitem": n_li, "events": n_ev,
-        "documents": n_doc, "embeddings": n_emb,
+        "documents": n_doc, "embeddings": n_emb + n_twin,
     }
 
 
