@@ -231,7 +231,7 @@ def merge_upsert(
 
     projections = []
     for c in out_cols:
-        tc, sc = F.col(f"__t_{c}"), F.col(f"__s_{c}")
+        tc, sc = F.col(f"{T_PREFIX}{c}"), F.col(f"{S_PREFIX}{c}")
         if c in merge_exprs:
             base = F.when(matched, merge_exprs[c](tc, sc)).when(
                 inserted, sc
@@ -373,7 +373,14 @@ def merge_upsert_scoped(
             "merge_upsert_scoped: ledger and batch_id must be given together"
         )
     if n_buckets is None:
-        n_buckets = table.n_buckets
+        # adopt the STORED modulus over the table object's seed value: an
+        # auto-rebucket grows the layout by design, and a process restart
+        # reconstructs the table with its original seed — a default-mode
+        # merge must follow the table, not crash the stream on the
+        # validator (an EXPLICIT n_buckets still validates strictly)
+        meta0 = table.read_meta()
+        n_buckets = (meta0 or {}).get("n_buckets", table.n_buckets)
+        table.n_buckets = n_buckets
     n_buckets = _validated_n_buckets(table, n_buckets)
     src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
     src_cached = None
@@ -391,6 +398,12 @@ def merge_upsert_scoped(
         # n_buckets -> driver-small collect.
         src_cached = src = src.persist()
         parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
+    if ledger is not None and src_cached is None:
+        # the in-plan ledger stamp (distinct touched buckets) is a second
+        # consumer of the source subtree inside the write job — cache it
+        # on the paths that don't otherwise persist (first batch into an
+        # absent table, caller-supplied parts)
+        src_cached = src = src.persist()
     stored = table.stored_schema() if exists else None
     if exists:
         if stored is not None:
@@ -658,6 +671,10 @@ def maybe_rebucket(
         and n * factor * 2 <= max_buckets
     ):
         factor *= 2
+    if n * factor > max_buckets:
+        # a non-power-of-two modulus can overshoot the ceiling on its
+        # first doubling (n=12, max=16 -> 24); the cap is hard
+        return None
     return rebucket(spark, table, n * factor)
 
 
@@ -666,9 +683,13 @@ def _validated_n_buckets(table, n_buckets: int) -> int:
     hive partitions by it, so merging with a different modulus prunes to the
     WRONG buckets and silently duplicates existing keys. The modulus is
     persisted in the table's ``_fincan_meta.json`` on every scoped merge and
-    enforced here; tables written before metadata existed get a weaker
-    directory-derived check (every observed ``txn_part=`` value must fit the
-    claimed modulus) and are stamped going forward."""
+    enforced here against an EXPLICIT caller claim (default-mode merges
+    adopt the stored modulus before reaching this check — the table
+    object's ``n_buckets`` is only the creation seed, and ``rebucket``
+    grows the stored value by design); tables written before metadata
+    existed get a weaker directory-derived check (every observed
+    ``txn_part=`` value must fit the claimed modulus) and are stamped
+    going forward."""
     import os
     import re
 

@@ -130,9 +130,13 @@ class ExactDedupSink:
         rebucket_target_bytes: int | None = None,
         payload_cols: Sequence[str] = (),
     ):
-        if table.schema is None and not payload_cols:
+        if table.schema is None and not payload_cols and not table.exists():
             # payload types are only known from the stream; with payloads
-            # the table reads schema-on-read (evolved union from metadata)
+            # (or over an EXISTING table, whose physical schema may be
+            # wider than this software knows — e.g. a restart that dropped
+            # payload_cols) the table reads schema-on-read: clamping an
+            # evolved table to the core schema here would silently erase
+            # stored payload columns on the next whole-table rewrite
             table.schema = SURVIVOR_SCHEMA
         self.table = table
         self.id_col = id_col
@@ -164,8 +168,11 @@ class ExactDedupSink:
                 merge_exprs=exprs,
                 ledger=LedgerSpec(LEDGER_HASH, "dup_cnt"),
                 batch_id=batch_id,
-                # widen in place when a restart added payload columns
-                evolve_schema=bool(self.payload_cols),
+                # always evolve: widens in place when a restart ADDED
+                # payload columns, and tolerates (preserves) columns a
+                # restart DROPPED — either direction of payload drift must
+                # never crash the stream or erase stored state
+                evolve_schema=True,
             )
             if self.rebucket_target_bytes is not None:
                 maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
@@ -176,7 +183,7 @@ class ExactDedupSink:
                 batch,
                 keys=["content_hash"],
                 merge_exprs=exprs,
-                evolve_schema=bool(self.payload_cols),
+                evolve_schema=True,
             )
         else:
             merged = batch  # first batch (payload mode has no declared

@@ -40,6 +40,12 @@ def main() -> int:
     con = duckdb_conn(sf_dir)
     n_fail = 0
     if wanted is not None:
+        unknown = wanted - set(q)
+        if unknown:
+            # a typo must not record a vacuous 0-entry "pass"
+            raise SystemExit(
+                f"--only names not in the driver window: {sorted(unknown)}"
+            )
         q = {n: f for n, f in q.items() if n in wanted}
     for name, fn in q.items():
         # per-query isolation — clear leftover operator-internal caches and

@@ -136,14 +136,24 @@ def test_exists_requires_parquet_data_file(tmp_path):
 
 def test_scoped_merge_rejects_changed_bucket_modulus(spark, table, tmp_path):
     """The bucket modulus is persisted in _fincan_meta.json on first scoped
-    write; merging the same table with a different modulus must fail loudly
-    instead of pruning to the wrong buckets and duplicating keys (ADVICE r2
-    medium)."""
+    write. An EXPLICIT mismatching n_buckets argument must fail loudly
+    instead of pruning to the wrong buckets and duplicating keys (ADVICE
+    r2 medium). A table OBJECT constructed with a different seed value is
+    NOT an error in default mode — the seed is a creation parameter and
+    the stored modulus is the layout truth (an auto-rebucket grows it by
+    design; a stream restart reconstructs the table with its original
+    seed and must follow the table, r13)."""
     merge_upsert_scoped(spark, table, _df(spark, [("k1", 1, "a")]), keys=["k"])
     assert table.read_meta()["n_buckets"] == 8
-    retuned = ParquetTable(table.path, SCHEMA, [PART_COL], n_buckets=16)
     with pytest.raises(ValueError, match="n_buckets"):
-        merge_upsert_scoped(spark, retuned, _df(spark, [("k1", 2, "b")]), keys=["k"])
+        merge_upsert_scoped(
+            spark, table, _df(spark, [("k1", 2, "b")]), keys=["k"], n_buckets=16
+        )
+    # a stale-seed table object ADOPTS the stored modulus in default mode:
+    # the merge lands correctly and the layout stays at 8
+    retuned = ParquetTable(table.path, SCHEMA, [PART_COL], n_buckets=16)
+    merge_upsert_scoped(spark, retuned, _df(spark, [("k1", 2, "b")]), keys=["k"])
+    assert retuned.n_buckets == 8 and table.read_meta()["n_buckets"] == 8
     # matching modulus still merges fine
     merge_upsert_scoped(spark, table, _df(spark, [("k1", 3, "c")]), keys=["k"])
     assert {(r.k, r.v) for r in table.read(spark).collect()} == {("k1", 3)}

@@ -20,7 +20,6 @@ inherits exactly one parent's applied-batch value. Proven here:
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import pytest
@@ -46,23 +45,8 @@ from financial_data_ingestion_canonical_snowflake_spark.streaming.dedup_stream i
 )
 
 
-def _snapshot(path: str) -> dict[str, str]:
-    out = {}
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                full = os.path.join(root, f)
-                with open(full, "rb") as fh:
-                    out[os.path.relpath(full, path)] = hashlib.md5(
-                        fh.read()
-                    ).hexdigest()
-    return out
-
-
-def _bucketed(tmp_path, name, n_buckets=8) -> ParquetTable:
-    return ParquetTable(
-        str(tmp_path / name), partition_by=[PART_COL], n_buckets=n_buckets
-    )
+from .helpers import bucketed_table as _bucketed
+from .helpers import snapshot as _snapshot
 
 
 def _docs(spark, lo, hi):
@@ -150,10 +134,14 @@ def test_scoped_fold_and_replay_protection_across_rebucket(spark, tmp_path):
     sink(_docs(spark, 0, 60), 0)
     rebucket(spark, table, 8)
 
-    # a FRESH sink (restart) folds under the new modulus read from meta
+    # a FRESH sink (restart) folds under the new modulus ADOPTED from the
+    # table metadata — the restart reconstructs the table with its
+    # original SEED modulus (4), exactly what a checkpointed stream does
+    # after an auto-rebucket grew the layout; the merge must follow the
+    # stored modulus, not crash the stream on the validator
     sink2 = ExactDedupSink(
         ParquetTable(
-            str(tmp_path / "survivors"), partition_by=[PART_COL], n_buckets=8
+            str(tmp_path / "survivors"), partition_by=[PART_COL], n_buckets=4
         ),
         "doc_id",
         "text",

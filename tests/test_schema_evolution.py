@@ -15,7 +15,6 @@ version table.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import pytest
@@ -45,23 +44,8 @@ from financial_data_ingestion_canonical_snowflake_spark.streaming.scd2_stream im
 )
 
 
-def _snapshot(path: str) -> dict[str, str]:
-    out = {}
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                full = os.path.join(root, f)
-                with open(full, "rb") as fh:
-                    out[os.path.relpath(full, path)] = hashlib.md5(
-                        fh.read()
-                    ).hexdigest()
-    return out
-
-
-def _bucketed(tmp_path, name, n_buckets=8) -> ParquetTable:
-    return ParquetTable(
-        str(tmp_path / name), partition_by=[PART_COL], n_buckets=n_buckets
-    )
+from .helpers import bucketed_table as _bucketed
+from .helpers import snapshot as _snapshot
 
 
 def test_scoped_merge_evolves_in_place_with_ledger(spark, tmp_path):
@@ -266,3 +250,40 @@ def test_scd2_sink_folds_against_widened_version_table(spark, tmp_path):
     assert all(
         v is None for k, v in notes.items() if k != (1, 1)
     )
+
+
+def test_exact_dedup_payload_downgrade_preserves_stored_payload(
+    spark, tmp_path
+):
+    """The REVERSE restart (payload_cols dropped — config rollback) must
+    neither crash the fold nor erase stored payload values, on BOTH
+    layouts: the unspoken column is preserved on matched survivors."""
+    rows = [(10, "alpha text", "en"), (11, "beta text", "de")]
+    more = [(12, "alpha text", "fr"), (20, "gamma text", "es")]
+    cols = ["doc_id", "text", "lang"]
+    for layout in ("scoped", "flat"):
+        if layout == "scoped":
+            t = _bucketed(tmp_path, f"surv_{layout}")
+        else:
+            t = ParquetTable(str(tmp_path / f"surv_{layout}"))
+        up = ExactDedupSink(t, "doc_id", "text", payload_cols=["lang"])
+        up(spark.createDataFrame(rows, cols), 0)
+
+        # rollback restart: fresh table object, NO payload tracking
+        if layout == "scoped":
+            t2 = _bucketed(tmp_path, f"surv_{layout}")
+        else:
+            t2 = ParquetTable(str(tmp_path / f"surv_{layout}"))
+        down = ExactDedupSink(t2, "doc_id", "text")
+        down(spark.createDataFrame(more, cols), 1)
+
+        full = ExactDedupSink(t2, "doc_id", "text", payload_cols=["lang"])
+        got = {
+            r["survivor_id"]: (r["dup_cnt"], r["lang"])
+            for r in full.survivors(spark).collect()
+        }
+        # folds applied, stored payload preserved (not nulled/erased);
+        # the downgraded software simply didn't speak to the column
+        assert got[10] == (2, "en")   # alpha: dup from doc 12 counted
+        assert got[11] == (1, "de")   # untouched survivor keeps payload
+        assert got[20][0] == 1        # new hash inserted by the downgrade
