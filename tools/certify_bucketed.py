@@ -138,6 +138,27 @@ def main() -> None:
     spark = get_spark(app_name="certify-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def flush(results):
+        # incremental write after every target: a killed/timed-out sweep
+        # keeps its completed certifications instead of losing hours of
+        # oracle work to an all-or-nothing dump at the end
+        n_pass = sum(1 for r in results if r["status"] == "pass")
+        out = {
+            "sf_dir": sf_dir,
+            "method": (
+                "per-bucket sub-digests (digest_frame_bucketed/digest_sql_bucketed):"
+                " Spark digests the full result grouped by a 16-bit md5-prefix"
+                " bucket; DuckDB evaluates the oracle one bucket at a time under a"
+                " 30GB memory limit, fresh connection per bucket"
+            ),
+            "passed": n_pass,
+            "total": len(results),
+            "results": results,
+        }
+        with open(out_json, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        return n_pass
+
     results = []
     for name, bucket_col, n_buckets in targets:
         rec = {"query": name, "bucket_col": bucket_col, "n_buckets": n_buckets}
@@ -163,6 +184,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             rec["status"] = f"spark_error: {exc}"[:300]
             results.append(rec)
+            flush(results)
             print(json.dumps(rec), flush=True)
             continue
 
@@ -202,24 +224,11 @@ def main() -> None:
             ]
         rec["status"] = status
         results.append(rec)
+        flush(results)
         print(json.dumps(rec), flush=True)
 
     spark.stop()
-    n_pass = sum(1 for r in results if r["status"] == "pass")
-    out = {
-        "sf_dir": sf_dir,
-        "method": (
-            "per-bucket sub-digests (digest_frame_bucketed/digest_sql_bucketed):"
-            " Spark digests the full result grouped by a 16-bit md5-prefix"
-            " bucket; DuckDB evaluates the oracle one bucket at a time under a"
-            " 30GB memory limit, fresh connection per bucket"
-        ),
-        "passed": n_pass,
-        "total": len(results),
-        "results": results,
-    }
-    with open(out_json, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    n_pass = flush(results)
     print(f"{n_pass}/{len(results)} pass -> {out_json}")
 
 
