@@ -20,8 +20,6 @@ inherits exactly one parent's applied-batch value. Proven here:
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from financial_data_ingestion_canonical_snowflake_spark.operators.merge import (
