@@ -97,9 +97,13 @@ TARGETS = [
     # NON-EMPTY pair set at every generated sf (r12: 0-row agreement)
     ("ns_vector_near_dup", "id_a", 8),
     ("ns_vector_near_dup_adaptive", "id_a", 8),
-    # SemDeDup through the production adaptive default: full-corpus output
-    # (one row per vector), whole-digest mode — the dropped set is
-    # non-empty once the generator twins exist
+    # SemDeDup adaptive default: certifiable ONLY below the hierarchical
+    # auto-route boundary (k = ceil(n/256) < HIERARCHICAL_K_THRESHOLD=128,
+    # i.e. n < ~32k — sf0.01/sf1). Above it Spark's assignment is the
+    # documented sqrt(k) IVF approximation and the exact-flat oracle
+    # diverges BY DESIGN (CERTIFY_SF3_sem.json keeps one annotated run as
+    # evidence the harness detects that boundary); do not add it to an
+    # sf>=2 sweep expecting a pass.
     ("ns_dedup_semantic_adaptive", "vec_id", 1),
 ]
 
@@ -108,9 +112,13 @@ TARGETS = [
 HEAVY = [("ns_dedup_ngram_jaccard", "id_a", 64)]
 
 
+MEM_LIMIT = "30GB"  # --mem=NNGB overrides (whole-query oracles — the
+# adaptive SemDeDup crossjoin at sf3 — need ~2x the per-bucket budget)
+
+
 def fresh_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    con.execute("SET memory_limit='30GB'")
+    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
     con.execute("SET threads=16")
     con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='ddb_spill_')}'")
     for t in TABLES:
@@ -134,6 +142,10 @@ def main() -> None:
         targets = [
             (n, c, nb * mult[0] if nb > 1 else nb) for n, c, nb in targets
         ]
+    mem = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--mem=")]
+    if mem:
+        global MEM_LIMIT
+        MEM_LIMIT = mem[0]
 
     spark = get_spark(app_name="certify-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
