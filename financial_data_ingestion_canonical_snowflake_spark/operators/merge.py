@@ -372,144 +372,152 @@ def merge_upsert_scoped(
         raise ValueError(
             "merge_upsert_scoped: ledger and batch_id must be given together"
         )
+    meta0 = table.read_meta()  # ONE read per trigger; threaded below
     if n_buckets is None:
         # adopt the STORED modulus over the table object's seed value: an
         # auto-rebucket grows the layout by design, and a process restart
         # reconstructs the table with its original seed — a default-mode
         # merge must follow the table, not crash the stream on the
         # validator (an EXPLICIT n_buckets still validates strictly)
-        meta0 = table.read_meta()
         n_buckets = (meta0 or {}).get("n_buckets", table.n_buckets)
         table.n_buckets = n_buckets
-    n_buckets = _validated_n_buckets(table, n_buckets)
+    n_buckets = _validated_n_buckets(table, n_buckets, meta0)
     src = source.withColumn(PART_COL, part_expr(keys[0], n_buckets))
     src_cached = None
-    exists = table.exists()
-    if parts is not None:
-        parts = [int(p) for p in parts]
-    elif exists:
-        # The incremental path needs the touched-bucket list BEFORE the
-        # join (it statically prunes the target's partition directories —
-        # a join-derived filter would not, DPP does not fire on this
-        # shape), so the source evaluates twice: once for the bucket
-        # collect, once inside the merge. Persist it — the source is the
-        # small delta by construction, and recomputing a window-deduped
-        # transform chain per consumer is the expensive half. Bounded by
-        # n_buckets -> driver-small collect.
-        src_cached = src = src.persist()
-        parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
-    if ledger is not None and src_cached is None:
-        # the in-plan ledger stamp (distinct touched buckets) is a second
-        # consumer of the source subtree inside the write job — cache it
-        # on the paths that don't otherwise persist (first batch into an
-        # absent table, caller-supplied parts)
-        src_cached = src = src.persist()
-    stored = table.stored_schema() if exists else None
-    if exists:
-        if stored is not None:
-            # the table has evolved at least once: bucket files carry MIXED
-            # physical schemas, so the read must supply the recorded union
-            # schema explicitly — old files fill the added columns with
-            # typed NULLs (a footer-inferred read could pick an old file
-            # and drop the new columns entirely)
-            base = spark.read.schema(stored).parquet(table.path)
-            data_cols = [f.name for f in stored.fields]
-        else:
-            base = spark.read.parquet(table.path)
-            if evolve_schema:
-                # first evolution: files are still uniform — the physical
-                # footer schema is the authoritative current layout (the
-                # source's new columns are not in any file yet)
-                data_cols = [c for c in base.columns if c != PART_COL]
-            else:
-                data_cols = (
-                    [f.name for f in table.schema.fields]
-                    if table.schema is not None
-                    else [c for c in source.columns]
-                )
-        tgt = (
-            base
-            .filter(F.col(PART_COL).isin(parts))
-            .select(*data_cols, PART_COL)
-        )
-        if ledger is not None:
-            # in-plan replay skip: ≤ len(parts) sentinel rows broadcast
-            # to both sides; an applied bucket (ledger already at/past
-            # batch_id) contributes no rows, hence no output partition,
-            # hence no rewrite — exactly the old driver-side skip, one
-            # driver action cheaper
-            sentinel = F.lit(ledger.sentinel)
-            lg = tgt.filter(F.col(keys[0]).eqNullSafe(sentinel)).select(
-                PART_COL, F.col(ledger.value_col).alias("__applied")
-            )
-            keep = F.col("__applied").isNull() | (
-                F.col("__applied") < F.lit(batch_id)
-            )
-            src = (
-                src.join(F.broadcast(lg), PART_COL, "left")
-                .filter(keep)
-                .drop("__applied")
-            )
-            tgt = (
-                tgt.filter(~F.col(keys[0]).eqNullSafe(sentinel))
-                .join(F.broadcast(lg), PART_COL, "left")
-                .filter(keep)
-                .drop("__applied")
-            )
-        merged = merge_upsert(
-            tgt,
-            src,
-            keys,
-            preserve,
-            dedupe_order,
-            set_on_update,
-            set_on_insert,
-            evolve_schema=evolve_schema,
-            merge_exprs=merge_exprs,
-        )
-    else:
-        # first batch: MERGE into empty = dedupe + insert-only projection —
-        # skip the full-outer join against nothing (and without a ledger,
-        # skip the touched-bucket collect too: it only feeds target pruning,
-        # and replace_partitions derives the written partition list from the
-        # files themselves): one Spark job total instead of two.
-        merged = src
-        if dedupe_order is not None:
-            merged = dedupe_source(merged, keys, dedupe_order)
-        for c, expr in (set_on_insert or {}).items():
-            merged = merged.withColumn(c, expr)
-    out_fields = [f for f in merged.schema.fields if f.name != PART_COL]
-    if ledger is not None:
-        merged = merged.unionByName(
-            _ledger_rows_plan(src, out_fields, keys[0], ledger, batch_id)
-        )
-    # one write task per touched bucket -> one right-sized file per
-    # partition dir instead of (shuffle-width x buckets) small files
-    merged = merged.repartition(
-        len(parts) if parts else n_buckets, F.col(PART_COL)
-    )
-    meta = {"n_buckets": n_buckets, "part_col": PART_COL, "keys": keys}
-    if ledger is not None:
-        # record the ledger layout so maintenance (rebucket) can re-home
-        # sentinel rows without the caller re-supplying the spec
-        meta["ledger_sentinel"] = ledger.sentinel
-        meta["ledger_value_col"] = ledger.value_col
-    if exists and (evolve_schema or stored is not None):
-        from pyspark.sql import types as T
+    try:
+        exists = table.exists()
+        if parts is not None:
+            parts = [int(p) for p in parts]
+        elif exists:
+            # The incremental path needs the touched-bucket list BEFORE the
+            # join (it statically prunes the target's partition directories —
+            # a join-derived filter would not, DPP does not fire on this
+            # shape), so the source evaluates twice: once for the bucket
+            # collect, once inside the merge. Persist it — the source is the
+            # small delta by construction, and recomputing a window-deduped
+            # transform chain per consumer is the expensive half. Bounded by
+            # n_buckets -> driver-small collect.
+            src_cached = src = src.persist()
+            parts = [r[0] for r in src.select(PART_COL).distinct().collect()]
+        if ledger is not None and src_cached is None:
+            # the in-plan ledger stamp (distinct touched buckets) is a second
+            # consumer of the source subtree inside the write job — cache it
+            # on the paths that don't otherwise persist (first batch into an
+            # absent table, caller-supplied parts)
+            src_cached = src = src.persist()
+        stored = None
+        if exists and meta0 and "schema_json" in meta0:
+            from pyspark.sql import types as T
 
-        evolved = T.StructType(out_fields)
-        meta["schema_json"] = evolved.jsonValue()
-        if table.schema is not None:
-            table.schema = evolved
-    # meta lands BEFORE the partition swap: a crash in between leaves the
-    # recorded schema wider than some files — harmless (explicit-schema
-    # reads fill NULLs); the reverse order could leave mixed files with no
-    # recorded union schema, breaking every subsequent footer-inferred read
-    table.write_meta(**meta)
-    replaced = table.replace_partitions(merged)
-    if src_cached is not None:
-        src_cached.unpersist()
-    return replaced
+            stored = T.StructType.fromJson(meta0["schema_json"])
+        if exists:
+            if stored is not None:
+                # the table has evolved at least once: bucket files carry MIXED
+                # physical schemas, so the read must supply the recorded union
+                # schema explicitly — old files fill the added columns with
+                # typed NULLs (a footer-inferred read could pick an old file
+                # and drop the new columns entirely)
+                base = spark.read.schema(stored).parquet(table.path)
+                data_cols = [f.name for f in stored.fields]
+            else:
+                base = spark.read.parquet(table.path)
+                if evolve_schema:
+                    # first evolution: files are still uniform — the physical
+                    # footer schema is the authoritative current layout (the
+                    # source's new columns are not in any file yet)
+                    data_cols = [c for c in base.columns if c != PART_COL]
+                else:
+                    data_cols = (
+                        [f.name for f in table.schema.fields]
+                        if table.schema is not None
+                        else [c for c in source.columns]
+                    )
+            tgt = (
+                base
+                .filter(F.col(PART_COL).isin(parts))
+                .select(*data_cols, PART_COL)
+            )
+            if ledger is not None:
+                # in-plan replay skip: ≤ len(parts) sentinel rows broadcast
+                # to both sides; an applied bucket (ledger already at/past
+                # batch_id) contributes no rows, hence no output partition,
+                # hence no rewrite — exactly the old driver-side skip, one
+                # driver action cheaper
+                sentinel = F.lit(ledger.sentinel)
+                lg = tgt.filter(F.col(keys[0]).eqNullSafe(sentinel)).select(
+                    PART_COL, F.col(ledger.value_col).alias("__applied")
+                )
+                keep = F.col("__applied").isNull() | (
+                    F.col("__applied") < F.lit(batch_id)
+                )
+                src = (
+                    src.join(F.broadcast(lg), PART_COL, "left")
+                    .filter(keep)
+                    .drop("__applied")
+                )
+                tgt = (
+                    tgt.filter(~F.col(keys[0]).eqNullSafe(sentinel))
+                    .join(F.broadcast(lg), PART_COL, "left")
+                    .filter(keep)
+                    .drop("__applied")
+                )
+            merged = merge_upsert(
+                tgt,
+                src,
+                keys,
+                preserve,
+                dedupe_order,
+                set_on_update,
+                set_on_insert,
+                evolve_schema=evolve_schema,
+                merge_exprs=merge_exprs,
+            )
+        else:
+            # first batch: MERGE into empty = dedupe + insert-only projection —
+            # skip the full-outer join against nothing (and without a ledger,
+            # skip the touched-bucket collect too: it only feeds target pruning,
+            # and replace_partitions derives the written partition list from the
+            # files themselves): one Spark job total instead of two.
+            merged = src
+            if dedupe_order is not None:
+                merged = dedupe_source(merged, keys, dedupe_order)
+            for c, expr in (set_on_insert or {}).items():
+                merged = merged.withColumn(c, expr)
+        out_fields = [f for f in merged.schema.fields if f.name != PART_COL]
+        if ledger is not None:
+            merged = merged.unionByName(
+                _ledger_rows_plan(src, out_fields, keys[0], ledger, batch_id)
+            )
+        # one write task per touched bucket -> one right-sized file per
+        # partition dir instead of (shuffle-width x buckets) small files
+        merged = merged.repartition(
+            len(parts) if parts else n_buckets, F.col(PART_COL)
+        )
+        meta = {"n_buckets": n_buckets, "part_col": PART_COL, "keys": keys}
+        if ledger is not None:
+            # record the ledger layout so maintenance (rebucket) can re-home
+            # sentinel rows without the caller re-supplying the spec
+            meta["ledger_sentinel"] = ledger.sentinel
+            meta["ledger_value_col"] = ledger.value_col
+        if exists and (evolve_schema or stored is not None):
+            from pyspark.sql import types as T
+
+            evolved = T.StructType(out_fields)
+            meta["schema_json"] = evolved.jsonValue()
+            if table.schema is not None:
+                table.schema = evolved
+        # meta lands BEFORE the partition swap: a crash in between leaves the
+        # recorded schema wider than some files — harmless (explicit-schema
+        # reads fill NULLs); the reverse order could leave mixed files with no
+        # recorded union schema, breaking every subsequent footer-inferred read
+        table.write_meta(**meta)
+        return table.replace_partitions(merged)
+    finally:
+        # unpersist on EVERY exit — a failing trigger (evolve type
+        # conflict, write error) must not leak the cached micro-batch
+        # into executor storage across checkpoint retries
+        if src_cached is not None:
+            src_cached.unpersist()
 
 
 def _ledger_rows_plan(
@@ -678,7 +686,7 @@ def maybe_rebucket(
     return rebucket(spark, table, n * factor)
 
 
-def _validated_n_buckets(table, n_buckets: int) -> int:
+def _validated_n_buckets(table, n_buckets: int, meta: dict | None = None) -> int:
     """The bucket modulus is a PHYSICAL property of the table: keys map to
     hive partitions by it, so merging with a different modulus prunes to the
     WRONG buckets and silently duplicates existing keys. The modulus is
@@ -693,7 +701,8 @@ def _validated_n_buckets(table, n_buckets: int) -> int:
     import os
     import re
 
-    meta = table.read_meta()
+    if meta is None:
+        meta = table.read_meta()
     if meta is not None and "n_buckets" in meta:
         if meta["n_buckets"] != n_buckets:
             raise ValueError(

@@ -178,8 +178,14 @@ class ExactDedupSink:
                 maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
             return
         if self.table.exists():
+            # merge against the FULL physical schema, not table.read's
+            # declared-schema projection: a sink reconstructed with the
+            # core SURVIVOR_SCHEMA over a payload-widened table would
+            # otherwise drop the payload columns from the target and the
+            # whole-table rewrite would erase them permanently (the
+            # declared schema stays a read-surface narrowing only)
             merged = merge_upsert(
-                self.table.read(spark),
+                spark.read.parquet(self.table.path),
                 batch,
                 keys=["content_hash"],
                 merge_exprs=exprs,

@@ -10,7 +10,6 @@ merge would.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import pytest
@@ -34,16 +33,7 @@ SCHEMA = T.StructType(
 )
 
 
-def _snapshot(path: str) -> dict[str, str]:
-    """rel-path -> content hash for every data file under `path`."""
-    out = {}
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                full = os.path.join(root, f)
-                with open(full, "rb") as fh:
-                    out[os.path.relpath(full, path)] = hashlib.md5(fh.read()).hexdigest()
-    return out
+from .helpers import snapshot as _snapshot
 
 
 @pytest.fixture()

@@ -286,3 +286,34 @@ def test_exact_dedup_payload_downgrade_preserves_stored_payload(
         assert got[10] == (2, "en")   # alpha: dup from doc 12 counted
         assert got[11] == (1, "de")   # untouched survivor keeps payload
         assert got[20][0] == 1        # new hash inserted by the downgrade
+
+
+def test_payload_downgrade_with_declared_core_schema_flat(spark, tmp_path):
+    """The sharpest form of the rollback: the restart declares the CORE
+    SURVIVOR_SCHEMA explicitly over a payload-widened flat table. The
+    declared schema must stay a read-surface narrowing — the fold merges
+    against the full physical schema, so the stored payload survives the
+    whole-table rewrite."""
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.dedup_stream import (
+        SURVIVOR_SCHEMA,
+    )
+
+    cols = ["doc_id", "text", "lang"]
+    t = ParquetTable(str(tmp_path / "surv_decl"))
+    up = ExactDedupSink(t, "doc_id", "text", payload_cols=["lang"])
+    up(spark.createDataFrame([(10, "alpha", "en"), (11, "beta", "de")], cols), 0)
+
+    t2 = ParquetTable(str(tmp_path / "surv_decl"), SURVIVOR_SCHEMA)
+    down = ExactDedupSink(t2, "doc_id", "text")
+    down(spark.createDataFrame([(20, "gamma", "es")], cols), 1)
+
+    full = ExactDedupSink(
+        ParquetTable(str(tmp_path / "surv_decl")),
+        "doc_id",
+        "text",
+        payload_cols=["lang"],
+    )
+    got = {
+        r["survivor_id"]: r["lang"] for r in full.survivors(spark).collect()
+    }
+    assert got == {10: "en", 11: "de", 20: None}

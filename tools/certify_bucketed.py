@@ -161,7 +161,7 @@ def main() -> None:
                 "per-bucket sub-digests (digest_frame_bucketed/digest_sql_bucketed):"
                 " Spark digests the full result grouped by a 16-bit md5-prefix"
                 " bucket; DuckDB evaluates the oracle one bucket at a time under a"
-                " 30GB memory limit, fresh connection per bucket"
+                f" {MEM_LIMIT} memory limit, fresh connection per bucket"
             ),
             "passed": n_pass,
             "total": len(results),
