@@ -51,6 +51,14 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 # breaks the cross-round comparability that is the marker's whole point.
 CALIBRATION_ROWS = 1_600_000_000
 
+# Reference calibration minimum: the r11 driver sweep's start marker
+# (BENCH_r11.json calibration_min[0]) — the quietest recorded host, and
+# the anchor every later verdict hand-normalized against (VERDICT r13
+# "What's wrong #1"). The headline JSON now carries the ratio and a
+# normalized total directly so round-over-round deltas are
+# machine-readable. Pinned — moving the anchor silently rescales history.
+CALIBRATION_REF_MIN = 0.251
+
 
 def _calibration_runs(spark, reps: int = 3) -> list[float]:
     runs = []
@@ -245,6 +253,12 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Host-speed ratio vs the pinned r11 anchor, from the START marker
+    # (the round-over-round convention; end_min exposes mid-sweep drift
+    # separately). Guarded: a degenerate marker must not zero a divisor.
+    cal_ratio = round(
+        max(min(calibration_start), 1e-6) / CALIBRATION_REF_MIN, 3
+    )
     detail = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -270,6 +284,14 @@ def main() -> None:
             "end_runs": calibration_end,
             "start_min": min(calibration_start),
             "end_min": min(calibration_end),
+            "ref_min": CALIBRATION_REF_MIN,
+            "ratio_vs_r11": cal_ratio,
+        },
+        # host-normalized per-query minima (min / ratio_vs_r11): a query
+        # whose RAW time moved with the calibration marker is host drift;
+        # one whose NORMALIZED time moved is a plan change
+        "queries_normalized": {
+            n: round(t / cal_ratio, 3) for n, t in timings.items()
         },
         "warmup_failures": warmup_failures,
         "table_rows": table_rows,
@@ -304,6 +326,13 @@ def main() -> None:
                     min(calibration_start),
                     min(calibration_end),
                 ],
+                # host-normalized total: raw value / (start_min / r11
+                # anchor 0.251) — the machine-readable cross-round number
+                # (VERDICT r13 What's-wrong #1)
+                "calibration_ratio_vs_r11": cal_ratio,
+                "value_cal_normalized": round(
+                    sum(timings.values()) / cal_ratio, 2
+                ),
                 "queries": {
                     n: round(timings[n], 2) for n in HEADLINE if n in timings
                 },

@@ -356,7 +356,10 @@ def merge_upsert_scoped(
     bucket ids (computed with the SAME ``part_expr(keys[0], n_buckets)``
     — e.g. from the affected-key set a sink already collected). Skips
     the touched-bucket driver action, and — when the source is consumed
-    only once — the source persist with it.
+    only once — the source persist with it. Safe to combine with
+    ``ledger``: a superset bucket the source never stamps keeps its
+    existing sentinel (carried forward with its OLD applied value into
+    the rewrite), so replay protection survives the optimization.
 
     ``evolve_schema=True``: a source with NEW columns widens the table
     without a rewrite. Only the touched buckets are rewritten with the
@@ -372,6 +375,11 @@ def merge_upsert_scoped(
         raise ValueError(
             "merge_upsert_scoped: ledger and batch_id must be given together"
         )
+    # caller-supplied parts may be a SUPERSET of the source's touched
+    # buckets; with a ledger that matters (see the carried-sentinel union
+    # below), so remember which mode this call is in before parts is
+    # normalized/derived
+    caller_parts = parts is not None
     meta0 = table.read_meta()  # ONE read per trigger; threaded below
     if n_buckets is None:
         # adopt the STORED modulus over the table object's seed value: an
@@ -447,6 +455,7 @@ def merge_upsert_scoped(
                 lg = tgt.filter(F.col(keys[0]).eqNullSafe(sentinel)).select(
                     PART_COL, F.col(ledger.value_col).alias("__applied")
                 )
+                stored_sentinels = lg
                 keep = F.col("__applied").isNull() | (
                     F.col("__applied") < F.lit(batch_id)
                 )
@@ -485,9 +494,40 @@ def merge_upsert_scoped(
                 merged = merged.withColumn(c, expr)
         out_fields = [f for f in merged.schema.fields if f.name != PART_COL]
         if ledger is not None:
-            merged = merged.unionByName(
-                _ledger_rows_plan(src, out_fields, keys[0], ledger, batch_id)
-            )
+            stamps = _ledger_rows_plan(src, out_fields, keys[0], ledger, batch_id)
+            if exists and caller_parts:
+                # Caller-supplied parts is a documented SUPERSET of the
+                # source's touched buckets — a superset bucket that has
+                # target rows but NO source rows still gets its directory
+                # rewritten (its data rows survive the replay filter), so
+                # its existing sentinel must ride along with its OLD
+                # applied value or the bucket's watermark is silently lost
+                # and a later replay double-folds additive state (ADVICE
+                # r13). Carried = stored sentinels of non-replay-skipped
+                # buckets the source did not stamp; replay-skipped buckets
+                # (applied >= batch_id) produce no output rows at all and
+                # must NOT be carried — a sentinel-only output partition
+                # would REPLACE a full bucket directory.
+                cexprs = []
+                for f in out_fields:
+                    if f.name == keys[0]:
+                        e = F.lit(ledger.sentinel).cast(f.dataType)
+                    elif f.name == ledger.value_col:
+                        e = F.col("__applied").cast(f.dataType)
+                    else:
+                        e = F.lit(None).cast(f.dataType)
+                    cexprs.append(e.alias(f.name))
+                carried = (
+                    stored_sentinels.filter(
+                        F.col("__applied") < F.lit(batch_id)
+                    )
+                    .join(
+                        src.select(PART_COL).distinct(), PART_COL, "left_anti"
+                    )
+                    .select(*cexprs, F.col(PART_COL).cast("int").alias(PART_COL))
+                )
+                stamps = stamps.unionByName(carried)
+            merged = merged.unionByName(stamps)
         # one write task per touched bucket -> one right-sized file per
         # partition dir instead of (shuffle-width x buckets) small files
         merged = merged.repartition(

@@ -57,13 +57,42 @@ class ParquetTable:
         (recursively — partitioned layouts nest files under key=value dirs).
         A directory holding only ``_SUCCESS``/stray files is NOT a table:
         reading it would fail instead of using the declared-schema
-        empty-table path in ``read``."""
-        if not os.path.isdir(self.path):
+        empty-table path in ``read``. An ABSENT path first attempts
+        crash recovery (``_restore_orphaned_old``) before reporting
+        absence — treating ``overwrite_atomic``'s rename-pair crash
+        window as a fresh table would silently reinitialize streaming
+        state (full state + ledger loss, ADVICE r13)."""
+        if not os.path.isdir(self.path) and not self._restore_orphaned_old():
             return False
         for _root, _dirs, files in os.walk(self.path):
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
+
+    def _restore_orphaned_old(self) -> bool:
+        """Recover from a crash in ``overwrite_atomic``'s swap instant:
+        between ``rename(path -> .old-*)`` and ``rename(tmp -> path)``
+        the table path is ABSENT with the previous generation parked as
+        an ``.old-*`` sibling. Restore the newest orphan so the next
+        trigger sees the pre-crash state (a one-batch replay, which the
+        per-bucket ledger already handles) instead of an empty table.
+        Healthy operation never takes this path — ``.old-*`` siblings
+        only coexist with a LIVE table dir outside that instant.
+        ``.gen-*`` retention siblings are deliberately not candidates."""
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        if os.path.isdir(self.path) or not os.path.isdir(parent):
+            return os.path.isdir(self.path)
+        orphans = [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(f"{base}.old-")
+            and os.path.isdir(os.path.join(parent, d))
+        ]
+        if not orphans:
+            return False
+        os.rename(max(orphans, key=os.path.getmtime), self.path)
+        return True
 
     def read_meta(self) -> dict | None:
         p = os.path.join(self.path, META_NAME)

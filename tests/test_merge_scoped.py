@@ -175,3 +175,92 @@ def test_replace_partitions_leaves_no_stray_dirs_in_root(spark, table):
     # partition column still reads back as a clean int bucket set
     vals = {r[0] for r in spark.read.parquet(table.path).select(PART_COL).distinct().collect()}
     assert all(isinstance(v, int) and 0 <= v < 8 for v in vals)
+
+
+def test_ledger_survives_caller_parts_superset(spark, tmp_path):
+    """ADVICE r13 (medium): caller-supplied ``parts`` is a documented
+    SUPERSET of the source's touched buckets — a superset bucket with
+    target rows and no source rows gets its directory rewritten, and its
+    sentinel must be CARRIED with its old applied value (not dropped:
+    that silently loses the bucket's watermark and a later replay
+    double-folds additive state)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.merge import (
+        LedgerSpec,
+    )
+
+    from .helpers import bucketed_table
+
+    table = bucketed_table(tmp_path, "t", n_buckets=8)
+    ledger = LedgerSpec("__led__", "v")
+    add = {
+        "v": lambda t, s: (
+            F.coalesce(t, F.lit(0)) + F.coalesce(s, F.lit(0))
+        ).cast("long")
+    }
+    b0 = spark.createDataFrame(
+        [(f"k{i}", 1) for i in range(40)], "k string, v long"
+    )
+    merge_upsert_scoped(
+        spark, table, b0, keys=["k"], merge_exprs=add,
+        ledger=ledger, batch_id=0,
+    )
+
+    # batch 1 touches ONE key but declares ALL buckets (a sink passing
+    # the affected-key superset it already holds)
+    b1 = spark.createDataFrame([("k7", 1)], "k string, v long")
+    merge_upsert_scoped(
+        spark, table, b1, keys=["k"], merge_exprs=add,
+        ledger=ledger, batch_id=1, parts=list(range(8)),
+    )
+
+    # every bucket still holds exactly one sentinel; only k7's bucket
+    # advanced to batch 1, the superset-only buckets kept applied=0
+    raw = spark.read.parquet(table.path)
+    sent = {
+        r[PART_COL]: r["v"]
+        for r in raw.filter(F.col("k") == "__led__").collect()
+    }
+    assert len(sent) == 8
+    k7_bucket = spark.createDataFrame([("k7",)], "k string").select(
+        part_expr("k", 8).alias("p")
+    ).collect()[0]["p"]
+    assert sent[k7_bucket] == 1
+    assert all(v == 0 for p, v in sent.items() if p != k7_bucket)
+
+    # replay of batch 0 must remain a per-bucket no-op EVERYWHERE — the
+    # carried sentinels are what makes the superset buckets skip it
+    state = _snapshot(table.path)
+    merge_upsert_scoped(
+        spark, table, b0, keys=["k"], merge_exprs=add,
+        ledger=ledger, batch_id=0,
+    )
+    assert _snapshot(table.path) == state
+    got = {
+        r["k"]: r["v"]
+        for r in raw.filter(F.col("k") != "__led__").collect()
+    }
+    assert got["k7"] == 2 and all(
+        v == 1 for k, v in got.items() if k != "k7"
+    )
+
+
+def test_exists_restores_orphaned_old_generation(spark, table):
+    """ADVICE r13 (low): a crash between overwrite_atomic's two renames
+    leaves the table path absent and the previous generation parked as
+    an ``.old-*`` sibling — exists() must restore it (one-batch replay)
+    instead of reporting a fresh table (full state + ledger loss)."""
+    merge_upsert_scoped(
+        spark, table, _df(spark, [("a", 1, "s1"), ("b", 2, "s1")]), keys=["k"]
+    )
+    assert table.exists()
+    # simulate the crash instant: live dir renamed away, tmp never landed
+    os.rename(table.path, f"{table.path}.old-deadbeef")
+    assert not os.path.isdir(table.path)
+    assert table.exists()  # restored, not absent
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+    # a genuinely fresh table (no orphan) still reads as absent
+    fresh = ParquetTable(
+        table.path + "_nope", SCHEMA, [PART_COL], n_buckets=8
+    )
+    assert not fresh.exists()

@@ -448,3 +448,23 @@ def test_adaptive_width_formulas():
     assert adaptive_n_centroids(2049) == 9
     assert adaptive_n_centroids(20_000) == 79  # sf1 fixture
     assert adaptive_n_centroids(256 * 7 + 1) == 8
+
+
+def test_semantic_hier_probe_is_nontrivial(spark, sf_oracle):
+    """The forced-hierarchical driver probe (parity_vector.py
+    ns_dedup_semantic_hier) must exercise the route where probing is a
+    STRICT subset of the supers (p=2 of s=6 — otherwise it degenerates to
+    the certified flat path) and must certify a NON-EMPTY drop set (the
+    injected twins land in their originals' clusters through the shared
+    super routing)."""
+    import math
+
+    from financial_data_ingestion_canonical_snowflake_spark.plans import (
+        parity_vector as pv,
+    )
+
+    s = math.ceil(math.sqrt(pv._SEM_HIER_K))
+    assert s > 2  # n_probe_super=2 probes a strict subset of the supers
+    res = pv.ns_dedup_semantic_hier(spark, sf_oracle)
+    dropped = res.filter(~F.col("is_kept")).count()
+    assert dropped >= 1, "hier probe certifies an empty pairwise stage"
