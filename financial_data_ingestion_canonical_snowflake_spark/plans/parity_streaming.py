@@ -503,7 +503,11 @@ def ns_stream_live_sinks(spark, sf_dir):
     bucket-scoped folds — per-trigger I/O proportional to the batch's
     bucket footprint, with the additive folds (feature counts, chunk
     doc-freq) ledger-guarded per bucket — and the resulting state is
-    hash-certified against the batch oracle."""
+    hash-certified against the batch oracle. The CDC drain additionally
+    crosses a FORCED auto-rebucket mid-drain (tiny split target, capped
+    modulus; asserted to have occurred), putting the state-layout
+    maintenance operator itself — split + ledger re-homing — inside the
+    cross-engine certification loop instead of pytest only."""
     from ..operators.merge import PART_COL
     from ..operators.storage import ParquetTable
     from ..streaming.chunk_freq_stream import CdcChunkSink, stream_cdc_chunks
@@ -549,9 +553,16 @@ def ns_stream_live_sinks(spark, sf_dir):
         spark, src, feat_t, work + "/ckpt_imp",
         shingle_len=2, hash_bits=_IMP_BITS, max_files_per_trigger=1,
     )
+    # the CDC drain carries the maintenance path INTO the certification
+    # loop (VERDICT r13 next-step #6): a deliberately tiny split target
+    # forces both its state tables across an auto-rebucket mid-drain
+    # (capped so fixture scales stay at a sane file count), and the final
+    # hash below certifies the POST-SPLIT state cross-engine — ledger
+    # re-homing included (the freq table is the ledgered additive fold)
     q3 = stream_cdc_chunks(
         spark, src, chunk_t, cfreq_t, work + "/ckpt_chunks",
         divisor=8, max_files_per_trigger=1,
+        rebucket_target_bytes=512, rebucket_max_buckets=64,
     )
     q4 = stream_ivf_index(
         spark, emb_src, index_t, cents_t, work + "/ckpt_ivf",
@@ -568,6 +579,15 @@ def ns_stream_live_sinks(spark, sf_dir):
                 f"ns_stream_live_sinks: {what} drain timed out (300s)"
             )
 
+    # the split must actually have occurred, or the "rebucket in the
+    # certification loop" claim is silently hollow — fail the query loud
+    grown = chunk_t.read_meta()["n_buckets"]
+    if grown <= 8:
+        raise RuntimeError(
+            f"ns_stream_live_sinks: CDC chunk table never auto-split "
+            f"(n_buckets={grown}) — the mid-drain rebucket this drain "
+            "certifies did not happen"
+        )
     pairs = pairs_t.read(spark).select(
         F.lit("lsh_pair").alias("kind"),
         F.col("id_a").alias("k1"),

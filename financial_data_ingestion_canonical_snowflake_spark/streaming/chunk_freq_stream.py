@@ -119,6 +119,7 @@ class CdcChunkSink:
         text_col: str = "text",
         divisor: int = 8,
         rebucket_target_bytes: int | None = None,
+        rebucket_max_buckets: int = 1 << 20,
     ):
         if chunks_table.schema is None:
             chunks_table.schema = _chunk_schema(id_col)
@@ -130,8 +131,11 @@ class CdcChunkSink:
         self.text_col = text_col
         self.divisor = divisor
         # auto-split both growing state tables past this mean bucket size
-        # (merge.maybe_rebucket; see ExactDedupSink docstring)
+        # (merge.maybe_rebucket; see ExactDedupSink docstring); the cap
+        # bounds the split for fixture-scale harnesses that force an
+        # early split with a tiny target
         self.rebucket_target_bytes = rebucket_target_bytes
+        self.rebucket_max_buckets = rebucket_max_buckets
 
     def _last_applied(self, current_freq: DataFrame) -> int:
         row = (
@@ -286,7 +290,10 @@ class CdcChunkSink:
                     for t in (self.chunks_table, self.freq_table):
                         if t.partition_by == [PART_COL]:
                             maybe_rebucket(
-                                spark, t, self.rebucket_target_bytes
+                                spark,
+                                t,
+                                self.rebucket_target_bytes,
+                                max_buckets=self.rebucket_max_buckets,
                             )
             finally:
                 batch_chunks.unpersist()
@@ -306,6 +313,8 @@ def stream_cdc_chunks(
     divisor: int = 8,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    rebucket_target_bytes: int | None = None,
+    rebucket_max_buckets: int = 1 << 20,
 ):
     """Stream a parquet document directory into the CDC chunk + frequency
     state tables (span removal's incremental inputs)."""
@@ -314,7 +323,15 @@ def stream_cdc_chunks(
     return _start_parquet_batch_stream(
         spark,
         source_dir,
-        CdcChunkSink(chunks_table, freq_table, id_col, text_col, divisor),
+        CdcChunkSink(
+            chunks_table,
+            freq_table,
+            id_col,
+            text_col,
+            divisor,
+            rebucket_target_bytes=rebucket_target_bytes,
+            rebucket_max_buckets=rebucket_max_buckets,
+        ),
         checkpoint_dir,
         max_files_per_trigger,
         available_now,

@@ -134,3 +134,86 @@ def test_stream_scd2_replayed_batch_is_idempotent(spark, tmp_path):
     first = _sorted_rows(sink.versions(spark))
     sink(b2, 1)  # replay
     assert _sorted_rows(sink.versions(spark)) == first
+
+
+def test_rebuild_policy_auto_repairs_late_data(spark, tmp_path):
+    """VERDICT r13 next-step #5: with a RebuildPolicy attached, a late
+    (out-of-order) event triggers the rebuild path INSIDE its own
+    trigger — stream state equals the batch scd2_build immediately, no
+    manual rebuild_scd2 call — while in-order triggers never pay for a
+    rebuild (cadence None, no false-positive detection)."""
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.scd2_stream import (
+        RebuildPolicy,
+    )
+
+    src = str(tmp_path / "events_src")
+    table = ParquetTable(str(tmp_path / "scd2"))
+    ckpt = str(tmp_path / "ckpt")
+    pol = RebuildPolicy(source_dir=src)
+
+    # in-order drain first: detection must NOT fire (rebuild counter
+    # observable via the sink only in direct mode — assert via cost-free
+    # equality instead: in-order incremental fold is already exact)
+    early = [_ev(0, 1, 0, "a"), _ev(1, 1, 20, "a")]
+    _write_batch(spark, src, early)
+    q = stream_scd2(spark, src, table, ckpt, rebuild_policy=pol)
+    q.awaitTermination(120)
+
+    # late event INSIDE the collapsed 'a' run: without the policy this
+    # coarsens (proven by test_stream_scd2_rebuild_repairs_late_data_
+    # coarsening); with it, the same trigger detects and rebuilds
+    late = [_ev(2, 1, 10, "b")]
+    _write_batch(spark, src, late)
+    q2 = stream_scd2(spark, src, table, ckpt, rebuild_policy=pol)
+    q2.awaitTermination(120)
+
+    sink = Scd2Sink(table, "user_id", "event_type", "ts", "event_id")
+    batch_truth = scd2_build(
+        spark.createDataFrame(early + late, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert batch_truth.count() == 3  # a[0,10) b[10,20) a[20,inf)
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
+
+    # further in-order folds keep working on the rebuilt table
+    more = [_ev(3, 1, 30, "c")]
+    _write_batch(spark, src, more)
+    q3 = stream_scd2(spark, src, table, ckpt, rebuild_policy=pol)
+    q3.awaitTermination(120)
+    batch_more = scd2_build(
+        spark.createDataFrame(early + late + more, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_more)
+
+
+def test_rebuild_policy_cadence_bound(spark, tmp_path):
+    """every_n_triggers: the unconditional cadence rebuild fires on the
+    Nth fold and repairs coarsening the boundary probe cannot see when
+    detection is disabled."""
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.scd2_stream import (
+        RebuildPolicy,
+    )
+
+    src = str(tmp_path / "events_src")
+    table = ParquetTable(str(tmp_path / "scd2"))
+    pol = RebuildPolicy(
+        source_dir=src, every_n_triggers=2, on_late_events=False
+    )
+    sink = Scd2Sink(
+        table, "user_id", "event_type", "ts", "event_id", rebuild_policy=pol
+    )
+
+    early = [_ev(0, 1, 0, "a"), _ev(1, 1, 20, "a")]
+    late = [_ev(2, 1, 10, "b")]
+    _write_batch(spark, src, early)
+    sink(spark.createDataFrame(early, _SCHEMA), 0)  # trigger 1: no rebuild
+    _write_batch(spark, src, late)
+    sink(spark.createDataFrame(late, _SCHEMA), 1)   # trigger 2: cadence hits
+
+    batch_truth = scd2_build(
+        spark.createDataFrame(early + late, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
+    assert sink._triggers_since_rebuild == 0  # the cadence rebuild ran

@@ -25,6 +25,18 @@ Run:  python tools/certify_bucketed.py [sf_dir] [out_json] [--heavy]
                               ~3x the sf3 bytes, so K≈4 keeps each
                               oracle pass inside the memory budget;
                               whole-digest n_buckets=1 rows stay 1)
+      [--jobs=J]             (run a target's per-bucket oracle passes on
+                              J concurrent DuckDB connections — the
+                              passes are independent by construction
+                              (fresh connection each, disjoint bucket
+                              filters), and DuckDB releases the GIL
+                              during execute, so threads give real
+                              parallelism. The memory budget is SHARED:
+                              each connection gets MEM_LIMIT/J and
+                              threads/J cores, so J changes wall-clock,
+                              never peak footprint — the knob that
+                              closed the sf10 winnowing/simhash gap
+                              (VERDICT r13 next-step #2).)
 """
 
 from __future__ import annotations
@@ -114,12 +126,21 @@ HEAVY = [("ns_dedup_ngram_jaccard", "id_a", 64)]
 
 MEM_LIMIT = "30GB"  # --mem=NNGB overrides (whole-query oracles — the
 # adaptive SemDeDup crossjoin at sf3 — need ~2x the per-bucket budget)
+JOBS = 1  # --jobs=J overrides; per-connection memory/threads divide by J
+CONN_THREADS = 16
+
+
+def _per_conn_mem() -> str:
+    """Split MEM_LIMIT across JOBS concurrent connections so --jobs never
+    raises the sweep's peak footprint, only its wall-clock."""
+    num = float(MEM_LIMIT.rstrip("GBgb"))
+    return f"{max(1.0, num / JOBS):g}GB"
 
 
 def fresh_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
-    con.execute("SET threads=16")
+    con.execute(f"SET memory_limit='{_per_conn_mem()}'")
+    con.execute(f"SET threads={max(1, CONN_THREADS // JOBS)}")
     con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='ddb_spill_')}'")
     for t in TABLES:
         con.execute(
@@ -146,6 +167,10 @@ def main() -> None:
     if mem:
         global MEM_LIMIT
         MEM_LIMIT = mem[0]
+    jobs = [int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--jobs=")]
+    if jobs:
+        global JOBS
+        JOBS = max(1, jobs[0])
 
     spark = get_spark(app_name="certify-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,8 +185,9 @@ def main() -> None:
             "method": (
                 "per-bucket sub-digests (digest_frame_bucketed/digest_sql_bucketed):"
                 " Spark digests the full result grouped by a 16-bit md5-prefix"
-                " bucket; DuckDB evaluates the oracle one bucket at a time under a"
-                f" {MEM_LIMIT} memory limit, fresh connection per bucket"
+                " bucket; DuckDB evaluates the oracle bucket-by-bucket, fresh"
+                f" connection per bucket, {JOBS} concurrent passes sharing a"
+                f" {MEM_LIMIT} memory budget ({_per_conn_mem()} per connection)"
             ),
             "passed": n_pass,
             "total": len(results),
@@ -202,25 +228,38 @@ def main() -> None:
 
         mismatches, ddb_rows, t1 = [], 0, time.time()
         status = "pass"
-        for k in range(n_buckets):
+
+        def one_bucket(k: int):
+            con = fresh_conn(sf_dir)  # fresh per bucket: release memory
             try:
-                con = fresh_conn(sf_dir)  # fresh per bucket: release memory
+                return con.execute(
+                    digest_sql_bucketed(
+                        ALL_ORACLE_SQL[name], cols, bucket_col, n_buckets, k
+                    )
+                ).fetchone()
+            finally:
+                con.close()
+
+        # per-bucket passes are independent (disjoint bucket filters,
+        # fresh connection each); with --jobs=J they run J at a time —
+        # DuckDB releases the GIL inside execute, so threads suffice
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, JOBS)) as ex:
+            futs = {k: ex.submit(one_bucket, k) for k in range(n_buckets)}
+            for k in range(n_buckets):
                 try:
-                    got = con.execute(
-                        digest_sql_bucketed(
-                            ALL_ORACLE_SQL[name], cols, bucket_col, n_buckets, k
-                        )
-                    ).fetchone()
-                finally:
-                    con.close()
-            except Exception as exc:  # noqa: BLE001
-                status = f"oracle_error@bucket{k}: {exc}"[:300]
-                break
-            ddb_rows += got[1]
-            if (got[1], got[2]) != parts.get(k, (0, 0)):
-                mismatches.append(
-                    {"bucket": k, "spark": parts.get(k, (0, 0)), "duckdb": got[1:]}
-                )
+                    got = futs[k].result()
+                except Exception as exc:  # noqa: BLE001
+                    status = f"oracle_error@bucket{k}: {exc}"[:300]
+                    for f in futs.values():
+                        f.cancel()
+                    break
+                ddb_rows += got[1]
+                if (got[1], got[2]) != parts.get(k, (0, 0)):
+                    mismatches.append(
+                        {"bucket": k, "spark": parts.get(k, (0, 0)), "duckdb": got[1:]}
+                    )
         rec["duckdb_s"] = round(time.time() - t1, 1)
         rec["duckdb_rows"] = ddb_rows
         if status == "pass" and mismatches:
