@@ -123,6 +123,14 @@ def main() -> None:
         and n not in HEADLINE
         and not n.endswith(("_modes", "_digest"))
     ]
+    # Targeted re-measurement: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
+    # sweep to the named queries (calibration markers still run, so a
+    # quiet-host spot check of a few entries stays host-attributable).
+    # The driver never sets this — full sweeps are unaffected.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        wanted = set(only.split(","))
+        names = [n for n in names if n in wanted]
 
     # Warm-up inputs: the smallest sibling SF of the bench dir (falls back
     # to the bench dir itself).
@@ -299,15 +307,18 @@ def main() -> None:
     }
     # Persist + print the long detail FIRST (it may exceed the driver's
     # tail-capture window; that's fine — the short line below is last).
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # Subset runs (BENCH_ONLY) print but do NOT persist: a 2-query spot
+    # check must not clobber the committed full-sweep detail history.
+    if not only:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_DETAIL.json"),
+                "w",
+            ) as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
     print(json.dumps(detail))
     # The LAST line is the driver-parsed one: short by construction — the
     # "queries" dict carries only the ~17 headline queries so the whole

@@ -419,16 +419,16 @@ def merge_upsert_scoped(
 
             stored = T.StructType.fromJson(meta0["schema_json"])
         if exists:
+            # the physical read goes through the table's scan seam so a
+            # manifest-committed layout (operators/manifest.py) plugs in;
+            # with an evolved schema the read supplies the recorded union
+            # schema explicitly — old files fill the added columns with
+            # typed NULLs (a footer-inferred read could pick an old file
+            # and drop the new columns entirely)
+            base = table.scan(spark, stored=stored)
             if stored is not None:
-                # the table has evolved at least once: bucket files carry MIXED
-                # physical schemas, so the read must supply the recorded union
-                # schema explicitly — old files fill the added columns with
-                # typed NULLs (a footer-inferred read could pick an old file
-                # and drop the new columns entirely)
-                base = spark.read.schema(stored).parquet(table.path)
                 data_cols = [f.name for f in stored.fields]
             else:
-                base = spark.read.parquet(table.path)
                 if evolve_schema:
                     # first evolution: files are still uniform — the physical
                     # footer schema is the authoritative current layout (the
@@ -651,12 +651,9 @@ def rebucket(
     if ledger is None and "ledger_sentinel" in meta:
         ledger = LedgerSpec(meta["ledger_sentinel"], meta["ledger_value_col"])
     m = new_n_buckets // old_n
-    stored = table.stored_schema()
-    df = (
-        spark.read.schema(stored).parquet(table.path)
-        if stored is not None  # evolved layout: mixed files, union schema
-        else spark.read.parquet(table.path)
-    )
+    # evolved layout reads under the recorded union schema; the scan seam
+    # keeps this working on any physical layout (manifest-committed too)
+    df = table.scan(spark)
     if ledger is not None:
         is_led = F.col(key0).eqNullSafe(F.lit(ledger.sentinel))
         data = df.filter(~is_led).withColumn(
@@ -709,8 +706,6 @@ def maybe_rebucket(
     can re-trigger on its own output. The default (64 MB) is safely in
     the regime where mean bucket size is data-dominated.
     """
-    from .storage import _parquet_bytes
-
     meta = table.read_meta()
     if not meta or "n_buckets" not in meta:
         return None
@@ -721,14 +716,14 @@ def maybe_rebucket(
     if total is None:
         # pre-tracking table: one full walk initializes the tracker; the
         # writers maintain it from here on
-        total = _parquet_bytes(table.path)
+        total = table.data_bytes()
         meta = {**meta, "total_bytes": total}
         table.write_meta(**meta)
     if total <= n * target_bytes_per_bucket:
         return None
     # over the threshold per the tracker — confirm with a real walk
     # before the expensive rewrite, and correct the tracker either way
-    total = _parquet_bytes(table.path)
+    total = table.data_bytes()
     if total != meta["total_bytes"]:
         table.write_meta(**{**meta, "total_bytes": total})
     if total <= n * target_bytes_per_bucket:
@@ -758,7 +753,6 @@ def _validated_n_buckets(table, n_buckets: int, meta: dict | None = None) -> int
     existed get a weaker directory-derived check (every observed
     ``txn_part=`` value must fit the claimed modulus) and are stamped
     going forward."""
-    import os
     import re
 
     if meta is None:
@@ -775,7 +769,7 @@ def _validated_n_buckets(table, n_buckets: int, meta: dict | None = None) -> int
     if table.exists():
         observed = [
             int(m.group(1))
-            for d in os.listdir(table.path)
+            for d in table.partition_dir_names()
             if (m := re.fullmatch(re.escape(PART_COL) + r"=(\d+)", d))
         ]
         if observed and max(observed) >= n_buckets:

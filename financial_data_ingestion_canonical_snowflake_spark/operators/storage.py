@@ -67,6 +67,11 @@ class LocalFileCommit:
         shutil.rmtree(path, ignore_errors=True)
 
 
+#: "not passed" sentinel for scan()'s stored-schema pass-through (None is a
+#: meaningful value there: the caller checked and the table never evolved)
+_UNSET = object()
+
+
 def _parquet_bytes(path: str) -> int:
     """Total parquet data bytes under ``path`` (recursive stat walk)."""
     total = 0
@@ -172,6 +177,38 @@ class ParquetTable:
         if meta and "schema_json" in meta:
             return T.StructType.fromJson(meta["schema_json"])
         return None
+
+    def scan(self, spark: SparkSession, stored=_UNSET) -> DataFrame:
+        """PHYSICAL read: the table's files with partition/bucket columns
+        included and the evolved union schema applied when one is recorded.
+        Pass ``stored=`` (a StructType, or None for "I checked — not
+        evolved") to reuse an already-loaded metadata read — the scoped
+        merge is pinned to ONE meta read per trigger. This is the seam the
+        merge/maintenance layer reads through — a storage variant with a
+        different physical layout (``ManifestTable``) overrides it and
+        everything above runs unchanged."""
+        if stored is _UNSET:
+            stored = self.stored_schema()
+        return (
+            spark.read.schema(stored).parquet(self.path)
+            if stored is not None
+            else spark.read.parquet(self.path)
+        )
+
+    def data_bytes(self) -> int:
+        """Parquet bytes of the LIVE table data (maintenance sizing)."""
+        return _parquet_bytes(self.path)
+
+    def partition_dir_names(self) -> list[str]:
+        """First-level hive partition directory names (``key=value``) of
+        the live layout — the weak pre-metadata modulus check reads these."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if "=" in d and os.path.isdir(os.path.join(self.path, d))
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the table; an absent table reads as empty when a schema is

@@ -171,7 +171,7 @@ class CdcChunkSink:
         proportional at corpus scale."""
         if not self.chunks_table.exists():
             return
-        existing = spark.read.parquet(self.chunks_table.path)
+        existing = self.chunks_table.scan(spark)  # physical (incl. PART_COL)
         batch_ids = batch_chunks.select(self.id_col).distinct()
         if self.chunks_table.partition_by == [PART_COL]:
             n = self.chunks_table.read_meta()["n_buckets"]

@@ -185,7 +185,7 @@ class ExactDedupSink:
             # whole-table rewrite would erase them permanently (the
             # declared schema stays a read-surface narrowing only)
             merged = merge_upsert(
-                spark.read.parquet(self.table.path),
+                self.table.scan(spark),
                 batch,
                 keys=["content_hash"],
                 merge_exprs=exprs,

@@ -1,0 +1,283 @@
+"""ManifestTable: the object-store commit protocol (VERDICT r13 Missing #3).
+
+The claim under test: every scoped-merge feature — ledgered replay
+protection, schema evolution, auto-rebucket, partition pruning — runs
+UNCHANGED on a table whose only atomic primitive is a single-object PUT
+(``publish_file``), with zero directory renames in the table-level commit
+path, and a crash at any instant before the manifest PUT leaves the previous
+snapshot fully readable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from financial_data_ingestion_canonical_snowflake_spark.operators.manifest import (
+    ManifestTable,
+)
+from financial_data_ingestion_canonical_snowflake_spark.operators.merge import (
+    PART_COL,
+    LedgerSpec,
+    maybe_rebucket,
+    merge_upsert_scoped,
+    rebucket,
+)
+from financial_data_ingestion_canonical_snowflake_spark.operators.storage import (
+    LocalFileCommit,
+    ParquetTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType()),
+        T.StructField("created_from", T.StringType()),
+    ]
+)
+
+
+class PutOnlyCommit(LocalFileCommit):
+    """Models an object store: single-object PUT is the ONLY atomic
+    primitive; directory rename does not exist. ``publish_file`` is
+    implemented WITHOUT rename (read temp bytes, write destination, delete
+    temp) — non-atomic on a local FS, exactly atomic as an object PUT."""
+
+    def __init__(self):
+        self.put_count = 0
+
+    def move_dir(self, src: str, dst: str) -> None:
+        raise AssertionError(
+            f"object store has no directory rename: {src} -> {dst}"
+        )
+
+    def publish_file(self, src: str, dst: str) -> None:
+        self.put_count += 1
+        with open(src, "rb") as f:
+            data = f.read()
+        with open(dst, "wb") as f:
+            f.write(data)
+        os.remove(src)
+
+
+class CrashBeforePublish(PutOnlyCommit):
+    """Raises on the Nth PUT — simulates dying AFTER the data files are
+    written but BEFORE the manifest commit."""
+
+    def __init__(self, crash_on_put: int):
+        super().__init__()
+        self.crash_on_put = crash_on_put
+
+    def publish_file(self, src: str, dst: str) -> None:
+        if self.put_count + 1 == self.crash_on_put:
+            raise RuntimeError("simulated crash before manifest PUT")
+        super().publish_file(src, dst)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def pair(tmp_path):
+    plain = ParquetTable(str(tmp_path / "plain"), SCHEMA, [PART_COL], n_buckets=8)
+    mani = ManifestTable(
+        str(tmp_path / "mani"),
+        SCHEMA,
+        [PART_COL],
+        n_buckets=8,
+        commit=PutOnlyCommit(),
+    )
+    return plain, mani
+
+
+def test_scoped_merge_parity_with_plain_table(spark, pair):
+    """The same batch sequence lands identically on both physical layouts —
+    and the manifest path never once renames a directory (PutOnlyCommit
+    raises on move_dir)."""
+    plain, mani = pair
+    batches = [
+        [(f"k{i}", i, "base") for i in range(120)],
+        [("k3", 333, "delta"), ("new1", 1, "delta")],
+        [("k3", 3333, "delta2"), ("k7", 777, "delta2"), ("new2", 2, "delta2")],
+    ]
+    for b in batches:
+        for t in (plain, mani):
+            merge_upsert_scoped(
+                spark, t, _df(spark, b), keys=["k"], preserve=["created_from"]
+            )
+    assert _sorted(plain.read(spark)) == _sorted(mani.read(spark))
+    assert mani.read_meta()["n_buckets"] == 8
+
+
+def test_ledger_replay_protection(spark, tmp_path):
+    """Additive folds + per-bucket ledger: a replayed batch is a no-op on
+    the manifest layout too (the stream==batch restart/replay guarantee
+    carries over to the object-store protocol unchanged)."""
+    t = ManifestTable(
+        str(tmp_path / "led"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    ledger = LedgerSpec("__LEDGER__", "v")
+    add = {"v": lambda tgt, src: tgt + src}
+    b1 = [(f"k{i}", 10, "s") for i in range(20)]
+    b2 = [(f"k{i}", 5, "s") for i in range(0, 20, 2)]
+    for bid, rows in [(1, b1), (2, b2)]:
+        merge_upsert_scoped(
+            spark, t, _df(spark, rows), keys=["k"],
+            merge_exprs=add, ledger=ledger, batch_id=bid,
+        )
+    snap = _sorted(t.read(spark))
+    # replay batch 2 — every bucket's ledger is at 2 already: no change
+    merge_upsert_scoped(
+        spark, t, _df(spark, b2), keys=["k"],
+        merge_exprs=add, ledger=ledger, batch_id=2,
+    )
+    assert _sorted(t.read(spark)) == snap
+    vals = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert vals["k0"] == 15 and vals["k1"] == 10
+
+
+def test_crash_before_manifest_put_preserves_table(spark, tmp_path):
+    """Data files written, manifest PUT never happens: the table reads the
+    PREVIOUS snapshot, the rerun converges, vacuum removes the orphan."""
+    commit = PutOnlyCommit()
+    t = ManifestTable(
+        str(tmp_path / "crash"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=commit,
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "base") for i in range(40)]),
+        keys=["k"],
+    )
+    before = _sorted(t.read(spark))
+    # next batch dies on its SECOND publish attempt: write_meta's PUT
+    # lands, the new generation's data files are fully written, and the
+    # manifest PUT that would make them live never happens — the worst
+    # instant for a rename-based protocol, a non-event for this one
+    t.commit = CrashBeforePublish(commit.put_count + 2)
+    t.commit.put_count = commit.put_count
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_upsert_scoped(
+            spark, t, _df(spark, [("k3", 999, "delta")]), keys=["k"]
+        )
+    t.commit = commit
+    assert _sorted(t.read(spark)) == before  # old snapshot fully intact
+    # the rerun of the same batch converges
+    merge_upsert_scoped(
+        spark, t, _df(spark, [("k3", 999, "delta")]), keys=["k"],
+        preserve=["created_from"],
+    )
+    vals = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert vals["k3"] == 999
+    # orphaned generation dirs (written, never referenced) vacuum away
+    t.vacuum(min_age_seconds=0)
+    live = {
+        os.path.relpath(leaf, t._data_root)
+        for leaf in t._live_leaves(t._load_manifest())
+    }
+    on_disk = set()
+    for gen in os.listdir(t._data_root):
+        gd = os.path.join(t._data_root, gen)
+        for rel in t._written_parts(gd):
+            on_disk.add(os.path.join(gen, rel) if rel else gen)
+    assert on_disk == live
+
+
+def test_partition_pruning_on_manifest_scan(spark, tmp_path):
+    """The bucket `isin` filter prunes the manifest scan's partitions just
+    like a plain hive layout — the delta-proportional read survives the
+    layout change."""
+    t = ManifestTable(
+        str(tmp_path / "prune"), SCHEMA, [PART_COL], n_buckets=8,
+        commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "b") for i in range(200)]),
+        keys=["k"],
+    )
+    pruned = t.scan(spark).filter(F.col(PART_COL).isin([3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters" in plan
+        and PART_COL in plan.split("PartitionFilters", 1)[1][:200]
+    )
+    # and the pruned read returns exactly bucket 3's rows
+    assert pruned.count() == t.scan(spark).filter(F.col(PART_COL) == 3).count() > 0
+
+
+def test_schema_evolution_on_manifest(spark, tmp_path):
+    """evolve_schema widens the manifest table in place: untouched buckets'
+    old leaves read the added column as typed NULLs."""
+    t = ManifestTable(
+        str(tmp_path / "evo"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "b") for i in range(40)]),
+        keys=["k"],
+    )
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.DoubleType())]
+    )
+    delta = spark.createDataFrame([("k1", 111, "d", 1.5)], wide)
+    merge_upsert_scoped(
+        spark, t, delta, keys=["k"], evolve_schema=True,
+        preserve=["created_from"],
+    )
+    out = t.scan(spark)
+    assert "extra" in out.columns
+    got = {r["k"]: r["extra"] for r in out.filter(F.col("k").isin(["k1", "k2"])).collect()}
+    assert got["k1"] == 1.5 and got["k2"] is None
+
+
+def test_rebucket_and_auto_split_on_manifest(spark, tmp_path):
+    """The state-layout maintenance operator (split-only modulus growth)
+    runs on the manifest protocol: content invariant, modulus recorded,
+    subsequent default-mode merges adopt the grown modulus."""
+    t = ManifestTable(
+        str(tmp_path / "reb"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "b") for i in range(80)]),
+        keys=["k"],
+    )
+    before = _sorted(t.read(spark))
+    assert rebucket(spark, t, 8) == 8
+    assert t.read_meta()["n_buckets"] == 8
+    assert _sorted(t.read(spark)) == before
+    assert len(t.partition_dir_names()) > 4
+    # auto-split path: a tiny target forces maybe_rebucket to double
+    new_n = maybe_rebucket(spark, t, target_bytes_per_bucket=1)
+    assert new_n is not None and new_n > 8
+    assert _sorted(t.read(spark)) == before
+    # a default-mode merge adopts the stored modulus (no crash, lands)
+    merge_upsert_scoped(
+        spark, t, _df(spark, [("k1", 999, "d")]), keys=["k"],
+        preserve=["created_from"],
+    )
+    vals = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert vals["k1"] == 999
+
+
+def test_time_travel_and_unpartitioned_append(spark, tmp_path):
+    t = ManifestTable(
+        str(tmp_path / "tt"), SCHEMA, keep_generations=2,
+        commit=PutOnlyCommit(),
+    )
+    t.overwrite_atomic(_df(spark, [("a", 1, "g1")]))
+    t.overwrite_atomic(_df(spark, [("a", 2, "g2")]))
+    t.append(_df(spark, [("b", 3, "g3")]))
+    assert _sorted(t.read(spark)) == [("a", 2, "g2"), ("b", 3, "g3")]
+    assert _sorted(t.read_generation(spark, 1)) == [("a", 2, "g2")]
+    assert _sorted(t.read_generation(spark, 2)) == [("a", 1, "g1")]
+    with pytest.raises(FileNotFoundError):
+        t.read_generation(spark, 3)
