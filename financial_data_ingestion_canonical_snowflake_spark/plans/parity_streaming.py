@@ -507,7 +507,11 @@ def ns_stream_live_sinks(spark, sf_dir):
     crosses a FORCED auto-rebucket mid-drain (tiny split target, capped
     modulus; asserted to have occurred), putting the state-layout
     maintenance operator itself — split + ledger re-homing — inside the
-    cross-engine certification loop instead of pytest only."""
+    cross-engine certification loop instead of pytest only. The CDC pair
+    of state tables runs on the manifest (object-store) commit protocol
+    while the other sinks use the rename layout, so the drain certifies
+    both physical protocols in one hash."""
+    from ..operators.manifest import ManifestTable
     from ..operators.merge import PART_COL
     from ..operators.storage import ParquetTable
     from ..streaming.chunk_freq_stream import CdcChunkSink, stream_cdc_chunks
@@ -530,8 +534,17 @@ def ns_stream_live_sinks(spark, sf_dir):
     sig_t = _bucketed("sigs")
     pairs_t = _bucketed("pairs")
     feat_t = _bucketed("features")
-    chunk_t = _bucketed("chunks")
-    cfreq_t = _bucketed("chunk_freq")
+    # the CDC pair runs on the OBJECT-STORE commit protocol (manifest PUT,
+    # zero directory renames — operators/manifest.py) while the other
+    # sinks stay on the rename layout: the one drain hash-certifies BOTH
+    # physical commit protocols cross-engine, and for the manifest side it
+    # covers the ledgered additive fold AND the mid-drain auto-rebucket
+    chunk_t = ManifestTable(
+        work + "/chunks", partition_by=[PART_COL], n_buckets=8
+    )
+    cfreq_t = ManifestTable(
+        work + "/chunk_freq", partition_by=[PART_COL], n_buckets=8
+    )
     index_t = _bucketed("ivf_index")
     cents_t = ParquetTable(work + "/ivf_cents")
     cents_t.overwrite_atomic(
