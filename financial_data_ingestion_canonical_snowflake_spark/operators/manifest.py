@@ -349,11 +349,13 @@ class ManifestTable(ParquetTable):
         meta = dict(m["meta"] or {})
         if "total_bytes" in meta:
             meta["total_bytes"] = meta["total_bytes"] + new_bytes
-        self._publish_manifest(
-            {"seq": seq, "parts": parts, "meta": meta or m["meta"]},
-            retain_history=True,
-        )
+        new_m = {"seq": seq, "parts": parts, "meta": meta or m["meta"]}
+        self._publish_manifest(new_m, retain_history=True)
         self._prune_history()
+        # appends displace nothing, but pruning history may have orphaned
+        # leaves referenced ONLY by the pruned manifests — collect them now
+        # instead of deferring to vacuum
+        self._gc(new_m)
         df.sparkSession.catalog.refreshByPath(self._data_root)
 
     def data_bytes(self) -> int:
