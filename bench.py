@@ -267,6 +267,17 @@ def main() -> None:
     cal_ratio = round(
         max(min(calibration_start), 1e-6) / CALIBRATION_REF_MIN, 3
     )
+    # conservative variant: the FASTEST marker either side of the sweep.
+    # On a host whose start marker no longer converges in 3 reps (r14:
+    # start_runs [1.76, 1.13, 0.98] at ambient load 0.07 while the end
+    # marker read 0.319) the start-only ratio overstates host slowness
+    # and over-normalizes; the best marker is the closest observable to
+    # true host capability (docs/BENCH_NOTES.md r14).
+    cal_ratio_best = round(
+        max(min(calibration_start + calibration_end), 1e-6)
+        / CALIBRATION_REF_MIN,
+        3,
+    )
     detail = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -294,6 +305,7 @@ def main() -> None:
             "end_min": min(calibration_end),
             "ref_min": CALIBRATION_REF_MIN,
             "ratio_vs_r11": cal_ratio,
+            "ratio_vs_r11_best": cal_ratio_best,
         },
         # host-normalized per-query minima (min / ratio_vs_r11): a query
         # whose RAW time moved with the calibration marker is host drift;
@@ -343,6 +355,13 @@ def main() -> None:
                 "calibration_ratio_vs_r11": cal_ratio,
                 "value_cal_normalized": round(
                     sum(timings.values()) / cal_ratio, 2
+                ),
+                # conservative pair: normalized by the fastest marker of
+                # the sweep (start OR end) — prefer this when the two
+                # markers disagree widely (see docs/BENCH_NOTES.md r14)
+                "calibration_ratio_vs_r11_best": cal_ratio_best,
+                "value_cal_normalized_best": round(
+                    sum(timings.values()) / cal_ratio_best, 2
                 ),
                 "queries": {
                     n: round(timings[n], 2) for n in HEADLINE if n in timings
