@@ -130,6 +130,14 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
         wanted = set(only.split(","))
+        unknown = wanted - set(names)
+        if unknown:
+            # a typo'd name must fail loudly, not crash later on an empty
+            # sweep (or silently measure less than asked)
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the bench surface: "
+                f"{sorted(unknown)}"
+            )
         names = [n for n in names if n in wanted]
 
     # Warm-up inputs: the smallest sibling SF of the bench dir (falls back
@@ -264,8 +272,11 @@ def main() -> None:
     # Host-speed ratio vs the pinned r11 anchor, from the START marker
     # (the round-over-round convention; end_min exposes mid-sweep drift
     # separately). Guarded: a degenerate marker must not zero a divisor.
-    cal_ratio = round(
-        max(min(calibration_start), 1e-6) / CALIBRATION_REF_MIN, 3
+    # clamped AFTER rounding — a degenerate sub-millisecond marker would
+    # otherwise round the ratio to 0.0 and zero the normalization divisor
+    cal_ratio = max(
+        round(max(min(calibration_start), 1e-6) / CALIBRATION_REF_MIN, 3),
+        0.001,
     )
     # conservative variant: the FASTEST marker either side of the sweep.
     # On a host whose start marker no longer converges in 3 reps (r14:
@@ -273,10 +284,13 @@ def main() -> None:
     # marker read 0.319) the start-only ratio overstates host slowness
     # and over-normalizes; the best marker is the closest observable to
     # true host capability (docs/BENCH_NOTES.md r14).
-    cal_ratio_best = round(
-        max(min(calibration_start + calibration_end), 1e-6)
-        / CALIBRATION_REF_MIN,
-        3,
+    cal_ratio_best = max(
+        round(
+            max(min(calibration_start + calibration_end), 1e-6)
+            / CALIBRATION_REF_MIN,
+            3,
+        ),
+        0.001,
     )
     detail = {
         "metric": "headline_queries_total_sec",

@@ -20,8 +20,13 @@ commit protocol:
   wants their manifest trees, which is the documented next seam).
 - Readers resolve the manifest and scan exactly the referenced leaf
   directories, so a reader planned before a commit keeps reading the old
-  generation's (immutable) files and one planned after sees the new set —
-  snapshot isolation without locks.
+  generation's files and one planned after sees the new set. With
+  ``keep_generations > 0`` displaced generations are retained and this is
+  genuine lock-free snapshot isolation; at the default ``0`` the commit's
+  own GC deletes the displaced files immediately (matching
+  ``ParquetTable``'s semantics), so an in-flight reader can still lose a
+  race with the delete — retain generations when concurrent readers
+  matter.
 
 A crash at ANY instant leaves the previous manifest live and the table
 readable: before the PUT nothing changed; after the PUT the commit is
@@ -261,22 +266,8 @@ class ManifestTable(ParquetTable):
             df = reader.parquet(*leaves)
         return df.drop(GEN_COL)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        if self.exists():
-            df = self.scan(spark)
-            if self.schema is not None:
-                df = df.select(*[f.name for f in self.schema.fields])
-            else:
-                from .merge import PART_COL  # local: avoids an import cycle
-
-                if self.partition_by == [PART_COL]:
-                    df = df.drop(PART_COL)
-            return df
-        if self.schema is None:
-            raise FileNotFoundError(
-                f"table not found and no schema: {self.path}"
-            )
-        return spark.createDataFrame([], self.schema)
+    # read() is inherited: ParquetTable.read goes through exists()/scan()
+    # and the shared _project, all of which this class overrides below
 
     def overwrite_atomic(self, df: DataFrame, new_meta: dict | None = None) -> None:
         m = self._load_manifest() or {"seq": 0, "parts": {}, "meta": None}
@@ -395,15 +386,7 @@ class ManifestTable(ParquetTable):
             df = reader.option("basePath", self._data_root).parquet(*leaves)
         else:
             df = reader.parquet(*leaves)
-        df = df.drop(GEN_COL)
-        if self.schema is not None:
-            df = df.select(*[f.name for f in self.schema.fields])
-        else:
-            from .merge import PART_COL  # local: avoids an import cycle
-
-            if self.partition_by == [PART_COL]:
-                df = df.drop(PART_COL)
-        return df
+        return self._project(df.drop(GEN_COL))
 
     def vacuum(self, min_age_seconds: float = 24 * 3600) -> list[str]:
         """GC retry: delete generation leaf dirs no retained manifest
@@ -429,15 +412,20 @@ class ManifestTable(ParquetTable):
             gen_full = os.path.join(self._data_root, gen)
             if not os.path.isdir(gen_full):
                 continue
+            any_live = False
             for rel in self._written_parts(gen_full):
                 leaf_rel = os.path.join(gen, rel) if rel else gen
                 leaf_full = os.path.join(gen_full, rel) if rel else gen_full
                 if leaf_rel in refs:
+                    any_live = True
                     continue
                 if now - os.path.getmtime(leaf_full) < min_age_seconds:
+                    any_live = True  # too young to judge — keep the dir
                     continue
                 self.commit.remove_tree(leaf_full)
                 deleted.append(leaf_full)
-            if os.path.isdir(gen_full) and not os.listdir(gen_full):
+            # a generation with no live leaf is a husk even when writer
+            # marker files (_SUCCESS) remain inside — remove it whole
+            if not any_live and os.path.isdir(gen_full):
                 self.commit.remove_tree(gen_full)
         return deleted

@@ -134,7 +134,18 @@ class ParquetTable:
         per-bucket ledger already handles) instead of an empty table.
         Healthy operation never takes this path — ``.old-*`` siblings
         only coexist with a LIVE table dir outside that instant.
-        ``.gen-*`` retention siblings are deliberately not candidates."""
+        ``.gen-*`` retention siblings are deliberately not candidates.
+
+        Concurrency contract: this recovery makes ``exists()`` a writer
+        during the swap instant, so a READER racing a LIVE writer's swap
+        can restore the orphan first and fail that writer's
+        ``rename(tmp, path)`` loudly (ENOTEMPTY) — the trigger fails, the
+        pre-batch state is intact, and the streaming retry converges.
+        The engine's tables are single-writer (foreachBatch serializes
+        per sink); cross-process readers during a writer's swap get loud
+        retryable failures, never corruption. A deployment needing
+        lock-free concurrent readers should use :class:`ManifestTable`
+        with ``keep_generations > 0`` instead."""
         parent = os.path.dirname(self.path) or "."
         base = os.path.basename(self.path)
         if os.path.isdir(self.path) or not os.path.isdir(parent):
@@ -210,31 +221,29 @@ class ParquetTable:
             if "=" in d and os.path.isdir(os.path.join(self.path, d))
         )
 
+    def _project(self, df: DataFrame) -> DataFrame:
+        """The logical read surface over a physical scan: a declared
+        schema narrows to its fields; otherwise the internal hash-bucket
+        column of a scoped-merge layout (``partition_by ==
+        [merge.PART_COL]``) is dropped — it is a physical detail, not
+        table data. Real partition columns (client_id, load_date, ...)
+        are data and stay."""
+        if self.schema is not None:
+            return df.select(*[f.name for f in self.schema.fields])
+        from .merge import PART_COL  # local: avoids an import cycle
+
+        if self.partition_by == [PART_COL]:
+            return df.drop(PART_COL)
+        return df
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Read the table; an absent table reads as empty when a schema is
-        declared (lets the first merge run against an empty target).
-
-        The internal hash-bucket column of a scoped-merge layout
-        (``partition_by == [merge.PART_COL]``) is a physical detail, not
-        table data — it is dropped here so schema-less readers see the same
-        logical columns a whole-table layout would give them. Real partition
-        columns (client_id, load_date, ...) are data and stay. An evolved
-        table (``stored_schema``) reads under its recorded union schema."""
+        declared (lets the first merge run against an empty target). An
+        evolved table (``stored_schema``) reads under its recorded union
+        schema — both via the ``scan`` seam, so storage variants override
+        only the physical layer."""
         if self.exists():
-            stored = self.stored_schema()
-            df = (
-                spark.read.schema(stored).parquet(self.path)
-                if stored is not None
-                else spark.read.parquet(self.path)
-            )
-            if self.schema is not None:
-                df = df.select(*[f.name for f in self.schema.fields])
-            else:
-                from .merge import PART_COL  # local: avoids an import cycle
-
-                if self.partition_by == [PART_COL]:
-                    df = df.drop(PART_COL)
-            return df
+            return self._project(self.scan(spark))
         if self.schema is None:
             raise FileNotFoundError(f"table not found and no schema: {self.path}")
         return spark.createDataFrame([], self.schema)
@@ -276,14 +285,7 @@ class ParquetTable:
             if stored is not None  # pre-evolution snapshots read as NULLs
             else spark.read.parquet(gens[-n_back])
         )
-        if self.schema is not None:
-            df = df.select(*[f.name for f in self.schema.fields])
-        else:
-            from .merge import PART_COL  # local: avoids an import cycle
-
-            if self.partition_by == [PART_COL]:
-                df = df.drop(PART_COL)
-        return df
+        return self._project(df)
 
     def overwrite_atomic(self, df: DataFrame, new_meta: dict | None = None) -> None:
         """Write to a temp dir, then swap directories.
@@ -397,26 +399,36 @@ class ParquetTable:
         os.makedirs(self.path, exist_ok=True)
         trash = os.path.join(tmp, "__displaced__")  # outside the table root
         os.makedirs(trash, exist_ok=True)
-        bytes_delta = 0  # stats only the TOUCHED partitions (delta cost)
-        for rel in leaves(tmp, depth):
+        touched = leaves(tmp, depth)
+        # maintain the size tracker merge.maybe_rebucket reads — but only
+        # once it has been initialized (by maybe_rebucket's first full
+        # walk): before that there is no base to apply a delta to. The
+        # delta (stats only the TOUCHED partitions) is applied BEFORE the
+        # swaps: a crash in between leaves the tracker OVERcounting, which
+        # maybe_rebucket's confirm walk corrects downward before any
+        # rewrite — the reverse order would leave a permanent UNDERcount
+        # (the crashed batch's ledgered replay skips, so its growth is
+        # never re-applied) that indefinitely defers the auto-split
+        meta = self.read_meta()
+        if meta is not None and "total_bytes" in meta:
+            bytes_delta = 0
+            for rel in touched:
+                bytes_delta += _parquet_bytes(os.path.join(tmp, rel))
+                dst = os.path.join(self.path, rel)
+                if os.path.isdir(dst):
+                    bytes_delta -= _parquet_bytes(dst)
+            self.write_meta(
+                **{**meta, "total_bytes": meta["total_bytes"] + bytes_delta}
+            )
+        for rel in touched:
             src = os.path.join(tmp, rel)
             dst = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             old = os.path.join(trash, rel.replace(os.sep, "__"))
-            bytes_delta += _parquet_bytes(src)
             if os.path.isdir(dst):
                 self.commit.move_dir(dst, old)
-                bytes_delta -= _parquet_bytes(old)
             self.commit.move_dir(src, dst)
             replaced.append(rel)
-        # maintain the size tracker merge.maybe_rebucket reads — but only
-        # once it has been initialized (by maybe_rebucket's first full
-        # walk): before that there is no base to apply a delta to
-        meta = self.read_meta()
-        if meta is not None and "total_bytes" in meta:
-            self.write_meta(
-                **{**meta, "total_bytes": meta["total_bytes"] + bytes_delta}
-            )
         self.commit.remove_tree(tmp)
         df.sparkSession.catalog.refreshByPath(self.path)
         return replaced

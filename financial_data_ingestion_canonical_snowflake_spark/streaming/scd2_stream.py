@@ -41,6 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.merge import (
     PART_COL,
@@ -157,13 +158,26 @@ class Scd2Sink:
         evolve = self.evolve_schema
         stored_hwm = None
         if self.table.exists():
-            target = self.table.read(spark)
+            # PHYSICAL read through the scan seam, NOT table.read(): a
+            # declared-schema read would project away the sink's internal
+            # hwm_us/hwm_seq columns and silently disable late-event
+            # detection forever (has_hwm below would never be True), and
+            # the seam keeps this sink correct on a manifest-committed
+            # layout (a raw path read there would scan unreferenced
+            # generation directories)
+            meta = self.table.read_meta()
+            stored = (
+                T.StructType.fromJson(meta["schema_json"])
+                if meta and "schema_json" in meta
+                else None
+            )
+            target = self.table.scan(spark, stored=stored)
             affected = events.select(self.key_col).distinct()
             if scoped:
                 # bucket-prune the version read to the batch keys' buckets
                 # (same part_expr the table is laid out with), THEN key-join
                 # — the dimension scan never leaves the batch's footprint
-                n = self.table.read_meta()["n_buckets"]
+                n = meta["n_buckets"]
                 parts = [
                     r[0]
                     for r in affected.select(
@@ -172,16 +186,8 @@ class Scd2Sink:
                     .distinct()
                     .collect()
                 ]
-                stored = self.table.stored_schema()
-                reader = (
-                    spark.read.schema(stored)  # evolved layout: mixed files
-                    if stored is not None
-                    else spark.read
-                )
-                target = (
-                    reader.parquet(self.table.path)
-                    .filter(F.col(PART_COL).isin(parts))
-                    .drop(PART_COL)
+                target = target.filter(F.col(PART_COL).isin(parts)).drop(
+                    PART_COL
                 )
             touched = target.join(affected, self.key_col)  # batch-sized
             if track_hwm:
@@ -279,8 +285,11 @@ class Scd2Sink:
             self._maybe_scheduled_rebuild(spark, late_detected)
             return
         if self.table.exists():
+            # merge against the FULL physical schema (scan), not read()'s
+            # declared-schema projection — a whole-table rewrite from a
+            # projected target would erase the hwm columns permanently
             merged = merge_upsert(
-                self.table.read(spark),
+                self.table.scan(spark),
                 recomputed,
                 keys=[self.key_col, "version_n"],
                 evolve_schema=evolve,

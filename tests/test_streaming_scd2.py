@@ -217,3 +217,80 @@ def test_rebuild_policy_cadence_bound(spark, tmp_path):
     )
     assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
     assert sink._triggers_since_rebuild == 0  # the cadence rebuild ran
+
+
+def test_rebuild_policy_works_under_declared_schema(spark, tmp_path):
+    """A user-declared version-table schema (the public SCD2 columns, no
+    internal hwm marks) must not disable late-event detection: the sink's
+    target read goes through the PHYSICAL scan seam, so the persisted
+    hwm_us/hwm_seq survive even though table.read() projects them away."""
+    from pyspark.sql import types as T
+
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.scd2_stream import (
+        RebuildPolicy,
+    )
+
+    src = str(tmp_path / "events_src")
+    declared = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("version_n", T.LongType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("eff_from_us", T.LongType()),
+            T.StructField("eff_to_us", T.LongType()),
+            T.StructField("is_current", T.IntegerType()),
+            T.StructField("eff_from_seq", T.LongType()),
+        ]
+    )
+    table = ParquetTable(str(tmp_path / "scd2"), schema=declared)
+    pol = RebuildPolicy(source_dir=src)
+    sink = Scd2Sink(
+        table, "user_id", "event_type", "ts", "event_id", rebuild_policy=pol
+    )
+
+    early = [_ev(0, 1, 0, "a"), _ev(1, 1, 20, "a")]
+    late = [_ev(2, 1, 10, "b")]
+    _write_batch(spark, src, early)
+    sink(spark.createDataFrame(early, _SCHEMA), 0)
+    _write_batch(spark, src, late)
+    sink(spark.createDataFrame(late, _SCHEMA), 1)
+
+    batch_truth = scd2_build(
+        spark.createDataFrame(early + late, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    # pre-fix: read() dropped the hwm columns every trigger, has_hwm never
+    # became True, the late event was undetected, and history stayed
+    # coarsened at 2 rows (batch truth is 3: a[0,10) b[10,20) a[20,inf))
+    assert batch_truth.count() == 3
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
+
+
+def test_scd2_sink_on_manifest_table(spark, tmp_path):
+    """The scoped SCD2 sink runs on the manifest (object-store) commit
+    protocol: bucket-pruned target reads resolve the manifest's live
+    leaves (a raw path read would scan unreferenced generations), folds
+    land via manifest PUTs, and replay stays idempotent."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.manifest import (
+        ManifestTable,
+    )
+    from financial_data_ingestion_canonical_snowflake_spark.operators.merge import (
+        PART_COL,
+    )
+
+    table = ManifestTable(
+        str(tmp_path / "scd2_m"), partition_by=[PART_COL], n_buckets=4
+    )
+    sink = Scd2Sink(table, "user_id", "event_type", "ts", "event_id")
+    b1 = spark.createDataFrame(_BATCH_1, _SCHEMA)
+    b2 = spark.createDataFrame(_BATCH_2, _SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+    batch_truth = scd2_build(
+        spark.createDataFrame(_BATCH_1 + _BATCH_2, _SCHEMA),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    assert _sorted_rows(sink.versions(spark)) == _sorted_rows(batch_truth)
+    first = _sorted_rows(sink.versions(spark))
+    sink(b2, 1)  # replay (at-least-once crash window)
+    assert _sorted_rows(sink.versions(spark)) == first

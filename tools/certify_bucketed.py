@@ -132,8 +132,17 @@ CONN_THREADS = 16
 
 def _per_conn_mem() -> str:
     """Split MEM_LIMIT across JOBS concurrent connections so --jobs never
-    raises the sweep's peak footprint, only its wall-clock."""
-    num = float(MEM_LIMIT.rstrip("GBgb"))
+    raises the sweep's peak footprint, only its wall-clock. Non-GB
+    ``--mem`` units (e.g. 30000MB) pass through verbatim at JOBS=1 — the
+    pre-jobs behavior — and are rejected loudly when splitting."""
+    if JOBS == 1:
+        return MEM_LIMIT
+    try:
+        num = float(MEM_LIMIT.rstrip("GBgb"))
+    except ValueError:
+        raise SystemExit(
+            f"--jobs>1 needs --mem in GB units to split (got {MEM_LIMIT!r})"
+        )
     return f"{max(1.0, num / JOBS):g}GB"
 
 
