@@ -281,3 +281,87 @@ def test_time_travel_and_unpartitioned_append(spark, tmp_path):
     assert _sorted(t.read_generation(spark, 2)) == [("a", 1, "g1")]
     with pytest.raises(FileNotFoundError):
         t.read_generation(spark, 3)
+
+
+def test_crash_matrix_every_put_point(spark, tmp_path):
+    """Systematic crash coverage: kill the protocol at EVERY manifest PUT
+    of a 3-batch ledgered additive workload. At every crash point the
+    table must read as some batch-prefix state (prefix consistency — the
+    commit either happened whole or not at all), the retried sequence must
+    converge to the exact final state with NO double-fold (the per-bucket
+    ledger rides inside the committed parts, so an uncommitted fold never
+    advances it), and vacuum(0) must leave only live leaves."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.merge import (
+        merge_upsert_scoped,
+    )
+
+    ledger = LedgerSpec("__LEDGER__", "v")
+    add = {"v": lambda tgt, src: tgt + src}
+    batches = [
+        [(f"k{i}", 10, "s") for i in range(12)],
+        [(f"k{i}", 5, "s") for i in range(0, 12, 2)],
+        [(f"k{i}", 2, "s") for i in range(0, 12, 3)] + [("k99", 1, "s")],
+    ]
+
+    def run_batch(t, bid):
+        merge_upsert_scoped(
+            spark, t, _df(spark, batches[bid]), keys=["k"],
+            merge_exprs=add, ledger=ledger, batch_id=bid,
+        )
+
+    # ground truth per prefix, computed on a crash-free table
+    prefix_states = []
+    truth_t = ManifestTable(
+        str(tmp_path / "truth"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    for bid in range(len(batches)):
+        run_batch(truth_t, bid)
+        prefix_states.append(_sorted(truth_t.read(spark)))
+
+    # 2 PUTs per trigger (write_meta + replace manifest) x 3 batches
+    total_puts = 6
+    for crash_at in range(1, total_puts + 1):
+        t = ManifestTable(
+            str(tmp_path / f"m{crash_at}"), SCHEMA, [PART_COL], n_buckets=4,
+            commit=CrashBeforePublish(crash_at),
+        )
+        crashed_bid = None
+        for bid in range(len(batches)):
+            try:
+                run_batch(t, bid)
+            except RuntimeError:
+                crashed_bid = bid
+                break
+        assert crashed_bid is not None, f"crash point {crash_at} never hit"
+        # prefix consistency: the table is exactly the state after the
+        # last fully-committed batch (or absent before any commit)
+        if t.exists():
+            state = _sorted(t.read(spark))
+            assert state == prefix_states[crashed_bid - 1], (
+                f"crash at PUT {crash_at}: state is not the "
+                f"batch-{crashed_bid - 1} prefix"
+            )
+        else:
+            assert crashed_bid == 0
+        # recovery: swap in a healthy commit, re-run from the failed batch
+        t.commit = PutOnlyCommit()
+        for bid in range(crashed_bid, len(batches)):
+            run_batch(t, bid)
+        assert _sorted(t.read(spark)) == prefix_states[-1], (
+            f"crash at PUT {crash_at}: retry did not converge (double-fold "
+            "or lost batch)"
+        )
+        # GC retry: nothing but live leaves survives an age-0 vacuum
+        t.vacuum(min_age_seconds=0)
+        live = {
+            os.path.relpath(leaf, t._data_root)
+            for leaf in t._live_leaves(t._load_manifest())
+        }
+        on_disk = set()
+        for gen in os.listdir(t._data_root):
+            gd = os.path.join(t._data_root, gen)
+            if os.path.isdir(gd):
+                for rel in t._written_parts(gd):
+                    on_disk.add(os.path.join(gen, rel) if rel else gen)
+        assert on_disk == live, f"crash at PUT {crash_at}: orphans survive vacuum"
