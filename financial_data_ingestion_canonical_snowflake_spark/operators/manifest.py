@@ -132,13 +132,17 @@ class ManifestTable(ParquetTable):
     def _publish_manifest(self, manifest: dict, retain_history: bool) -> None:
         """THE commit: one atomic single-object replace of the pointer.
         Everything before this call is invisible; everything after is
-        garbage collection."""
+        garbage collection.
+
+        The history copy is PUT *before* the live pointer (ADVICE r14): a
+        crash between the two PUTs then leaves an extra history entry for a
+        commit that never went live — ``read_generation(1)`` resolves to
+        the still-live snapshot (one step conservative) and the next commit
+        reuses the same seq and atomically replaces the orphan. The
+        pointer-first ordering had the worse failure: the newest live
+        commit missing from history, so ``read_generation(1)`` silently
+        returned the snapshot TWO commits back."""
         os.makedirs(self.path, exist_ok=True)
-        p = self._manifest_path()
-        tmp = f"{p}.w-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        self.commit.publish_file(tmp, p)
         if retain_history and self.keep_generations > 0:
             hist = os.path.join(
                 self.path, f"_MANIFEST-{manifest['seq']:08d}.json"
@@ -147,6 +151,11 @@ class ManifestTable(ParquetTable):
             with open(htmp, "w") as f:
                 json.dump(manifest, f)
             self.commit.publish_file(htmp, hist)
+        p = self._manifest_path()
+        tmp = f"{p}.w-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        self.commit.publish_file(tmp, p)
 
     def _history(self) -> list[str]:
         """Retained data-commit manifests, oldest first."""
@@ -245,18 +254,45 @@ class ManifestTable(ParquetTable):
             retain_history=False,
         )
 
-    def scan(self, spark: SparkSession, stored=_UNSET) -> DataFrame:
-        """Physical read of the live leaves (partition column included,
-        ``__gen`` dropped). The scan's file index holds ONLY referenced
-        directories, so stale generations are invisible even mid-GC, and
-        partition pruning on the bucket column works exactly as on a plain
-        hive layout (pinned in tests)."""
-        m = self._load_manifest()
-        leaves = self._live_leaves(m) if m else []
+    def _read_manifest_leaves(
+        self, spark: SparkSession, m: dict, stored
+    ) -> DataFrame:
+        """Physical read of one manifest's leaves (shared by ``scan`` and
+        ``read_generation``). A partitioned manifest whose only entry is
+        the ``""`` pseudo-partition (an explicitly committed EMPTY state —
+        see ``overwrite_atomic``) holds zero parquet files, so it reads as
+        an empty frame built from the recorded/declared schema instead of
+        a footer-inference scan that has no footers to infer from."""
+        leaves = self._live_leaves(m)
         if not leaves:
             raise FileNotFoundError(f"{self.path}: empty manifest table")
-        if stored is _UNSET:
-            stored = self.stored_schema()
+        if self.partition_by and list(m.get("parts", {})) == [""]:
+            base = stored if stored is not None else self.schema
+            if base is None:
+                raise FileNotFoundError(
+                    f"{self.path}: empty manifest table without a "
+                    "recorded or declared schema"
+                )
+            from pyspark.sql import types as T
+
+            fields = list(base.fields)
+            have = {f.name for f in fields}
+            for pc in self.partition_by:
+                if pc not in have:
+                    # the scoped-merge bucket column is int; any other
+                    # single partition column materializes as string under
+                    # hive-layout discovery defaults
+                    from .merge import PART_COL
+
+                    fields.append(
+                        T.StructField(
+                            pc,
+                            T.IntegerType()
+                            if pc == PART_COL
+                            else T.StringType(),
+                        )
+                    )
+            return spark.createDataFrame([], T.StructType(fields))
         reader = spark.read
         if stored is not None:
             reader = reader.schema(stored)
@@ -265,6 +301,19 @@ class ManifestTable(ParquetTable):
         else:
             df = reader.parquet(*leaves)
         return df.drop(GEN_COL)
+
+    def scan(self, spark: SparkSession, stored=_UNSET) -> DataFrame:
+        """Physical read of the live leaves (partition column included,
+        ``__gen`` dropped). The scan's file index holds ONLY referenced
+        directories, so stale generations are invisible even mid-GC, and
+        partition pruning on the bucket column works exactly as on a plain
+        hive layout (pinned in tests)."""
+        m = self._load_manifest()
+        if not m:
+            raise FileNotFoundError(f"{self.path}: empty manifest table")
+        if stored is _UNSET:
+            stored = self.stored_schema()
+        return self._read_manifest_leaves(spark, m, stored)
 
     # read() is inherited: ParquetTable.read goes through exists()/scan()
     # and the shared _project, all of which this class overrides below
@@ -283,6 +332,14 @@ class ManifestTable(ParquetTable):
         if new_meta is not None or m["meta"] is not None:
             meta["total_bytes"] = new_bytes
         parts = {rel: [gen] for rel in self._written_parts(gen_dir)}
+        if not parts:
+            # an empty partitioned overwrite writes no key=value leaves;
+            # commit the "" pseudo-partition pointing at the (empty)
+            # generation so the table stays EXISTING-but-empty instead of
+            # flipping to absent (ADVICE r14: Scd2Sink.rebuild over an
+            # empty retained log must not uninitialize the table and send
+            # the next scoped merge down the first-batch path)
+            parts = {"": [gen]}
         new_m = {"seq": seq, "parts": parts, "meta": meta or None}
         self._publish_manifest(new_m, retain_history=True)
         self._prune_history()
@@ -311,6 +368,9 @@ class ManifestTable(ParquetTable):
                     os.path.join(self._data_root, old_gen, rel)
                 )
             parts[rel] = [gen]
+        if touched:
+            # real leaves supersede the explicit-empty pseudo-partition
+            parts.pop("", None)
         meta = dict(m["meta"] or {})
         if "total_bytes" in meta:
             meta["total_bytes"] = meta["total_bytes"] + bytes_delta
@@ -332,7 +392,11 @@ class ManifestTable(ParquetTable):
         writer.parquet(gen_dir)
         parts = {k: list(v) for k, v in m["parts"].items()}
         new_bytes = 0
-        for rel in self._written_parts(gen_dir):
+        written = self._written_parts(gen_dir)
+        if self.partition_by and any(written):
+            # real leaves supersede the explicit-empty pseudo-partition
+            parts.pop("", None)
+        for rel in written:
             parts.setdefault(rel, []).append(gen)
             new_bytes += _parquet_bytes(
                 os.path.join(gen_dir, rel) if rel else gen_dir
@@ -377,16 +441,9 @@ class ManifestTable(ParquetTable):
             )
         with open(hist[-(n_back + 1)]) as f:
             m = json.load(f)
-        leaves = self._live_leaves(m)
-        stored = self.stored_schema()
-        reader = spark.read
-        if stored is not None:
-            reader = reader.schema(stored)
-        if self.partition_by:
-            df = reader.option("basePath", self._data_root).parquet(*leaves)
-        else:
-            df = reader.parquet(*leaves)
-        return self._project(df.drop(GEN_COL))
+        return self._project(
+            self._read_manifest_leaves(spark, m, self.stored_schema())
+        )
 
     def vacuum(self, min_age_seconds: float = 24 * 3600) -> list[str]:
         """GC retry: delete generation leaf dirs no retained manifest
@@ -405,9 +462,23 @@ class ManifestTable(ParquetTable):
             for leaf in self._live_leaves(hm):
                 refs.add(os.path.relpath(leaf, self._data_root))
         deleted: list[str] = []
+        now = time.time()
+        if os.path.isdir(self.path):
+            # stray manifest temp objects from a crashed PUT
+            # (_MANIFEST*.w-*) are not data leaves, so the generation walk
+            # below never sees them — age-gate-delete them here (ADVICE r14)
+            for f in os.listdir(self.path):
+                fp = os.path.join(self.path, f)
+                if (
+                    f.startswith("_MANIFEST")
+                    and ".w-" in f
+                    and os.path.isfile(fp)
+                    and now - os.path.getmtime(fp) >= min_age_seconds
+                ):
+                    os.remove(fp)
+                    deleted.append(fp)
         if not os.path.isdir(self._data_root):
             return deleted
-        now = time.time()
         for gen in sorted(os.listdir(self._data_root)):
             gen_full = os.path.join(self._data_root, gen)
             if not os.path.isdir(gen_full):
@@ -425,7 +496,20 @@ class ManifestTable(ParquetTable):
                 self.commit.remove_tree(leaf_full)
                 deleted.append(leaf_full)
             # a generation with no live leaf is a husk even when writer
-            # marker files (_SUCCESS) remain inside — remove it whole
-            if not any_live and os.path.isdir(gen_full):
+            # marker files (_SUCCESS) remain inside — remove it whole.
+            # ADVICE r14: a partitioned generation MID-WRITE holds only
+            # Spark's _temporary dir, so the per-leaf loop above never ran
+            # and any_live is vacuously False — the husk removal must
+            # apply the same age gate or a concurrent vacuum destroys a
+            # write before its manifest PUT (exactly what the gate exists
+            # to protect).
+            # fresh clock: the leaf deletions just above bump gen_full's
+            # mtime, which must not defer an age-0 husk collection
+            if (
+                not any_live
+                and os.path.isdir(gen_full)
+                and time.time() - os.path.getmtime(gen_full)
+                >= min_age_seconds
+            ):
                 self.commit.remove_tree(gen_full)
         return deleted

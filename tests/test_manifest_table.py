@@ -283,6 +283,154 @@ def test_time_travel_and_unpartitioned_append(spark, tmp_path):
         t.read_generation(spark, 3)
 
 
+def test_vacuum_age_gates_midwrite_generation(spark, tmp_path):
+    """ADVICE r14 (medium): a partitioned generation MID-WRITE holds only
+    Spark's _temporary dir, so the per-leaf walk sees zero leaves — the
+    whole-generation husk removal must still honor min_age_seconds or a
+    concurrent vacuum destroys a write before its manifest PUT."""
+    t = ManifestTable(
+        str(tmp_path / "mw"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "b") for i in range(20)]),
+        keys=["k"],
+    )
+    # simulate an in-flight writer: a fresh generation with only the
+    # uncommitted task-attempt dir inside
+    gen = os.path.join(t._data_root, "__gen=00000099-deadbeef")
+    os.makedirs(os.path.join(gen, "_temporary", "0"))
+    t.vacuum(min_age_seconds=3600)
+    assert os.path.isdir(gen), "age-gated vacuum deleted an in-flight write"
+    # aged out, the husk IS garbage and goes
+    old = 1.0  # epoch — far past any gate
+    os.utime(gen, (old, old))
+    os.utime(os.path.join(gen, "_temporary"), (old, old))
+    t.vacuum(min_age_seconds=3600)
+    assert not os.path.isdir(gen)
+    # live data untouched throughout
+    assert t.read(spark).count() == 20
+
+
+def test_vacuum_collects_stray_manifest_temps(spark, tmp_path):
+    """ADVICE r14: a crashed PUT leaves a _MANIFEST*.w-* temp object in the
+    table root; vacuum age-gate-deletes it (data-leaf walks never see it)."""
+    t = ManifestTable(
+        str(tmp_path / "mt"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [("k1", 1, "b")]), keys=["k"]
+    )
+    stray = os.path.join(t.path, "_MANIFEST.json.w-deadbeef")
+    with open(stray, "w") as f:
+        f.write("{}")
+    t.vacuum(min_age_seconds=3600)
+    assert os.path.isfile(stray), "young temp PUT object deleted"
+    os.utime(stray, (1.0, 1.0))
+    deleted = t.vacuum(min_age_seconds=3600)
+    assert not os.path.isfile(stray) and stray in deleted
+    assert t.read(spark).count() == 1
+
+
+def test_empty_overwrite_keeps_table_existing(spark, tmp_path):
+    """ADVICE r14: an empty partitioned overwrite (Scd2Sink.rebuild over an
+    empty retained log) must leave an EXISTING empty table — reads return
+    zero rows under the schema, and the next scoped merge lands on the
+    normal path with the recorded modulus intact."""
+    t = ManifestTable(
+        str(tmp_path / "emp"), SCHEMA, [PART_COL], n_buckets=4,
+        commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "b") for i in range(20)]),
+        keys=["k"],
+    )
+    empty = _df(spark, []).withColumn(
+        PART_COL, F.lit(None).cast("int")
+    ).filter(F.lit(False))
+    t.overwrite_atomic(empty)
+    assert t.exists(), "empty overwrite uninitialized the table"
+    assert t.read_meta()["n_buckets"] == 4  # meta survived
+    out = t.read(spark)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in SCHEMA.fields
+    ]
+    # the follow-up merge repopulates; the pseudo-partition is superseded
+    merge_upsert_scoped(
+        spark, t, _df(spark, [("k1", 11, "d")]), keys=["k"]
+    )
+    assert _sorted(t.read(spark)) == [("k1", 11, "d")]
+    assert "" not in t._load_manifest()["parts"]
+
+
+def test_history_put_before_pointer_put(spark, tmp_path):
+    """ADVICE r14: the retained-history copy must be PUT before the live
+    pointer, so a crash between the two never leaves the newest live
+    commit missing from history (read_generation(1) skipping a commit)."""
+    order: list[str] = []
+
+    class RecordingCommit(PutOnlyCommit):
+        def publish_file(self, src: str, dst: str) -> None:
+            order.append(os.path.basename(dst))
+            super().publish_file(src, dst)
+
+    t = ManifestTable(
+        str(tmp_path / "ord"), SCHEMA, keep_generations=1,
+        commit=RecordingCommit(),
+    )
+    t.overwrite_atomic(_df(spark, [("a", 1, "g1")]))
+    data_puts = [d for d in order if d.startswith("_MANIFEST")]
+    assert data_puts == ["_MANIFEST-00000001.json", "_MANIFEST.json"]
+    # crash exactly between the two: history landed, pointer did not —
+    # the table still reads the previous snapshot and the retry converges
+    order.clear()
+    t.commit = CrashBeforePublish(2)  # 1st PUT = history, 2nd = pointer
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.overwrite_atomic(_df(spark, [("a", 2, "g2")]))
+    assert _sorted(t.read(spark)) == [("a", 1, "g1")]
+    t.commit = PutOnlyCommit()
+    t.overwrite_atomic(_df(spark, [("a", 2, "g2")]))
+    assert _sorted(t.read(spark)) == [("a", 2, "g2")]
+    assert _sorted(t.read_generation(spark, 1)) == [("a", 1, "g1")]
+
+
+def test_reader_during_commit_snapshot(spark, tmp_path):
+    """Serve-while-writing (the IVF serve path): with keep_generations>=1 a
+    reader that planned BEFORE a commit still collects the pre-commit
+    snapshot afterwards — its leaves are retained, not GC'd mid-read. The
+    IvfIndexSink constructor bumps a manifest index table to this posture."""
+    t = ManifestTable(
+        str(tmp_path / "srv"), SCHEMA, [PART_COL], n_buckets=4,
+        keep_generations=1, commit=PutOnlyCommit(),
+    )
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i, "b") for i in range(20)]),
+        keys=["k"],
+    )
+    in_flight = t.read(spark)  # plans against the pre-commit manifest
+    before = _sorted(in_flight)
+    merge_upsert_scoped(
+        spark, t, _df(spark, [(f"k{i}", i + 100, "d") for i in range(20)]),
+        keys=["k"], preserve=["created_from"],
+    )
+    spark.catalog.clearCache()
+    # the old plan's files still exist: the collect sees the old snapshot
+    assert _sorted(in_flight) == before
+    # and the sink's constructor enforces the posture on a default table
+    from financial_data_ingestion_canonical_snowflake_spark.streaming.ivf_stream import (
+        IvfIndexSink,
+    )
+
+    idx = ManifestTable(
+        str(tmp_path / "idx"), partition_by=[PART_COL], commit=PutOnlyCommit()
+    )
+    cent = ParquetTable(str(tmp_path / "cent"))
+    IvfIndexSink(idx, cent)
+    assert idx.keep_generations >= 1
+
+
 def test_crash_matrix_every_put_point(spark, tmp_path):
     """Systematic crash coverage: kill the protocol at EVERY manifest PUT
     of a 3-batch ledgered additive workload. At every crash point the
