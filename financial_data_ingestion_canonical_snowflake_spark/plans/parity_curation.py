@@ -747,6 +747,12 @@ _CURATION_DIGEST = [
         "ns_stream_live_sinks",
         [("kind", "s"), ("k1", "s"), ("k2", "s"), ("v", "s")],
     ),
+    # the forced mid-drain rebucket crossing, certified separately from
+    # the steady-state sink economics (VERDICT r14 next-step #1)
+    (
+        "ns_stream_rebucket_drain",
+        [("chunk_hash", "s"), ("doc_freq", "s")],
+    ),
 ]
 
 

@@ -389,6 +389,28 @@ def _emb_slices(spark, sf_dir: str, n_slices: int = 3) -> str:
     return src
 
 
+def _chunk_freq_truth_sql() -> str:
+    """Batch truth of the CDC chunk drains: the chunk-hash ->
+    distinct-document frequency table over the whole corpus (parity_text's
+    shared chunk CTE + the sink's lowercased-chunk hash convention).
+    Shared by the steady-state live-sinks oracle and the forced-rebucket
+    probe's oracle — one truth, two drain postures."""
+    from . import parity_text as pt
+
+    return (
+        pt._CDC_CHUNKS_CTE
+        + """,
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(lower(chunk_text)), 1, 15))::BIGINT AS h
+        FROM cdc_chunks
+    )
+    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM hashed GROUP BY 1
+    """
+    )
+
+
 def _stream_live_sinks_oracle() -> str:
     # batch truths: the registered full-LSH-self-join oracle rebased from
     # the twin-injected docs2 corpus onto the raw documents table, plus
@@ -422,20 +444,8 @@ def _stream_live_sinks_oracle() -> str:
     ) GROUP BY 1
     """
     # third drain truth: the CDC chunk-hash -> distinct-doc frequency
-    # table over the whole corpus (parity_text's shared chunk CTE + the
-    # sink's lowercased-chunk hash convention)
-    chunk_freq = (
-        pt._CDC_CHUNKS_CTE
-        + """,
-    hashed AS (
-        SELECT doc_id,
-               ('0x' || substr(md5(lower(chunk_text)), 1, 15))::BIGINT AS h
-        FROM cdc_chunks
-    )
-    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
-    FROM hashed GROUP BY 1
-    """
-    )
+    # table over the whole corpus (shared with ns_stream_rebucket_drain)
+    chunk_freq = _chunk_freq_truth_sql()
     # fourth drain truth: nearest-centroid assignment of every embedding
     # to the deterministic lowest-id quantizer (the assign_to_centroids
     # mirror the kmeans/semantic oracles already certify)
@@ -503,14 +513,17 @@ def ns_stream_live_sinks(spark, sf_dir):
     bucket-scoped folds — per-trigger I/O proportional to the batch's
     bucket footprint, with the additive folds (feature counts, chunk
     doc-freq) ledger-guarded per bucket — and the resulting state is
-    hash-certified against the batch oracle. The CDC drain additionally
-    crosses a FORCED auto-rebucket mid-drain (tiny split target, capped
-    modulus; asserted to have occurred), putting the state-layout
-    maintenance operator itself — split + ledger re-homing — inside the
-    cross-engine certification loop instead of pytest only. The CDC pair
-    of state tables runs on the manifest (object-store) commit protocol
-    while the other sinks use the rename layout, so the drain certifies
-    both physical protocols in one hash."""
+    hash-certified against the batch oracle. The CDC pair of state tables
+    runs on the manifest (object-store) commit protocol while the other
+    sinks use the rename layout, so the drain certifies both physical
+    protocols in one hash.
+
+    This probe runs at STEADY-STATE bucket counts by design (VERDICT r14
+    next-step #1): it is the per-round regression signal for each sink's
+    per-trigger economics, so it must not carry deliberate maintenance
+    work. The forced mid-drain auto-rebucket crossing (and its
+    64-bucket-tiny-file aftermath) lives in its own probe,
+    :func:`ns_stream_rebucket_drain`, timed and certified separately."""
     from ..operators.manifest import ManifestTable
     from ..operators.merge import PART_COL
     from ..operators.storage import ParquetTable
@@ -566,16 +579,11 @@ def ns_stream_live_sinks(spark, sf_dir):
         spark, src, feat_t, work + "/ckpt_imp",
         shingle_len=2, hash_bits=_IMP_BITS, max_files_per_trigger=1,
     )
-    # the CDC drain carries the maintenance path INTO the certification
-    # loop (VERDICT r13 next-step #6): a deliberately tiny split target
-    # forces both its state tables across an auto-rebucket mid-drain
-    # (capped so fixture scales stay at a sane file count), and the final
-    # hash below certifies the POST-SPLIT state cross-engine — ledger
-    # re-homing included (the freq table is the ledgered additive fold)
+    # steady-state posture: no rebucket trigger here — the forced
+    # mid-drain split crossing is ns_stream_rebucket_drain's job
     q3 = stream_cdc_chunks(
         spark, src, chunk_t, cfreq_t, work + "/ckpt_chunks",
         divisor=8, max_files_per_trigger=1,
-        rebucket_target_bytes=512, rebucket_max_buckets=64,
     )
     q4 = stream_ivf_index(
         spark, emb_src, index_t, cents_t, work + "/ckpt_ivf",
@@ -592,15 +600,6 @@ def ns_stream_live_sinks(spark, sf_dir):
                 f"ns_stream_live_sinks: {what} drain timed out (300s)"
             )
 
-    # the split must actually have occurred, or the "rebucket in the
-    # certification loop" claim is silently hollow — fail the query loud
-    grown = chunk_t.read_meta()["n_buckets"]
-    if grown <= 8:
-        raise RuntimeError(
-            f"ns_stream_live_sinks: CDC chunk table never auto-split "
-            f"(n_buckets={grown}) — the mid-drain rebucket this drain "
-            "certifies did not happen"
-        )
     pairs = pairs_t.read(spark).select(
         F.lit("lsh_pair").alias("kind"),
         F.col("id_a").alias("k1"),
@@ -626,3 +625,60 @@ def ns_stream_live_sinks(spark, sf_dir):
         F.lit(0).cast("long").alias("v"),
     )
     return pairs.unionByName(feats).unionByName(cfreq).unionByName(ivf)
+
+
+@parity(
+    "ns_stream_rebucket_drain",
+    driver=False,  # driver slot: folded into ns_curation_digest
+    oracle="SELECT h AS chunk_hash, doc_freq FROM ("
+    + _chunk_freq_truth_sql()
+    + ") __cf",
+)
+def ns_stream_rebucket_drain(spark, sf_dir):
+    """The state-layout maintenance crossing, certified LIVE and in
+    isolation (VERDICT r14 next-step #1 — split out of
+    ``ns_stream_live_sinks`` so each sink's steady-state per-trigger
+    economics stay a clean regression signal).
+
+    One CDC chunk-frequency drain (``CdcChunkSink``, the ledgered additive
+    fold) on the manifest (object-store) commit protocol, with a
+    deliberately tiny split target that FORCES both its state tables
+    across an auto-rebucket mid-drain (8 -> capped 64 buckets; asserted to
+    have occurred, or the certification claim is silently hollow). The
+    post-split frequency table — ledger re-homing, manifest commits, and
+    the 64-bucket tiny-file aftermath included — must hash-equal the
+    whole-corpus batch truth. The probe's own bench timing is the priced
+    cost of the rebucket crossing, reported separately from the
+    steady-state drain."""
+    from ..operators.manifest import ManifestTable
+    from ..operators.merge import PART_COL
+    from ..streaming.chunk_freq_stream import CdcChunkSink, stream_cdc_chunks
+
+    src = _doc_slices(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="fincan_rebucket_drain_")
+    chunk_t = ManifestTable(
+        work + "/chunks", partition_by=[PART_COL], n_buckets=8
+    )
+    cfreq_t = ManifestTable(
+        work + "/chunk_freq", partition_by=[PART_COL], n_buckets=8
+    )
+    q = stream_cdc_chunks(
+        spark, src, chunk_t, cfreq_t, work + "/ckpt",
+        divisor=8, max_files_per_trigger=1,
+        rebucket_target_bytes=512, rebucket_max_buckets=64,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "ns_stream_rebucket_drain: drain timed out (300s)"
+        )
+    grown = chunk_t.read_meta()["n_buckets"]
+    if grown <= 8:
+        raise RuntimeError(
+            f"ns_stream_rebucket_drain: CDC chunk table never auto-split "
+            f"(n_buckets={grown}) — the mid-drain rebucket this probe "
+            "certifies did not happen"
+        )
+    return CdcChunkSink(chunk_t, cfreq_t).freq(spark).select(
+        "chunk_hash", "doc_freq"
+    )
