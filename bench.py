@@ -187,6 +187,31 @@ def main() -> None:
     warmup_failures: list[str] = []
     timings: dict[str, float] = {}
     rep_runs: dict[str, list[float]] = {}
+    # Burn-in (VERDICT r14 What's-wrong #2): the host shows a minutes-long
+    # slow window right after a sweep launches (start markers 1.76 -> 1.13
+    # -> 0.98 while ambient load was 0.07; first-position headline entries
+    # absorbed 2-3.5x of pure ramp). Run the calibration workload untimed
+    # until BOTH (a) at least SPARK_GRAFT_BENCH_BURNIN_S seconds have
+    # elapsed and (b) the marker has flattened (last run no more than 8%
+    # faster than the best before it), hard-capped at 3x the budget so a
+    # genuinely slow host can't stall the sweep — it just gets recorded as
+    # slow by the calibration markers, which is their job. Runs before the
+    # first timed query and outside BUDGET_S.
+    burnin_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BURNIN_S", "75"))
+    burnin_runs: list[float] = []
+    bt0 = time.perf_counter()
+    while burnin_budget > 0:
+        elapsed = time.perf_counter() - bt0
+        if elapsed >= 3 * burnin_budget:
+            break
+        if (
+            elapsed >= burnin_budget
+            and len(burnin_runs) >= 2
+            and burnin_runs[-1] >= 0.92 * min(burnin_runs[:-1])
+        ):
+            break
+        burnin_runs.append(_calibration_runs(spark, reps=1)[0])
+    burnin_s = round(time.perf_counter() - bt0, 1)
     # first calibration run doubles as its own warm-up; record all runs
     calibration_start = _calibration_runs(spark)
     bench_t0 = time.perf_counter()
@@ -313,6 +338,10 @@ def main() -> None:
         # without a manual re-run
         "calibration": {
             "rows": CALIBRATION_ROWS,
+            # untimed post-JVM-start ramp absorber (VERDICT r14 #2): the
+            # start markers below are taken AFTER this flattened
+            "burnin_runs": burnin_runs,
+            "burnin_s": burnin_s,
             "start_runs": calibration_start,
             "end_runs": calibration_end,
             "start_min": min(calibration_start),
@@ -355,6 +384,18 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_sec",
                 "value": round(sum(timings.values()), 2),
+                # normalized totals LEAD, directly beside raw (VERDICT r14
+                # What's-wrong #1: the raw number alone reads as a
+                # regression on a slow host window) — raw / (marker /
+                # r11 anchor 0.251); _best uses the fastest marker of the
+                # sweep and is the one to compare across rounds when the
+                # two markers disagree (docs/BENCH_NOTES.md r14)
+                "value_cal_normalized": round(
+                    sum(timings.values()) / cal_ratio, 2
+                ),
+                "value_cal_normalized_best": round(
+                    sum(timings.values()) / cal_ratio_best, 2
+                ),
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
@@ -363,20 +404,9 @@ def main() -> None:
                     min(calibration_start),
                     min(calibration_end),
                 ],
-                # host-normalized total: raw value / (start_min / r11
-                # anchor 0.251) — the machine-readable cross-round number
-                # (VERDICT r13 What's-wrong #1)
                 "calibration_ratio_vs_r11": cal_ratio,
-                "value_cal_normalized": round(
-                    sum(timings.values()) / cal_ratio, 2
-                ),
-                # conservative pair: normalized by the fastest marker of
-                # the sweep (start OR end) — prefer this when the two
-                # markers disagree widely (see docs/BENCH_NOTES.md r14)
                 "calibration_ratio_vs_r11_best": cal_ratio_best,
-                "value_cal_normalized_best": round(
-                    sum(timings.values()) / cal_ratio_best, 2
-                ),
+                "burnin_s": burnin_s,
                 "queries": {
                     n: round(timings[n], 2) for n in HEADLINE if n in timings
                 },
