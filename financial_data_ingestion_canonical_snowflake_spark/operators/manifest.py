@@ -80,7 +80,7 @@ class ManifestTable(ParquetTable):
         <path>/_MANIFEST.json                    # the one mutable object
         <path>/_MANIFEST-<seq>.json              # retained history (time travel)
         <path>/data/__gen=<seq>-<uuid>/          # immutable once referenced
-            [__part=k/]part-*.parquet
+            [key=v/[key2=v2/...]]part-*.parquet  # one level per partition col
 
     The manifest::
 
@@ -109,12 +109,6 @@ class ManifestTable(ParquetTable):
             keep_generations=keep_generations,
             commit=commit,
         )
-        if len(self.partition_by) > 1:
-            raise ValueError(
-                f"{path}: ManifestTable supports at most one partition "
-                "column (the scoped-merge bucket layout); nest deeper "
-                "layouts behind a manifest-tree seam"
-            )
         self._data_root = os.path.join(path, "data")
 
     # ---------- manifest plumbing ----------
@@ -183,15 +177,27 @@ class ManifestTable(ParquetTable):
         return out
 
     def _written_parts(self, gen_dir: str) -> list[str]:
-        """Partition rel-paths the writer just produced under ``gen_dir``
-        (key=value children for a partitioned table; '' otherwise)."""
+        """Partition rel-paths the writer just produced under ``gen_dir``:
+        one ``key=value`` path component per partition column (nested for
+        multi-column layouts, e.g. ``client=a/txn_part=3``); ``''`` for an
+        unpartitioned table. Manifests stay leaf-granular — fine through
+        thousands of leaves (measured growth curve in
+        ``docs/BENCH_NOTES.md``); a million-leaf deployment wants
+        Iceberg/Delta-style manifest TREES, the documented next seam."""
         if not self.partition_by:
             return [""]
-        return sorted(
-            d
-            for d in os.listdir(gen_dir)
-            if "=" in d and os.path.isdir(os.path.join(gen_dir, d))
-        )
+        rels = [""]
+        for _col in self.partition_by:
+            nxt = []
+            for rel in rels:
+                base = os.path.join(gen_dir, rel) if rel else gen_dir
+                if not os.path.isdir(base):
+                    continue
+                for d in os.listdir(base):
+                    if "=" in d and os.path.isdir(os.path.join(base, d)):
+                        nxt.append(os.path.join(rel, d) if rel else d)
+            rels = nxt
+        return sorted(rels)
 
     def _gc(self, *keep_manifests: dict) -> None:
         """Delete leaf dirs no retained manifest references (then empty

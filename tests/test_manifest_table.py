@@ -431,6 +431,74 @@ def test_reader_during_commit_snapshot(spark, tmp_path):
     assert idx.keep_generations >= 1
 
 
+def test_multi_column_partitioned_manifest(spark, tmp_path):
+    """r15: the single-partition-column cap is lifted — a two-level
+    hive layout (client=x/region=y) runs the full protocol surface:
+    leaf-granular manifests, replace_partitions touching only written
+    nested leaves, partition pruning, time travel, vacuum."""
+    schema = T.StructType(
+        [
+            T.StructField("client", T.StringType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = ManifestTable(
+        str(tmp_path / "mc"), schema, ["client", "region"],
+        keep_generations=1, commit=PutOnlyCommit(),
+    )
+    rows = [
+        ("a", "eu", 1), ("a", "us", 2), ("b", "eu", 3), ("b", "us", 4),
+    ]
+    t.overwrite_atomic(spark.createDataFrame(rows, schema))
+    assert sorted(t.partition_dir_names()) == [
+        "client=a/region=eu", "client=a/region=us",
+        "client=b/region=eu", "client=b/region=us",
+    ]
+    assert _sorted(t.read(spark)) == sorted(rows)
+    # replace only (a, eu): other leaves keep their old generation
+    touched = t.replace_partitions(
+        spark.createDataFrame([("a", "eu", 11)], schema)
+    )
+    assert touched == ["client=a/region=eu"]
+    assert _sorted(t.read(spark)) == sorted(
+        [("a", "eu", 11)] + rows[1:]
+    )
+    # partition pruning pushes into the nested layout
+    pruned = t.scan(spark).filter(
+        (F.col("client") == "b") & (F.col("region") == "us")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert [
+        tuple(r) for r in pruned.select("client", "region", "v").collect()
+    ] == [("b", "us", 4)]
+    # time travel to before the replace
+    assert _sorted(t.read_generation(spark, 1)) == sorted(rows)
+    # append lands a new generation on existing leaves
+    t.append(spark.createDataFrame([("b", "us", 44)], schema))
+    assert ("b", "us", 44) in _sorted(t.read(spark))
+    # vacuum leaves exactly the referenced leaves on disk
+    t.vacuum(min_age_seconds=0)
+    live = {
+        os.path.relpath(leaf, t._data_root)
+        for leaf in t._live_leaves(t._load_manifest())
+    }
+    for hist in t._history():
+        import json as _json
+
+        with open(hist) as f:
+            for leaf in t._live_leaves(_json.load(f)):
+                live.add(os.path.relpath(leaf, t._data_root))
+    on_disk = set()
+    for gen in os.listdir(t._data_root):
+        gd = os.path.join(t._data_root, gen)
+        if os.path.isdir(gd):
+            for rel in t._written_parts(gd):
+                on_disk.add(os.path.join(gen, rel))
+    assert on_disk == live
+
+
 def test_crash_matrix_every_put_point(spark, tmp_path):
     """Systematic crash coverage: kill the protocol at EVERY manifest PUT
     of a 3-batch ledgered additive workload. At every crash point the

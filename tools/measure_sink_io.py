@@ -269,6 +269,12 @@ def protocol_main() -> None:
             t0 = time.perf_counter()
             sink(b, i)
             wall = time.perf_counter() - t0
+            # the pointer object is REWRITTEN whole each commit — its full
+            # size (not the growth delta) is the per-commit PUT volume,
+            # and the number that scales with layout width (leaf count),
+            # not with the trigger's delta. This is the dir-granular
+            # manifest's scaling seam (VERDICT r14 next-step #4).
+            mpath = os.path.join(table.path, "_MANIFEST.json")
             rows.append(
                 {
                     "parquet_mb": round(
@@ -276,6 +282,9 @@ def protocol_main() -> None:
                     ),
                     "commit_json_b": _all_file_bytes(table.path, ".json")
                     - meta_before,
+                    "manifest_obj_b": (
+                        os.path.getsize(mpath) if os.path.isfile(mpath) else 0
+                    ),
                     "wall_s": round(wall, 2),
                 }
             )
@@ -297,7 +306,9 @@ def protocol_main() -> None:
         mean = lambda k: sum(t[k] for t in inc) / max(len(inc), 1)  # noqa: E731
         print(
             f"{proto:9s} mean increment: parquet {mean('parquet_mb'):.3f} MB, "
-            f"commit-json {mean('commit_json_b'):.0f} B, wall {mean('wall_s'):.2f} s; "
+            f"commit-json {mean('commit_json_b'):.0f} B, "
+            f"manifest-PUT {mean('manifest_obj_b'):.0f} B, "
+            f"wall {mean('wall_s'):.2f} s; "
             f"final state {r['final_state_mb']} MB in {r['final_files']} files"
         )
     spark.stop()
