@@ -550,8 +550,8 @@ def ns_stream_live_sinks(spark, sf_dir):
     # the CDC pair runs on the OBJECT-STORE commit protocol (manifest PUT,
     # zero directory renames — operators/manifest.py) while the other
     # sinks stay on the rename layout: the one drain hash-certifies BOTH
-    # physical commit protocols cross-engine, and for the manifest side it
-    # covers the ledgered additive fold AND the mid-drain auto-rebucket
+    # physical commit protocols cross-engine (the manifest side's
+    # mid-drain auto-rebucket is ns_stream_rebucket_drain's job)
     chunk_t = ManifestTable(
         work + "/chunks", partition_by=[PART_COL], n_buckets=8
     )
