@@ -255,6 +255,19 @@ def main() -> None:
         # session, so only its FIRST run measures anything — it stays n=1.
         over_budget = time.perf_counter() - bench_t0 > BUDGET_S
         reps = 1 if name.startswith("pipeline_e2e") or over_budget else N_REPS
+        # The two live streaming-drain probes are the highest-variance
+        # entries in the sweep (a first execution carries stream-harness
+        # startup that decays 2-3x by the next run — docs/BENCH_NOTES.md
+        # r14 subset-mode caveat) and they sort late, where the budget
+        # clamp routinely pins them to that cold single shot (r15: 28.5 s
+        # clamped vs 13.7 s warm for the same drain). Floor them at 2
+        # reps — bounded extra (~45 s) — so the reported min reflects the
+        # steady-state regime the probe exists to regression-track.
+        if N_REPS >= 2 and name in (
+            "ns_stream_live_sinks",
+            "ns_stream_rebucket_drain",
+        ):
+            reps = max(reps, 2)
         # Whenever only ONE timed run will happen (REPS=1 mode, or the
         # budget clamp), restore the sf0.001 warm-up so that single number
         # is still a warm measurement — a clamped query must not silently
