@@ -198,6 +198,15 @@ def pagerank(
     sinks = nodes.join(
         edges_w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     ).persist()
+    # Sink-free fast path (r15): a graph where every node has out-degree
+    # >= 1 — ALWAYS true for the symmetrized near-dup pair graphs this
+    # engine feeds it — has identically zero dangling mass, so the
+    # per-round sink semi-join + 1-row aggregate + broadcast (a full
+    # ranks pass each round at scale) is pure waste. One bounded
+    # existence probe decides it up front; adding an exact 0.0 never
+    # changes an IEEE sum of positive ranks, so results are
+    # bit-identical (pinned vs the Python reference in tests).
+    has_sinks = not sinks.isEmpty()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for r in range(n_iter):
@@ -208,7 +217,7 @@ def pagerank(
         dangling = (
             ranks.join(sinks, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
-        )
+        ) if has_sinks else None
         summed = (
             ranks.join(edges_w, ranks.node == edges_w.src)
             .select(
@@ -218,20 +227,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.col("__dangling") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+        joined = nodes.join(summed, "node", "left")
+        if has_sinks:
+            joined = joined.crossJoin(F.broadcast(dangling))
+            contrib = F.coalesce(F.col("s"), F.lit(0.0)) + F.col(
+                "__dangling"
+            ) / F.lit(float(n))
+        else:
+            contrib = F.coalesce(F.col("s"), F.lit(0.0))
+        ranks = joined.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * contrib).alias("rank"),
         )
         if (r + 1) % checkpoint_every == 0 or r + 1 == n_iter:
             ranks = ranks.localCheckpoint(eager=True)
@@ -296,6 +302,10 @@ def pagerank_fixed_point(
     ).persist()
     # exact Python-int preamble, mirrored verbatim by the oracle
     base = ((d_den - d_num) * scale // d_den) // n
+    # sink-free fast path — see :func:`pagerank`. Integer twin: the skipped
+    # term is exactly ``0 div n = 0``, so every ``rank_units`` is the same
+    # BIGINT either way and the hash certification is unaffected.
+    has_sinks = not sinks.isEmpty()
     ranks = nodes.withColumn("rank_units", F.lit(scale // n).cast("long"))
     for r in range(n_iter):
         dangling = (
@@ -305,7 +315,7 @@ def pagerank_fixed_point(
                 .cast("long")
                 .alias("__dangling")
             )
-        )
+        ) if has_sinks else None
         summed = (
             ranks.join(edges_w, ranks.node == edges_w.src)
             .select(
@@ -315,21 +325,18 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({d_num} * (coalesce(s, cast(0 as bigint))"
-                        f" + (__dangling div {n}))) div {d_den}"
-                    )
-                )
-                .cast("long")
-                .alias("rank_units"),
+        joined = nodes.join(summed, "node", "left")
+        if has_sinks:
+            joined = joined.crossJoin(F.broadcast(dangling))
+            step = (
+                f"({d_num} * (coalesce(s, cast(0 as bigint))"
+                f" + (__dangling div {n}))) div {d_den}"
             )
+        else:
+            step = f"({d_num} * coalesce(s, cast(0 as bigint))) div {d_den}"
+        ranks = joined.select(
+            "node",
+            (F.lit(base) + F.expr(step)).cast("long").alias("rank_units"),
         )
         if (r + 1) % checkpoint_every == 0 or r + 1 == n_iter:
             ranks = ranks.localCheckpoint(eager=True)
@@ -438,6 +445,14 @@ def component_survivors(
         F.col("component").alias("component_id"),
         F.col(score_col).alias("score"),
     )
+    # ``j`` feeds THREE consumers (best-score agg, survivor pick, final
+    # join) — without a persist each consumer re-evaluates the score join
+    # AND the caller's full ``scores`` lineage (measured: the survivor
+    # query re-scanned its document source 3x, plans/r15/
+    # ns_dedup_survivor_policy_before.txt). Corpus-compact rows (id,
+    # component, score); cache lifetime contract as elsewhere — the
+    # session owner clears between query families.
+    j = j.persist()
     best = j.groupBy("component_id").agg(F.max("score").alias("__best"))
     surv = (
         j.join(best, "component_id")

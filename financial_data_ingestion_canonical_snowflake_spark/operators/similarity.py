@@ -430,19 +430,26 @@ def semantic_dedup(
         corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")),
         "__v", "__n",
     )
+    # Persist the normed projection UNCONDITIONALLY (r15): it feeds every
+    # later stage — default centroid pick, hierarchical assignment, flat
+    # scoring, both pairwise sides, the final labeling. Without the cache
+    # each consumer re-evaluates the whole upstream lineage: the forced-
+    # hierarchical probe's plan was re-scanning its parquet source ~15x
+    # (plans/r15/ns_dedup_semantic_hier_before.txt) — at 100 TB that is
+    # 15 corpus passes for one dedup. The cache outlives this call by
+    # design — the returned frame is lazy and still reads it; the session
+    # owner drops it between query families (bench.py / the driver
+    # clearCache per query).
+    v = v.persist()
     if centroids is None and n_centroids is None:
-        # count the persisted projection, not the raw corpus lineage — an
-        # expensive upstream plan executes once, and every later stage
-        # (centroid pick, hierarchical assignment, pairwise) re-reads the
-        # cache instead of the raw lineage (the text_dedup discipline).
-        # The cache outlives this call by design — the returned frame is
-        # lazy and still reads it; the session owner drops it between
-        # query families (bench.py / the driver clearCache per query).
-        v = v.persist()
+        # count the persisted projection, not the raw corpus lineage — the
+        # count doubles as the cache materializer (the text_dedup
+        # discipline).
         n_centroids = adaptive_n_centroids(v.count())
-        corpus = v.select(
-            F.col("__vid").alias(id_col), F.col("__v").alias(vec_col)
-        )
+    # every downstream consumer reads the cached projection, never the
+    # caller's lineage (same rows/types by construction: the projection
+    # only renames and adds the norm column)
+    corpus = v.select(F.col("__vid").alias(id_col), F.col("__v").alias(vec_col))
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     if hierarchical is None:
@@ -460,30 +467,30 @@ def semantic_dedup(
         )
     if hierarchical:
         # route assignment through the sqrt(k) super-quantizer (the n*k
-        # escape hatch documented above); the pairwise stage is identical
+        # escape hatch documented above); the pairwise stage is identical.
+        # k is already known when n_centroids was given/derived — pass it
+        # through so the assignment skips its centroid-count job (r15).
         h = assign_to_centroids_hierarchical(
             corpus, centroids, id_col=id_col, vec_col=vec_col,
-            n_probe_super=n_probe_super,
+            n_probe_super=n_probe_super, k=n_centroids,
         ).select(F.col(id_col).alias("__vid"), F.col("centroid_id").alias("cluster_id"))
         asg = v.join(h, "__vid").select("__vid", "cluster_id", "__v", "__n")
     else:
-        asg = None
-    cents = F.broadcast(
-        _normed(
-            centroids.select(
-                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-            ),
-            "cent_vec", "cent_norm",
+        cents = F.broadcast(
+            _normed(
+                centroids.select(
+                    F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+                ),
+                "cent_vec", "cent_norm",
+            )
         )
-    )
-    scored = v.crossJoin(cents).select(
-        "__vid", "__v", "__n", "centroid_id",
-        (
-            vectors.dot(F.col("__v"), F.col("cent_vec"))
-            / (F.col("__n") * F.col("cent_norm"))
-        ).alias("__s"),
-    )
-    if asg is None:
+        scored = v.crossJoin(cents).select(
+            "__vid", "__v", "__n", "centroid_id",
+            (
+                vectors.dot(F.col("__v"), F.col("cent_vec"))
+                / (F.col("__n") * F.col("cent_norm"))
+            ).alias("__s"),
+        )
         asg = scored.groupBy("__vid").agg(
             F.max_by(
                 "centroid_id", F.struct(F.col("__s"), (-F.col("centroid_id")).alias("n"))
@@ -491,6 +498,11 @@ def semantic_dedup(
             F.first("__v").alias("__v"),
             F.first("__n").alias("__n"),
         )
+    # the assignment feeds THREE consumers (both pairwise sides + the
+    # final labeling join) — persist it so the n*k scoring (or the
+    # hierarchical chain) runs once, not three times (r15; same cache
+    # lifetime contract as ``v`` above)
+    asg = asg.persist()
     a = asg.select(
         F.col("__vid").alias("id_a"), F.col("__v").alias("q_vec"),
         F.col("__n").alias("q_norm"), "cluster_id",
@@ -559,6 +571,7 @@ def assign_to_centroids_hierarchical(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_super: int = 2,
+    k: int | None = None,
 ) -> DataFrame:
     """Two-level nearest-centroid assignment: ``(id_col, centroid_id)``.
 
@@ -582,7 +595,11 @@ def assign_to_centroids_hierarchical(
     tests/test_similarity.py). Same tie-breaks as
     :func:`assign_to_centroids` (cosine desc, centroid id asc).
     """
-    k = centroids.count()
+    if k is None:
+        # ``k`` can be passed by a caller that already knows the quantizer
+        # size (semantic_dedup does) — the count job here exists only for
+        # prebuilt centroid frames of unknown cardinality
+        k = centroids.count()
     s = max(1, math.ceil(math.sqrt(k)))
     cents = centroids.select(
         F.col(id_col).cast("long").alias("centroid_id"),

@@ -61,15 +61,21 @@ def stream_live_windowed_agg(spark, sf_dir):
         },
     )
     name = f"stream_parity_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")  # emit every window; comparable to batch SQL
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state shards sized for a micro-batch drain (session.py
+    # stream_state_partitions: per-shard commit cost dominates once shards
+    # outnumber state volume — r15, measured on the interval probe)
+    from ..session import stream_partitions_conf
+
+    with stream_partitions_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")  # emit every window; comparable to batch SQL
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -291,17 +297,28 @@ def stream_live_interval_join(spark, sf_dir):
         watermark="2 hours",
     )
     name = f"stream_ssij_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")  # the only mode stream-stream joins support
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fincan_ssij_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_live_interval_join: drain timed out (300s)")
+    # four state stores per shard here — the stream-stream join is where
+    # per-shard commit overhead bites hardest (5.4-6.3 s at 32 shards vs
+    # 2.3-2.4 s at 8, identical results — r15); shard count from
+    # session.py stream_state_partitions
+    from ..session import stream_partitions_conf
+
+    with stream_partitions_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")  # the only mode stream-stream joins support
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="fincan_ssij_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_live_interval_join: drain timed out (300s)"
+            )
     return spark.table(name).select(
         "user_id",
         "err_id",

@@ -43,6 +43,60 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def stream_state_partitions() -> int:
+    """State-store shard count for stateful streaming queries.
+
+    ``spark.sql.shuffle.partitions`` at query start fixes a stateful
+    stream's state-store shard count for the checkpoint's lifetime. Each
+    shard pays a FIXED commit cost per trigger per state store (delta-file
+    create + sync + rename — a stream-stream join runs four stores per
+    shard), while the data work per shard shrinks with the shard count, so
+    micro-batch drains are dominated by per-shard overhead once shards
+    outnumber the state volume: measured on the live interval-join probe,
+    32 shards = 5.4-6.3 s vs 8 shards = 2.3-2.4 s for identical results
+    (r15, OPTIMIZATION_r15.md). Default: ``cores / 4`` (floor 2) — derived
+    from the environment, not a local constant, so the shard count scales
+    with the cluster. Deployments with large per-trigger state should
+    override ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` upward: size shards
+    so per-shard state stays in the ~100-200 MB class (the guide's shuffle
+    partition discipline applied to state stores).
+    """
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS",
+            str(max(2, default_parallelism() // 4)),
+        )
+    )
+
+
+class stream_partitions_conf:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to
+    :func:`stream_state_partitions` for the duration of a streaming drain
+    (start -> awaitTermination), restoring the session value after.
+
+    The conf must stay pinned until the stream's FIRST batch plans (the
+    checkpoint records the shard count then), so the scope covers the whole
+    drain. Concurrent batch work in the same session during the drain sees
+    the stream setting — acceptable for this engine's availableNow drains,
+    whose own foreachBatch merges are AQE-coalesced either way (measured
+    flat on the scd2 drain at 8 vs 32).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self._old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_state_partitions())
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
