@@ -99,21 +99,31 @@ def importance_weights(
     "unscored", not as a low weight.
     """
     b = 1 << hash_bits
+    # vocab-bounded (<= 2**hash_bits rows) but produced by a FULL
+    # target-corpus shingle pass — persisted because both the ratio join
+    # and the grand total consume it; without the cache the target
+    # pipeline runs twice (r15; cache lifetime contract as elsewhere —
+    # the session owner clears between query families)
     tgt_tab = (
         hashed_ngram_features(
             target, id_col, text_col, shingle_len=shingle_len, hash_bits=hash_bits
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("t_cnt"))
+        .persist()
     )
     # the target TOTAL is a global: it must reach raw buckets the target
     # never saw (their smoothed p_t is 1 / (t_total + B), not 1 / B)
     t_total = tgt_tab.agg(
         F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("t_total")
     )
+    # the raw gram stream feeds BOTH the bucket-count table and the per-doc
+    # scoring join — persist so the tokenize+shingle+md5 pipeline (the
+    # dominant per-doc cost) runs once, not twice (r15). Compact rows:
+    # two longs per gram occurrence.
     raw_feats = hashed_ngram_features(
         raw, id_col, text_col, shingle_len=shingle_len, hash_bits=hash_bits
-    )
+    ).persist()
     rawtab = _feature_table(raw_feats).select(
         "bucket",
         F.col("cnt").alias("r_cnt"),

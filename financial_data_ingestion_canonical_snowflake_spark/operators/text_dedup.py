@@ -515,8 +515,22 @@ def ngram_jaccard_pairs(
         )
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(freq.select("shingle"), "shingle")
+        # window count instead of groupBy+join (r15, the _cap_banded
+        # single-frame trick): ONE shuffle on exactly the key the pair
+        # self-join needs next — the old aggregate+join shape evaluated
+        # the shingle extraction twice and paid a second exchange. The
+        # persisted capped frame then reports shingle-hash partitioning,
+        # so BOTH self-join sides read the cache with no further
+        # exchange. Skew exposure is unchanged: either shape routes a
+        # hot shingle's posting list to one task before dropping it.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__w", F.count(F.lit(1)).over(w))
+            .filter(F.col("__w") <= max_shingle_freq)
+            .drop("__w")
+        )
     # consumed 3x (sizes + both join sides) — persist like the LSH signatures
     sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -619,12 +633,18 @@ def winnowing_pairs(
     """
     fp = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
     if max_fp_freq is not None:
-        keep = (
-            fp.groupBy("fingerprint")
-            .count()
-            .filter(F.col("count") <= max_fp_freq)
+        # window count over the fingerprint instead of groupBy+join (r15;
+        # see ngram_jaccard_pairs): one shuffle on the pair join's own
+        # key, and the fingerprint extraction evaluates once instead of
+        # twice (the aggregate branch re-ran it to build the keep set)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("fingerprint")
+        fp = (
+            fp.withColumn("__w", F.count(F.lit(1)).over(w))
+            .filter(F.col("__w") <= max_fp_freq)
+            .drop("__w")
         )
-        fp = fp.join(keep.select("fingerprint"), "fingerprint")
     fp = fp.persist()  # consumed 3x: sizes + both join sides
     sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
     pairs = (
@@ -735,6 +755,12 @@ def remove_shared_spans(
         md5_long(F.lower(F.col("chunk_text"))).alias("__h"),
     )
     if freq is None:
+        # two consumers of the chunk frame (frequency side + scored side):
+        # persist so the text-scan + per-token-md5 chunking pipeline runs
+        # once, not twice (r15 — the docstring's "two passes over the
+        # corpus" note is now only true for callers that bypass this by
+        # passing their own un-persisted chunk frame WITH a freq table)
+        chunks = chunks.persist()
         freq = (
             chunks.select("__h", id_col)
             .distinct()

@@ -158,7 +158,11 @@ class CdcChunkSink:
         )
 
     def _guard_reingest(
-        self, spark: SparkSession, batch_chunks: DataFrame, batch_id: int
+        self,
+        spark: SparkSession,
+        batch_chunks: DataFrame,
+        batch_id: int,
+        parts: list[int] | None = None,
     ) -> None:
         """Fail loudly when a doc_id in this batch already has chunks from
         a DIFFERENT batch: the additive doc-frequency fold would
@@ -168,21 +172,25 @@ class CdcChunkSink:
         Cost: one semi-ish join of the batch's ids against the chunk
         table's id projection — bucket-pruned on a scoped layout (the
         batch ids' buckets only), so the guard stays batch-footprint-
-        proportional at corpus scale."""
+        proportional at corpus scale. ``parts`` (the batch's touched
+        buckets, computed with the table's own ``part_expr``) skips the
+        guard's bucket collect — the caller shares one per-trigger list
+        between the guard and the chunk merge (r15)."""
         if not self.chunks_table.exists():
             return
         existing = self.chunks_table.scan(spark)  # physical (incl. PART_COL)
         batch_ids = batch_chunks.select(self.id_col).distinct()
         if self.chunks_table.partition_by == [PART_COL]:
-            n = self.chunks_table.read_meta()["n_buckets"]
-            parts = [
-                r[0]
-                for r in batch_ids.select(
-                    part_expr(self.id_col, n).alias("p")
-                )
-                .distinct()
-                .collect()
-            ]
+            if parts is None:
+                n = self.chunks_table.read_meta()["n_buckets"]
+                parts = [
+                    r[0]
+                    for r in batch_ids.select(
+                        part_expr(self.id_col, n).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                ]
             existing = existing.filter(F.col(PART_COL).isin(parts))
         clash = (
             existing.select(self.id_col, "src_batch_id")
@@ -224,7 +232,28 @@ class CdcChunkSink:
                 .persist()
             )
             try:
-                self._guard_reingest(spark, batch_chunks, batch_id)
+                # ONE touched-bucket collect per trigger, shared by the
+                # guard's pruned scan and the chunk merge's partition scope
+                # (r15: the guard and the merge each ran their own driver
+                # collect over the same id set — two jobs doing one job's
+                # work per trigger)
+                doc_parts = None
+                if (
+                    self.chunks_table.partition_by == [PART_COL]
+                    and self.chunks_table.exists()
+                ):
+                    n = self.chunks_table.read_meta()["n_buckets"]
+                    doc_parts = [
+                        r[0]
+                        for r in batch_chunks.select(
+                            part_expr(self.id_col, n).alias("p")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                self._guard_reingest(
+                    spark, batch_chunks, batch_id, parts=doc_parts
+                )
                 # 1) chunk merge (idempotent by key) — safe to re-apply
                 if self.chunks_table.partition_by == [PART_COL]:
                     merge_upsert_scoped(
@@ -232,6 +261,7 @@ class CdcChunkSink:
                         self.chunks_table,
                         batch_chunks,
                         keys=[self.id_col, "chunk_idx"],
+                        parts=doc_parts,
                     )
                 else:
                     merged_chunks = merge_upsert(
