@@ -233,24 +233,43 @@ class CdcChunkSink:
             )
             try:
                 # ONE touched-bucket collect per trigger, shared by the
-                # guard's pruned scan and the chunk merge's partition scope
-                # (r15: the guard and the merge each ran their own driver
-                # collect over the same id set — two jobs doing one job's
-                # work per trigger)
+                # guard's pruned scan, the chunk merge's partition scope,
+                # AND the freq merge's (r15: the guard and both merges each
+                # ran their own driver collect — three jobs doing one job's
+                # work per trigger). Both part lists fold in a single
+                # aggregate over the persisted batch; each is bounded by
+                # its table's bucket count — driver-small. The freq side's
+                # hash set over the raw chunk rows equals the set over the
+                # aggregated per-hash counts by construction (grouping
+                # never invents or drops a hash).
                 doc_parts = None
-                if (
+                hash_parts = None
+                chunks_scoped = (
                     self.chunks_table.partition_by == [PART_COL]
                     and self.chunks_table.exists()
-                ):
-                    n = self.chunks_table.read_meta()["n_buckets"]
-                    doc_parts = [
-                        r[0]
-                        for r in batch_chunks.select(
-                            part_expr(self.id_col, n).alias("p")
+                )
+                freq_scoped = scoped and self.freq_table.exists()
+                if chunks_scoped or freq_scoped:
+                    aggs = []
+                    if chunks_scoped:
+                        n_c = self.chunks_table.read_meta()["n_buckets"]
+                        aggs.append(
+                            F.collect_set(
+                                part_expr(self.id_col, n_c)
+                            ).alias("dp")
                         )
-                        .distinct()
-                        .collect()
-                    ]
+                    if freq_scoped:
+                        n_f = self.freq_table.read_meta()["n_buckets"]
+                        aggs.append(
+                            F.collect_set(
+                                part_expr("chunk_hash", n_f)
+                            ).alias("hp")
+                        )
+                    row = batch_chunks.agg(*aggs).first()
+                    if chunks_scoped:
+                        doc_parts = [int(p) for p in row["dp"]]
+                    if freq_scoped:
+                        hash_parts = [int(p) for p in row["hp"]]
                 self._guard_reingest(
                     spark, batch_chunks, batch_id, parts=doc_parts
                 )
@@ -278,6 +297,10 @@ class CdcChunkSink:
                     .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
                 )
                 if scoped:
+                    # hash_parts is the EXACT touched set (not a superset),
+                    # so the carried-sentinel union contributes nothing and
+                    # replay protection is unchanged; None on the first
+                    # batch (table absent — the merge's insert-only path)
                     merge_upsert_scoped(
                         spark,
                         self.freq_table,
@@ -286,6 +309,7 @@ class CdcChunkSink:
                         merge_exprs=_ADD,
                         ledger=LedgerSpec(_LEDGER_HASH, "doc_freq"),
                         batch_id=batch_id,
+                        parts=hash_parts,
                     )
                 else:
                     t = current_freq.filter(
