@@ -353,17 +353,38 @@ class ManifestTable(ParquetTable):
         df.sparkSession.catalog.refreshByPath(self._data_root)
 
     def replace_partitions(self, df: DataFrame) -> list[str]:
+        return self.commit_replace_partitions(self.stage_replace_partitions(df))
+
+    def stage_replace_partitions(self, df: DataFrame) -> dict:
+        """STAGE half (see ``ParquetTable.stage_replace_partitions``): write
+        the replacement partitions into a fresh, UNREFERENCED generation
+        directory. Nothing references the generation until the commit's
+        manifest PUT, so a staged-then-crashed write is invisible garbage —
+        the protocol's pre-existing story. The generation is named with the
+        seq visible at stage time; the name only needs uniqueness (the uuid
+        suffix), the committed seq is re-read at commit time."""
         if not self.partition_by:
             raise ValueError(
                 f"{self.path}: replace_partitions needs partition_by"
             )
         m = self._load_manifest() or {"seq": 0, "parts": {}, "meta": None}
-        seq = m["seq"] + 1
-        gen = self._new_gen(seq)
+        gen = self._new_gen(m["seq"] + 1)
         gen_dir = os.path.join(self._data_root, gen)
         df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(
             gen_dir
         )
+        return {"gen": gen, "gen_dir": gen_dir, "spark": df.sparkSession}
+
+    def abort_replace_partitions(self, staged: dict) -> None:
+        self.commit.remove_tree(staged["gen_dir"])
+
+    def commit_replace_partitions(self, staged: dict) -> list[str]:
+        """COMMIT half: one manifest PUT re-pointing the touched leaves at
+        the staged generation (driver-side only — no Spark job, no rename
+        of any data path)."""
+        gen, gen_dir = staged["gen"], staged["gen_dir"]
+        m = self._load_manifest() or {"seq": 0, "parts": {}, "meta": None}
+        seq = m["seq"] + 1
         touched = [r for r in self._written_parts(gen_dir) if r]
         bytes_delta = 0  # stats only the TOUCHED leaves (delta cost)
         parts = dict(m["parts"])
@@ -384,7 +405,7 @@ class ManifestTable(ParquetTable):
         self._publish_manifest(new_m, retain_history=True)
         self._prune_history()
         self._gc(new_m)
-        df.sparkSession.catalog.refreshByPath(self._data_root)
+        staged["spark"].catalog.refreshByPath(self._data_root)
         return touched
 
     def append(self, df: DataFrame) -> None:

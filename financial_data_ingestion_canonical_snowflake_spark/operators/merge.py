@@ -71,6 +71,32 @@ class LedgerSpec:
 PART_COL = "txn_part"
 
 
+@dataclass
+class StagedScopedMerge:
+    """A scoped merge whose Spark WRITE job has run but whose commit has
+    not (``merge_upsert_scoped(..., stage_only=True)``). Lets a sink that
+    maintains several tables per trigger run the expensive staging writes
+    concurrently (guide §2.6) and then apply the COMMITS in the exact
+    order its crash contract requires (e.g. the CDC sink's chunks-before-
+    freq fold order). ``commit()`` is driver-side only (meta write +
+    directory swaps / manifest PUT); ``abort()`` discards the staged
+    files. A staged merge that is never committed leaves only invisible
+    tmp/generation garbage for ``vacuum`` — the same story as a crash
+    mid-write before this API existed."""
+
+    table: object
+    staged: dict
+    meta: dict
+
+    def commit(self) -> list[str]:
+        # meta BEFORE the swap — same ordering rationale as the inline path
+        self.table.write_meta(**self.meta)
+        return self.table.commit_replace_partitions(self.staged)
+
+    def abort(self) -> None:
+        self.table.abort_replace_partitions(self.staged)
+
+
 def part_expr(key: str, n_buckets: int) -> F.Column:
     """Deterministic key -> partition bucket. Derived from the merge key
     itself, so a key always lands in the same hive partition; NULL keys hash
@@ -321,7 +347,9 @@ def merge_upsert_scoped(
     batch_id: int | None = None,
     parts: Sequence[int] | None = None,
     evolve_schema: bool = False,
-) -> list[str]:
+    replace_keys: DataFrame | None = None,
+    stage_only: bool = False,
+) -> list[str] | StagedScopedMerge:
     """Partition-scoped MERGE into a hash-bucketed ``ParquetTable``.
 
     Reference MERGE's I/O is proportional to the delta
@@ -369,11 +397,51 @@ def merge_upsert_scoped(
     as typed NULLs (Spark fills missing columns under an explicit read
     schema) — a mid-stream column addition never forces a state rebuild.
     Union/conflict semantics are :func:`merge_upsert`'s.
+
+    ``replace_keys``: a (distinct) frame of replacement-scope key values
+    whose COLUMNS name the scope columns (must include ``keys[0]`` so the
+    bucket pruning stays valid). The caller asserts the source holds the
+    COMPLETE post-merge state for exactly those scope keys — true for the
+    "re-collapse and fold back" sinks (SCD2 versions, IVF assignments,
+    MinHash signatures), where every target row of an affected key is
+    either overwritten by a matched source row or provably absent from
+    the source only when it must not survive. Under that contract the
+    full-outer MERGE is equivalent to: drop the target rows whose scope
+    key appears in ``replace_keys`` (a BROADCAST anti-join — micro-batch
+    key sets are small by the streaming contract, and the pruned target
+    is then never shuffled or sorted, where the full-outer join forced a
+    sort-merge join on the composite key), then union the source in.
+    Incompatible with ``preserve``/``dedupe_order``/``set_on_*``/
+    ``merge_exprs``/``ledger``/``evolve_schema`` (those give matched rows
+    semantics beyond "source wins" — asserted).
+
+    ``stage_only=True`` runs everything INCLUDING the Spark write job but
+    stops before the commit, returning a :class:`StagedScopedMerge`; see
+    its docstring for the concurrency/ordering contract.
     """
     keys = list(keys)
     if (ledger is None) != (batch_id is None):
         raise ValueError(
             "merge_upsert_scoped: ledger and batch_id must be given together"
+        )
+    if replace_keys is not None:
+        incompatible = (
+            list(preserve)
+            or dedupe_order is not None
+            or set_on_update
+            or set_on_insert
+            or merge_exprs
+            or ledger is not None
+            or evolve_schema
+        )
+        assert not incompatible, (
+            "merge_upsert_scoped: replace_keys is a whole-key replacement — "
+            "matched-row semantics (preserve/set_on_*/merge_exprs/ledger/"
+            "evolve_schema/dedupe_order) cannot apply"
+        )
+        assert keys[0] in replace_keys.columns, (
+            f"merge_upsert_scoped: replace_keys columns "
+            f"{replace_keys.columns} must include the bucket key {keys[0]!r}"
         )
     # caller-supplied parts may be a SUPERSET of the source's touched
     # buckets; with a ledger that matters (see the carried-sentinel union
@@ -470,17 +538,28 @@ def merge_upsert_scoped(
                     .filter(keep)
                     .drop("__applied")
                 )
-            merged = merge_upsert(
-                tgt,
-                src,
-                keys,
-                preserve,
-                dedupe_order,
-                set_on_update,
-                set_on_insert,
-                evolve_schema=evolve_schema,
-                merge_exprs=merge_exprs,
-            )
+            if replace_keys is not None:
+                assert set(tgt.columns) == set(src.columns), (
+                    f"merge_upsert_scoped(replace_keys=...) requires aligned "
+                    f"schemas; target={tgt.columns} source={src.columns}"
+                )
+                merged = tgt.join(
+                    F.broadcast(replace_keys),
+                    list(replace_keys.columns),
+                    "left_anti",
+                ).unionByName(src)
+            else:
+                merged = merge_upsert(
+                    tgt,
+                    src,
+                    keys,
+                    preserve,
+                    dedupe_order,
+                    set_on_update,
+                    set_on_insert,
+                    evolve_schema=evolve_schema,
+                    merge_exprs=merge_exprs,
+                )
         else:
             # first batch: MERGE into empty = dedupe + insert-only projection —
             # skip the full-outer join against nothing (and without a ledger,
@@ -551,6 +630,12 @@ def merge_upsert_scoped(
             meta["schema_json"] = evolved.jsonValue()
             if table.schema is not None:
                 table.schema = evolved
+        if stage_only:
+            # run the write job now (so concurrent stagers overlap their
+            # executor work); the caller owns meta-write + swap ordering
+            return StagedScopedMerge(
+                table, table.stage_replace_partitions(merged), meta
+            )
         # meta lands BEFORE the partition swap: a crash in between leaves the
         # recorded schema wider than some files — harmless (explicit-schema
         # reads fill NULLs); the reverse order could leave mixed files with no

@@ -379,10 +379,38 @@ class ParquetTable:
         cost scales with the partitions a batch touches, matching reference
         MERGE (sql/05_merge_canonical.sql:6-53), not with table size.
         """
+        return self.commit_replace_partitions(self.stage_replace_partitions(df))
+
+    def stage_replace_partitions(self, df: DataFrame) -> dict:
+        """STAGE half of ``replace_partitions``: run the Spark write job that
+        materializes the replacement partitions into an uncommitted tmp
+        sibling, touching nothing a reader can see. Returns an opaque staged
+        handle for ``commit_replace_partitions`` / ``abort_replace_partitions``.
+
+        The split exists so sinks maintaining SEVERAL tables per trigger
+        (e.g. the CDC chunk+frequency pair) can run the expensive staging
+        writes CONCURRENTLY (guide §2.6 — independent jobs back-fill each
+        other's stragglers) while keeping the COMMITS strictly ordered,
+        which is what their crash contracts are stated in terms of. A crash
+        after staging leaves only an invisible ``.tmp-*`` sibling for
+        ``vacuum`` — exactly the pre-existing mid-write crash story.
+        """
         if not self.partition_by:
             raise ValueError(f"{self.path}: replace_partitions needs partition_by")
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(tmp)
+        return {"tmp": tmp, "spark": df.sparkSession}
+
+    def abort_replace_partitions(self, staged: dict) -> None:
+        """Discard a staged-but-uncommitted replacement (pure cleanup)."""
+        self.commit.remove_tree(staged["tmp"])
+
+    def commit_replace_partitions(self, staged: dict) -> list[str]:
+        """COMMIT half of ``replace_partitions``: swap the staged partition
+        directories into the table (driver-side file ops only — no Spark
+        job). Same crash story as the monolithic form, whose docstring has
+        the details."""
+        tmp = staged["tmp"]
         depth = len(self.partition_by)
         replaced: list[str] = []
         # leaf partition dirs sit exactly `depth` levels under tmp
@@ -430,7 +458,7 @@ class ParquetTable:
             self.commit.move_dir(src, dst)
             replaced.append(rel)
         self.commit.remove_tree(tmp)
-        df.sparkSession.catalog.refreshByPath(self.path)
+        staged["spark"].catalog.refreshByPath(self.path)
         return replaced
 
     def overwrite_partitions(self, df: DataFrame) -> None:

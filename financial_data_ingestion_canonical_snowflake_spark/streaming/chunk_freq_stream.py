@@ -63,6 +63,8 @@ chunk_text keeps source case).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -71,6 +73,7 @@ from ..functions.scalars import md5_long
 from ..functions.text import cdc_chunk_documents
 from ..operators.merge import (
     PART_COL,
+    T_PREFIX,
     LedgerSpec,
     maybe_rebucket,
     merge_upsert,
@@ -145,6 +148,38 @@ class CdcChunkSink:
         )
         return int(row[0][0]) if row else -1
 
+    def _maybe_rebucket_both(self, spark: SparkSession) -> None:
+        """Post-fold auto-split check for both state tables. The common
+        case is an O(1) driver metadata read per table (no-op); when BOTH
+        tables are scoped and actually cross the split threshold in the
+        same trigger (the forced-rebucket probe's posture), the two
+        independent scan+rewrite jobs run concurrently (guide §2.6 —
+        separate tables, no shared state)."""
+        if self.rebucket_target_bytes is None:
+            return
+        scoped_tables = [
+            t
+            for t in (self.chunks_table, self.freq_table)
+            if t.partition_by == [PART_COL]
+        ]
+        if not scoped_tables:
+            return
+
+        def split(t) -> None:
+            maybe_rebucket(
+                spark,
+                t,
+                self.rebucket_target_bytes,
+                max_buckets=self.rebucket_max_buckets,
+            )
+
+        if len(scoped_tables) == 2:
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                # list() propagates the first worker exception, if any
+                list(ex.map(split, scoped_tables))
+        else:
+            split(scoped_tables[0])
+
     def chunks(self, spark: SparkSession) -> DataFrame:
         """The maintained chunk table — remove_shared_spans' ``chunks=``
         (the ``src_batch_id`` bookkeeping column dropped)."""
@@ -213,6 +248,38 @@ class CdcChunkSink:
                 f"to absorb revised documents."
             )
 
+    def _clash_guard_expr(self, batch_id: int):
+        """The scoped-layout re-ingest guard, folded INTO the chunk merge
+        (r16): a matched (id, chunk_idx) row whose stored ``src_batch_id``
+        differs from this batch is by definition a re-ingest — every
+        re-ingested document with >= 1 chunk matches at least on
+        ``chunk_idx`` 0, the same id set :meth:`_guard_reingest` detects
+        with its own driver job. ``raise_error`` fails the merge's WRITE
+        job before anything commits (tmp/generation garbage only), so the
+        fail-loudly contract and the state-intact guarantee are unchanged
+        while the guard's separate per-trigger scan+collect job disappears.
+        Same-batch matches (replays) compare equal and fold on through."""
+
+        def guard(t, s):
+            msg = F.concat(
+                F.lit("CdcChunkSink: doc id "),
+                F.col(T_PREFIX + self.id_col).cast("string"),
+                F.lit(
+                    " was already ingested by an earlier batch; "
+                    "re-ingesting a document corrupts the additive "
+                    "doc-frequency state (and a shortened text would "
+                    "strand stale chunk rows). This sink requires each "
+                    "document to arrive in exactly one micro-batch — the "
+                    "parquet file-source contract. Rebuild the state "
+                    "tables to absorb revised documents."
+                ),
+            )
+            return F.when(
+                t == F.lit(batch_id).cast("long"), s
+            ).otherwise(F.raise_error(msg))
+
+        return guard
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         scoped = self.freq_table.partition_by == [PART_COL]
@@ -270,6 +337,83 @@ class CdcChunkSink:
                         doc_parts = [int(p) for p in row["dp"]]
                     if freq_scoped:
                         hash_parts = [int(p) for p in row["hp"]]
+                # batch's per-hash distinct-doc counts (freq merge source)
+                b = (
+                    batch_chunks.select("chunk_hash", self.id_col)
+                    .distinct()
+                    .groupBy("chunk_hash")
+                    .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+                )
+                if self.chunks_table.partition_by == [PART_COL] and scoped:
+                    # FULLY-SCOPED FAST PATH (r16): both merges' expensive
+                    # halves — the staging WRITE jobs off the one persisted
+                    # batch scan — run CONCURRENTLY (guide §2.6); the
+                    # re-ingest guard folds into the chunk merge itself
+                    # (_clash_guard_expr), so the per-trigger floor drops
+                    # from four sequential jobs (guard scan, chunk write,
+                    # freq write, + the shared agg) to the agg plus ONE
+                    # overlapped write wave. The COMMITS stay strictly
+                    # ordered — chunks land before freq — so every crash
+                    # point keeps the module's fold-order contract: a crash
+                    # before the chunk commit lands nothing; between the
+                    # commits, chunks-only (the replay re-merges chunks
+                    # idempotently and the ledger re-applies freq).
+                    # hash_parts is the EXACT touched set (not a superset),
+                    # so the carried-sentinel union contributes nothing and
+                    # replay protection is unchanged; None on the first
+                    # batch (table absent — the merge's insert-only path).
+                    staged_c = staged_f = None
+                    chunk_exc = freq_exc = None
+                    with ThreadPoolExecutor(max_workers=2) as ex:
+                        f_c = ex.submit(
+                            merge_upsert_scoped,
+                            spark,
+                            self.chunks_table,
+                            batch_chunks,
+                            keys=[self.id_col, "chunk_idx"],
+                            merge_exprs={
+                                "src_batch_id": self._clash_guard_expr(
+                                    batch_id
+                                )
+                            },
+                            parts=doc_parts,
+                            stage_only=True,
+                        )
+                        f_f = ex.submit(
+                            merge_upsert_scoped,
+                            spark,
+                            self.freq_table,
+                            b,
+                            keys=["chunk_hash"],
+                            merge_exprs=_ADD,
+                            ledger=LedgerSpec(_LEDGER_HASH, "doc_freq"),
+                            batch_id=batch_id,
+                            parts=hash_parts,
+                            stage_only=True,
+                        )
+                        try:
+                            staged_c = f_c.result()
+                        except Exception as e:  # noqa: BLE001 — re-raised
+                            chunk_exc = e
+                        try:
+                            staged_f = f_f.result()
+                        except Exception as e:  # noqa: BLE001 — re-raised
+                            freq_exc = e
+                    if chunk_exc is not None or freq_exc is not None:
+                        for st in (staged_c, staged_f):
+                            if st is not None:
+                                st.abort()
+                        err = chunk_exc if chunk_exc is not None else freq_exc
+                        if "already ingested" in str(err):
+                            # surface the in-plan guard's raise_error as the
+                            # documented loud ValueError (pinned in tests)
+                            raise ValueError(str(err)) from err
+                        raise err
+                    staged_c.commit()  # fold order: chunks land FIRST
+                    staged_f.commit()
+                    self._maybe_rebucket_both(spark)
+                    return
+                # mixed / plain layouts: the original sequential path
                 self._guard_reingest(
                     spark, batch_chunks, batch_id, parts=doc_parts
                 )
@@ -290,17 +434,8 @@ class CdcChunkSink:
                     )
                     self.chunks_table.overwrite_atomic(merged_chunks)
                 # 2) additive freq fold + ledger, swapped atomically
-                b = (
-                    batch_chunks.select("chunk_hash", self.id_col)
-                    .distinct()
-                    .groupBy("chunk_hash")
-                    .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
-                )
                 if scoped:
-                    # hash_parts is the EXACT touched set (not a superset),
-                    # so the carried-sentinel union contributes nothing and
-                    # replay protection is unchanged; None on the first
-                    # batch (table absent — the merge's insert-only path)
+                    # see the fast path's hash_parts note
                     merge_upsert_scoped(
                         spark,
                         self.freq_table,
@@ -340,15 +475,7 @@ class CdcChunkSink:
                         )
                     )
                     self.freq_table.overwrite_atomic(merged_freq)
-                if self.rebucket_target_bytes is not None:
-                    for t in (self.chunks_table, self.freq_table):
-                        if t.partition_by == [PART_COL]:
-                            maybe_rebucket(
-                                spark,
-                                t,
-                                self.rebucket_target_bytes,
-                                max_buckets=self.rebucket_max_buckets,
-                            )
+                self._maybe_rebucket_both(spark)
             finally:
                 batch_chunks.unpersist()
         finally:

@@ -349,7 +349,19 @@ class MinHashLshDedupSink:
                 )
                 self.pairs_table.overwrite_atomic(merged_pairs)
             if _is_bucketed(self.sig_table):
-                merge_upsert_scoped(spark, self.sig_table, new_sigs, keys=["doc"])
+                # replace_keys (r16): the merge key IS the replace key, so
+                # "drop matching docs + insert the batch's signatures" is
+                # exactly the keyed upsert — minus the full-outer
+                # sort-merge join (the pruned signature scan is no longer
+                # shuffled; the key set broadcasts from the already-
+                # persisted new_sigs cache)
+                merge_upsert_scoped(
+                    spark,
+                    self.sig_table,
+                    new_sigs,
+                    keys=["doc"],
+                    replace_keys=new_sigs.select("doc").distinct(),
+                )
             else:
                 merged_sigs = merge_upsert(corpus_sigs, new_sigs, keys=["doc"])
                 self.sig_table.overwrite_atomic(merged_sigs)

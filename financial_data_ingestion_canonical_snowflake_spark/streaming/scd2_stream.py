@@ -152,6 +152,8 @@ class Scd2Sink:
         )
         recomputed_src = events
         parts = None
+        affected = None
+        tgt_cols: set[str] | None = None
         late_detected = False
         pol = self.rebuild_policy
         track_hwm = pol is not None and pol.on_late_events
@@ -189,6 +191,7 @@ class Scd2Sink:
                 target = target.filter(F.col(PART_COL).isin(parts)).drop(
                     PART_COL
                 )
+            tgt_cols = set(target.columns)
             touched = target.join(affected, self.key_col)  # batch-sized
             if track_hwm:
                 # out-of-order probe against the stored per-key high-water
@@ -272,6 +275,28 @@ class Scd2Sink:
             # collected above — pass them through so the merge skips its
             # own touched-bucket action AND the source persist (r12: the
             # bucketed live drain paid two extra driver actions a trigger).
+            #
+            # replace_keys fast path (r16): ``recomputed`` is by
+            # construction the COMPLETE re-collapsed version set for
+            # exactly the affected keys, and version counts are monotone
+            # non-decreasing under re-collapse (module docstring point 4),
+            # so no stale higher-version target row can exist outside the
+            # source — the full-outer MERGE on (key, version_n), which
+            # Spark can only run as a sort-merge join, is equivalent to
+            # dropping the affected keys' rows (broadcast anti-join on the
+            # batch's key set — the pruned dimension scan is never
+            # shuffled or sorted) and unioning the re-collapse in. Only
+            # taken when the target's physical schema already matches the
+            # recomputed frame (an evolving fold — first policy trigger,
+            # or a widened table folded without hwm tracking — keeps the
+            # schema-reconciling MERGE semantics).
+            rk = None
+            if (
+                not evolve
+                and tgt_cols is not None
+                and tgt_cols == set(recomputed.columns)
+            ):
+                rk = affected
             merge_upsert_scoped(
                 spark,
                 self.table,
@@ -279,6 +304,7 @@ class Scd2Sink:
                 keys=[self.key_col, "version_n"],
                 parts=parts,
                 evolve_schema=evolve,
+                replace_keys=rk,
             )
             if self.rebucket_target_bytes is not None:
                 maybe_rebucket(spark, self.table, self.rebucket_target_bytes)
