@@ -466,6 +466,72 @@ def adaptive_max_shingle_freq(n: int) -> int:
     return max(8, (n + 999) // 1000)
 
 
+def _capped_postings(
+    postings: DataFrame, key: str, cap: int, hot_key_guard: bool | None
+) -> DataFrame:
+    """Apply a frequency cap (drop keys with > ``cap`` postings) in one of
+    two physically different but result-identical shapes — shared by the
+    n-gram Jaccard and winnowing pair generators; the policy that picks a
+    shape is documented on ``ngram_jaccard_pairs`` (``hot_key_guard``).
+
+    NULL keys: both shapes KEEP a NULL posting key (a window partition is
+    a valid NULL group; an anti-join never matches NULL against the hot
+    set) where the pre-r15 aggregate+join shape dropped it — callers'
+    keys are non-null by construction (token concatenations / hashes),
+    pinned here so a future extractor change can't silently alter
+    jaccard denominators (ADVICE r15).
+    """
+    if hot_key_guard:
+        # Skew-proof pre-drop: exact counts via hash aggregate (map-side
+        # partial aggregation reduces even the hottest key to one row per
+        # input partition before the count's exchange, which then carries
+        # only (distinct key, count) rows); the over-cap set — tiny by
+        # definition, the cap admits ~0.1% of the corpus in adaptive mode
+        # — broadcasts into a map-side ANTI join that removes hot
+        # postings BEFORE any data shuffle, so no task ever materializes
+        # a super-hot posting list; the repartition hash-distributes the
+        # survivors on the pair join's own key (what the window shape's
+        # exchange provides) and residual width is bounded by the cap.
+        # The raw posting frame persists first so the pre-count and the
+        # capped flow share ONE extraction (the r15 lesson: double
+        # extraction measured +25% at sf0.1).
+        postings = postings.persist()
+        hot = (
+            postings.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > cap)
+            .select(key)
+        )
+        return postings.join(F.broadcast(hot), key, "left_anti").repartition(
+            key
+        )
+    # window count (r15): ONE shuffle on exactly the key the pair
+    # self-join needs next — extraction evaluates once with no extra
+    # cache, at the cost of routing each key's full posting list through
+    # one task before the cap applies
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key)
+    return (
+        postings.withColumn("__w", F.count(F.lit(1)).over(w))
+        .filter(F.col("__w") <= cap)
+        .drop("__w")
+    )
+
+
+#: corpus size (docs) at which the cap's hot-key pre-drop engages by
+#: default (adaptive mode, where the count is already known). Below it, a
+#: hot posting list tops out at corpus size — a bounded straggler the
+#: window-count shape absorbs — and the guard's extra pass over the
+#: postings (one cached-read aggregate + cache materialization, measured
+#: +12-15% per query at sf0.1) buys nothing. Above it, a boilerplate
+#: shingle's posting list (the adaptive cap admits 0.1% of docs, so a HOT
+#: key is strictly bigger — millions of rows at 2M+ docs) would buffer on
+#: ONE window task before being dropped; the pre-drop removes it before
+#: any data shuffle for a cost that amortizes to noise at that scale.
+HOT_KEY_GUARD_MIN_DOCS = 2_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -473,6 +539,7 @@ def ngram_jaccard_pairs(
     shingle_len: int = 3,
     min_jaccard: float = 0.6,
     max_shingle_freq: int | str | None = "adaptive",
+    hot_key_guard: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
 
@@ -491,6 +558,24 @@ def ngram_jaccard_pairs(
     mode the count runs over a PERSISTED token projection (not the raw
     input lineage), so an expensive upstream plan executes once — the
     count materializes the cache the shingle explode then reads.
+
+    ``hot_key_guard`` (r16, VERDICT r15 #2): how the cap is physically
+    applied. ``False`` — a window count on the posting key (one shuffle,
+    reused by the pair self-join), which routes every key's FULL posting
+    list — a pathologically hot boilerplate shingle included — through
+    one task before dropping it; fine while posting lists are bounded.
+    ``True`` — a skew-proof pre-drop: exact counts via a hash aggregate
+    (map-side partial aggregation reduces even the hottest key to one
+    row per input partition before its exchange), the tiny over-cap set
+    broadcast into a map-side anti-join that removes hot postings BEFORE
+    any data shuffle; costs one extra cached pass over the postings.
+    ``None`` (default) auto-selects: guard on once an adaptive-mode
+    corpus reaches ``HOT_KEY_GUARD_MIN_DOCS`` (where a hot posting list
+    is big enough to straggle a task and the extra pass is noise),
+    window below it and for pinned caps (no count available — pass
+    ``True`` explicitly when a pinned-cap corpus is hot-key-prone).
+    Identical results either way (exact counts, same ``> cap`` drop
+    set; pinned in tests/test_curation.py).
     """
     base = df.select(
         F.col(id_col).alias("doc"), text.tokens(F.col(text_col)).alias("__toks")
@@ -502,7 +587,10 @@ def ngram_jaccard_pairs(
         # the session owner drops it between families (bench.py / the
         # driver clearCache per query).
         base = base.persist()
-        max_shingle_freq = adaptive_max_shingle_freq(base.count())
+        n_docs = base.count()
+        max_shingle_freq = adaptive_max_shingle_freq(n_docs)
+        if hot_key_guard is None:
+            hot_key_guard = n_docs >= HOT_KEY_GUARD_MIN_DOCS
     sh = (
         base
         .select(
@@ -515,22 +603,7 @@ def ngram_jaccard_pairs(
         )
     )
     if max_shingle_freq is not None:
-        # window count instead of groupBy+join (r15, the _cap_banded
-        # single-frame trick): ONE shuffle on exactly the key the pair
-        # self-join needs next — the old aggregate+join shape evaluated
-        # the shingle extraction twice and paid a second exchange. The
-        # persisted capped frame then reports shingle-hash partitioning,
-        # so BOTH self-join sides read the cache with no further
-        # exchange. Skew exposure is unchanged: either shape routes a
-        # hot shingle's posting list to one task before dropping it.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__w", F.count(F.lit(1)).over(w))
-            .filter(F.col("__w") <= max_shingle_freq)
-            .drop("__w")
-        )
+        sh = _capped_postings(sh, "shingle", max_shingle_freq, hot_key_guard)
     # consumed 3x (sizes + both join sides) — persist like the LSH signatures
     sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -619,6 +692,7 @@ def winnowing_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_freq: int | None = 10_000,
+    hot_key_guard: bool | None = None,
 ) -> DataFrame:
     """Substring-overlap candidate pairs from shared winnowing fingerprints:
     ``(id_a, id_b, n_shared, n_fp_a, n_fp_b, containment)`` where
@@ -630,21 +704,14 @@ def winnowing_pairs(
     equi-join on the fingerprint, with ``max_fp_freq`` dropping degenerate
     boilerplate fingerprints whose posting lists go quadratic (cap ON by
     default; sizes count the CAPPED sets on both engines).
+    ``hot_key_guard`` selects the skew-proof cap shape exactly as on
+    ``ngram_jaccard_pairs``; the cap here is pinned (no corpus count is
+    taken), so the default ``None`` stays on the window shape — pass
+    ``True`` on a corpus whose boilerplate fingerprints go hot.
     """
     fp = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
     if max_fp_freq is not None:
-        # window count over the fingerprint instead of groupBy+join (r15;
-        # see ngram_jaccard_pairs): one shuffle on the pair join's own
-        # key, and the fingerprint extraction evaluates once instead of
-        # twice (the aggregate branch re-ran it to build the keep set)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("fingerprint")
-        fp = (
-            fp.withColumn("__w", F.count(F.lit(1)).over(w))
-            .filter(F.col("__w") <= max_fp_freq)
-            .drop("__w")
-        )
+        fp = _capped_postings(fp, "fingerprint", max_fp_freq, hot_key_guard)
     fp = fp.persist()  # consumed 3x: sizes + both join sides
     sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
     pairs = (

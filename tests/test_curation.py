@@ -1208,6 +1208,48 @@ def test_adaptive_max_shingle_freq_boundaries(spark):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
 
 
+def test_hot_key_guard_cap_shapes_identical(spark):
+    """r16 (VERDICT r15 #2): the skew-proof cap shape (map-side-reduced
+    pre-count -> broadcast anti-join BEFORE the posting shuffle) must be
+    result-identical to the window-count shape on a deliberately skewed
+    fixture — one boilerplate shingle/fingerprint shared by every doc
+    (over the cap -> dropped), plus legitimate near-dup pairs that must
+    survive with identical scores either way."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        winnowing_pairs,
+    )
+
+    boiler = "common boilerplate header trigram"
+    docs = [
+        # 3 near-dup clusters of 4 + unique tails; every doc carries the
+        # boilerplate prefix, making its shingles corpus-wide hot keys
+        (
+            c * 10 + i,
+            boiler
+            + f" cluster {c} body text alpha beta gamma delta tail{c}_{i}",
+        )
+        for c in range(3)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for fn, kw in (
+        (ngram_jaccard_pairs, dict(max_shingle_freq=5, min_jaccard=0.3)),
+        (winnowing_pairs, dict(max_fp_freq=5, min_shared=1)),
+    ):
+        window_shape = fn(df, "doc_id", "text", hot_key_guard=False, **kw)
+        guarded = fn(df, "doc_id", "text", hot_key_guard=True, **kw)
+        got_w = sorted(map(tuple, window_shape.collect()))
+        got_g = sorted(map(tuple, guarded.collect()))
+        assert got_w == got_g and len(got_g) > 0, fn.__name__
+        # the guard's physical promise: hot postings are dropped by a
+        # broadcast anti-join before any data shuffle (no window over the
+        # posting key anywhere in the guarded plan)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+    spark.catalog.clearCache()
+
+
 def test_adaptive_prefix_bits_boundaries():
     """Integer-exact corpus-scaled simhash prefix (smallest b in [8,24]
     with 256*2^b >= n) — matches the oracle threshold CASE by construction."""
