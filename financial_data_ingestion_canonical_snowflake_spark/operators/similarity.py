@@ -424,7 +424,12 @@ def semantic_dedup(
     tests/test_similarity.py.
     ``centroids`` defaults to the lowest-id corpus
     vectors (deterministic, oracle-checkable); plug
-    :func:`kmeans_centroids` in for real recall.
+    :func:`kmeans_centroids` in for real recall. On the hierarchical
+    route the quantizer size ``k`` is forwarded only for the self-built
+    default (``limit(n_centroids)``, whose cardinality is exact whenever
+    n_centroids <= corpus size — always true for the adaptive default,
+    which only routes hierarchically at n >= 256*128); a caller-supplied
+    ``centroids`` frame is counted instead of trusting ``n_centroids``.
     """
     v = _normed(
         corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")),
@@ -450,6 +455,7 @@ def semantic_dedup(
     # caller's lineage (same rows/types by construction: the projection
     # only renames and adds the norm column)
     corpus = v.select(F.col("__vid").alias(id_col), F.col("__v").alias(vec_col))
+    built_centroids = centroids is None
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     if hierarchical is None:
@@ -468,11 +474,17 @@ def semantic_dedup(
     if hierarchical:
         # route assignment through the sqrt(k) super-quantizer (the n*k
         # escape hatch documented above); the pairwise stage is identical.
-        # k is already known when n_centroids was given/derived — pass it
-        # through so the assignment skips its centroid-count job (r15).
+        # k is known for free ONLY when this function built the quantizer
+        # itself via limit(n_centroids) — pass it through then so the
+        # assignment skips its centroid-count job (r15). A caller-supplied
+        # centroids frame falls back to counting that frame: trusting an
+        # accompanying n_centroids that disagrees with the frame's real
+        # cardinality would silently mis-size the super-quantizer and
+        # change assignments (ADVICE r15).
         h = assign_to_centroids_hierarchical(
             corpus, centroids, id_col=id_col, vec_col=vec_col,
-            n_probe_super=n_probe_super, k=n_centroids,
+            n_probe_super=n_probe_super,
+            k=n_centroids if built_centroids else None,
         ).select(F.col(id_col).alias("__vid"), F.col("centroid_id").alias("cluster_id"))
         asg = v.join(h, "__vid").select("__vid", "cluster_id", "__v", "__n")
     else:

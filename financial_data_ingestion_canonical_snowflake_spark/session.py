@@ -80,6 +80,16 @@ class stream_partitions_conf:
     the stream setting — acceptable for this engine's availableNow drains,
     whose own foreachBatch merges are AQE-coalesced either way (measured
     flat on the scd2 drain at 8 vs 32).
+
+    NOT safe under concurrent queries that care about the setting: the
+    session-global conf is mutated for the whole drain and restored
+    non-atomically, so a second concurrent drain (or a width-sensitive
+    batch query) in the same session races on it — and NESTED instances
+    restore the inner pinned value as "old". The engine's drains are
+    serial by contract (one availableNow drain at a time per session);
+    a deployment needing concurrent drains should pin the width on the
+    stream's own session/conf instead of through this manager (ADVICE
+    r15).
     """
 
     def __init__(self, spark: SparkSession):

@@ -10,21 +10,11 @@ Probes: windowed  scd2  interval  live_sinks  rebucket
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def dump_progress(spark, label: str) -> None:
-    # every stream this session ran — availableNow drains are already
-    # terminated, so read progress from the (retained) listener snapshots
-    for q in spark.streams.active:
-        print(f"  [still active] {q.name}")
-    # recentProgress survives on the query handle; we capture from the
-    # caller instead (see below)
 
 
 def show(label: str, q) -> None:
@@ -116,63 +106,59 @@ def main() -> None:
         show("windowed", q)
 
     if "interval" in wanted:
+        # the registered probe fn executes the drain and returns only the
+        # result frame; progress is unreachable from it, so inline the body
         t0 = time.perf_counter()
-        df = ps.stream_live_interval_join.__wrapped__(spark, sf_dir) if hasattr(
-            ps.stream_live_interval_join, "__wrapped__"
-        ) else None
-        if df is None:
-            # registered fn executes the drain and returns the result frame;
-            # progress is unreachable from it, so inline the body
-            from financial_data_ingestion_canonical_snowflake_spark.plans.registry import table
-            from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
-                file_stream,
-                stream_stream_interval_join,
-            )
+        from financial_data_ingestion_canonical_snowflake_spark.plans.registry import table
+        from financial_data_ingestion_canonical_snowflake_spark.streaming.ingest import (
+            file_stream,
+            stream_stream_interval_join,
+        )
 
-            key = (id(spark._jsparkSession), sf_dir)
-            if key not in ps._EVENTS_DIR_CACHE:
-                src = tempfile.mkdtemp(prefix="fincan_stream_") + "/events"
-                table(spark, sf_dir, "events").repartition(4).write.mode(
-                    "overwrite"
-                ).parquet(src)
-                ps._EVENTS_DIR_CACHE[key] = src
-            src_dir = ps._EVENTS_DIR_CACHE[key]
-            ev = file_stream(spark, src_dir, max_files_per_trigger=4)
-            errors = ev.filter(F.col("event_type") == "error").select(
-                "user_id",
-                F.col("event_id").alias("err_id"),
-                F.col("ts").alias("err_ts"),
+        key = (id(spark._jsparkSession), sf_dir)
+        if key not in ps._EVENTS_DIR_CACHE:
+            src = tempfile.mkdtemp(prefix="fincan_stream_") + "/events"
+            table(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ps._EVENTS_DIR_CACHE[key] = src
+        src_dir = ps._EVENTS_DIR_CACHE[key]
+        ev = file_stream(spark, src_dir, max_files_per_trigger=4)
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        joined = stream_stream_interval_join(
+            errors,
+            clicks,
+            on=["user_id"],
+            left_ts="err_ts",
+            right_ts="click_ts",
+            lower="INTERVAL 1 HOUR",
+            upper="INTERVAL 0 SECONDS",
+            watermark="2 hours",
+        )
+        name = f"prof_ssij_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="prof_ssij_ckpt_"),
             )
-            clicks = ev.filter(F.col("event_type") == "click").select(
-                "user_id",
-                F.col("event_id").alias("click_id"),
-                F.col("ts").alias("click_ts"),
-            )
-            joined = stream_stream_interval_join(
-                errors,
-                clicks,
-                on=["user_id"],
-                left_ts="err_ts",
-                right_ts="click_ts",
-                lower="INTERVAL 1 HOUR",
-                upper="INTERVAL 0 SECONDS",
-                watermark="2 hours",
-            )
-            name = f"prof_ssij_{uuid.uuid4().hex[:8]}"
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option(
-                    "checkpointLocation",
-                    tempfile.mkdtemp(prefix="prof_ssij_ckpt_"),
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-            print(f"interval wall: {time.perf_counter()-t0:.2f}s")
-            show("interval", q)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        print(f"interval wall: {time.perf_counter()-t0:.2f}s")
+        show("interval", q)
 
     if "scd2" in wanted:
         from financial_data_ingestion_canonical_snowflake_spark.operators.merge import PART_COL
