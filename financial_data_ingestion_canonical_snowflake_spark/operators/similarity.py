@@ -552,21 +552,35 @@ def assign_to_centroids(
     collapses a vector's k candidate rows map-side so the only exchange
     carries one row per vector.
     """
+    # norms project ONCE per vector / per centroid (r16): the inlined
+    # cosine folded dot(v,v) and dot(c,c) per PAIR — 3x the HOF work of
+    # the n*k scoring loop. dot/(v_norm*cent_norm) is the same IEEE ops
+    # in the same order, evaluated earlier — bit-identical scores.
     c = F.broadcast(
-        centroids.select(
-            F.col(id_col).cast("int").alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+        _normed(
+            centroids.select(
+                F.col(id_col).cast("int").alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("cent_vec"),
+            ),
+            "cent_vec", "cent_norm",
         )
     )
     scored = (
-        corpus.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        _normed(
+            corpus.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            "__v", "__n",
         )
         .crossJoin(c)
         .select(
             id_col,
             "centroid_id",
-            vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+            (
+                vectors.dot(F.col("__v"), F.col("cent_vec"))
+                / (F.col("__n") * F.col("cent_norm"))
+            ).alias("__s"),
         )
     )
     return scored.groupBy(id_col).agg(
@@ -613,9 +627,16 @@ def assign_to_centroids_hierarchical(
         # prebuilt centroid frames of unknown cardinality
         k = centroids.count()
     s = max(1, math.ceil(math.sqrt(k)))
-    cents = centroids.select(
-        F.col(id_col).cast("long").alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("cent_vec"),
+    # per-side norms project once per centroid / super / vector (r16):
+    # the inlined cosine re-folded both sides' self-dots per PAIR — 3x
+    # the HOF work of every scoring stage below. dot/(a_norm*b_norm) is
+    # the same IEEE ops in the same order — bit-identical scores.
+    cents = _normed(
+        centroids.select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+        ),
+        "cent_vec", "cent_norm",
     )
     supers = F.broadcast(
         cents.orderBy("centroid_id")
@@ -623,6 +644,7 @@ def assign_to_centroids_hierarchical(
         .select(
             F.col("centroid_id").alias("super_id"),
             F.col("cent_vec").alias("super_vec"),
+            F.col("cent_norm").alias("super_norm"),
         )
     )
     # centroid -> nearest super: centroid-count-sized, stays broadcastable
@@ -631,26 +653,37 @@ def assign_to_centroids_hierarchical(
         .select(
             "centroid_id",
             "cent_vec",
+            "cent_norm",
             "super_id",
-            vectors.cosine(F.col("cent_vec"), F.col("super_vec")).alias("__s"),
+            (
+                vectors.dot(F.col("cent_vec"), F.col("super_vec"))
+                / (F.col("cent_norm") * F.col("super_norm"))
+            ).alias("__s"),
         )
-        .groupBy("centroid_id", "cent_vec")
+        .groupBy("centroid_id", "cent_vec", "cent_norm")
         .agg(
             F.max_by(
                 "super_id", F.struct(F.col("__s"), (-F.col("super_id")).alias("n"))
             ).alias("super_id")
         )
     )
-    v = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    v = _normed(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        "__v", "__n",
     )
     probed = (
         v.crossJoin(supers)
         .select(
             id_col,
             "__v",
+            "__n",
             "super_id",
-            vectors.cosine(F.col("__v"), F.col("super_vec")).alias("__ss"),
+            (
+                vectors.dot(F.col("__v"), F.col("super_vec"))
+                / (F.col("__n") * F.col("super_norm"))
+            ).alias("__ss"),
         )
         .withColumn(
             "__r",
@@ -661,12 +694,15 @@ def assign_to_centroids_hierarchical(
             ),
         )
         .filter(F.col("__r") <= n_probe_super)
-        .select(id_col, "__v", "super_id")
+        .select(id_col, "__v", "__n", "super_id")
     )
     scored = probed.join(cent2super, "super_id").select(
         id_col,
         "centroid_id",
-        vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+        (
+            vectors.dot(F.col("__v"), F.col("cent_vec"))
+            / (F.col("__n") * F.col("cent_norm"))
+        ).alias("__s"),
     )
     return scored.groupBy(id_col).agg(
         F.max_by(
@@ -736,10 +772,17 @@ def kmeans_centroids(
         .collect()
     )
     cents: list[list[float]] = [[float(x) for x in r[vec_col]] for r in seeds]
-    # each round scans the vectors and there are n_iter rounds — cache once
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    # each round scans the vectors and there are n_iter rounds — cache once.
+    # The vector norm is part of the cache (r16): every round's cosine then
+    # folds only the dot product — the inlined cosine re-folded dot(v,v)
+    # k times per vector per round and dot(c,c) n times per centroid
+    # (bit-identical either way: same IEEE ops, same order).
+    vecs = _normed(
+        corpus.select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        "__v", "__n",
     ).persist()
     try:
         for _ in range(n_iter):
@@ -751,15 +794,21 @@ def kmeans_centroids(
             # keeps a vector's k copies consecutive, so the max_by groupBy
             # collapses them map-side: the exchange carries one row per
             # vector — the standard per-round k-means shuffle.
-            cdf = spark.createDataFrame(
-                [(i, cent) for i, cent in enumerate(cents)],
-                "centroid_id int, cent_vec array<double>",
+            cdf = _normed(
+                spark.createDataFrame(
+                    [(i, cent) for i, cent in enumerate(cents)],
+                    "centroid_id int, cent_vec array<double>",
+                ),
+                "cent_vec", "cent_norm",
             )
             scored = vecs.crossJoin(F.broadcast(cdf)).select(
                 "__vid",
                 "__v",
                 "centroid_id",
-                vectors.cosine(F.col("__v"), F.col("cent_vec")).alias("__s"),
+                (
+                    vectors.dot(F.col("__v"), F.col("cent_vec"))
+                    / (F.col("__n") * F.col("cent_norm"))
+                ).alias("__s"),
             )
             best = scored.groupBy("__vid").agg(
                 # highest sim wins, ties to the lowest centroid id
