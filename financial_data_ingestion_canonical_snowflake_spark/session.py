@@ -36,6 +36,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # split sizing for small inputs; at production scale files exceed
     # maxPartitionBytes and this conf has no effect on split counts.
     "spark.sql.files.openCostInBytes": "65536",
+    # Parquet writes in zstd (guide §6/§9): measured at sf0.1 on the CDC
+    # chunk state table and a lineitem rewrite (r16, tools experiment) —
+    # 20-36% fewer bytes than the snappy default at wall-time parity for
+    # write AND read-back. Every byte a state sink writes per trigger is
+    # delta I/O at 100 TB, so the ratio win compounds; decided on
+    # byte-volume evidence, not local wall-clock. The SHUFFLE codec
+    # (spark.io.compression.codec) stays at the lz4 default: its ratio/CPU
+    # trade is network-bound and unobservable on a local bench — flip it
+    # per-deployment with measured shuffle-byte evidence (guide §2.3).
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
