@@ -339,7 +339,60 @@ class MinHashLshDedupSink:
             # both folds are keyed upserts (idempotent under replay — no
             # ledger needed); a bucketed table gets the scoped rewrite,
             # a plain table the legacy whole-table swap
-            if _is_bucketed(self.pairs_table):
+            if _is_bucketed(self.pairs_table) and _is_bucketed(self.sig_table):
+                # fully-scoped fast path (r16): stage both merges' write
+                # jobs CONCURRENTLY off the shared new_sigs cache (guide
+                # §2.6), then commit pairs before sigs — the current
+                # order. A crash between the commits is replay-safe both
+                # ways: the replayed batch recomputes pairs against the
+                # pre-batch corpus (sigs not yet committed) and re-merges
+                # both tables idempotently by key. The sigs merge uses
+                # replace_keys: the merge key IS the replace key, so
+                # "drop matching docs + insert the batch's signatures" is
+                # exactly the keyed upsert — minus the full-outer
+                # sort-merge join (the pruned signature scan is no longer
+                # shuffled; the key set broadcasts from the persisted
+                # new_sigs cache). The pairs stage reads the sig table's
+                # LIVE manifest/files throughout — staging never mutates
+                # visible state, so its corpus view stays pre-batch.
+                from concurrent.futures import ThreadPoolExecutor
+
+                staged_p = staged_s = None
+                errs = []
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    f_p = ex.submit(
+                        merge_upsert_scoped,
+                        spark,
+                        self.pairs_table,
+                        pairs,
+                        keys=["id_a", "id_b"],
+                        stage_only=True,
+                    )
+                    f_s = ex.submit(
+                        merge_upsert_scoped,
+                        spark,
+                        self.sig_table,
+                        new_sigs,
+                        keys=["doc"],
+                        replace_keys=new_sigs.select("doc").distinct(),
+                        stage_only=True,
+                    )
+                    try:
+                        staged_p = f_p.result()
+                    except Exception as e:  # noqa: BLE001 — re-raised
+                        errs.append(e)
+                    try:
+                        staged_s = f_s.result()
+                    except Exception as e:  # noqa: BLE001 — re-raised
+                        errs.append(e)
+                if errs:
+                    for st in (staged_p, staged_s):
+                        if st is not None:
+                            st.abort()
+                    raise errs[0]
+                staged_p.commit()
+                staged_s.commit()
+            elif _is_bucketed(self.pairs_table):
                 merge_upsert_scoped(
                     spark, self.pairs_table, pairs, keys=["id_a", "id_b"]
                 )
@@ -348,13 +401,10 @@ class MinHashLshDedupSink:
                     self.pairs_table.read(spark), pairs, keys=["id_a", "id_b"]
                 )
                 self.pairs_table.overwrite_atomic(merged_pairs)
-            if _is_bucketed(self.sig_table):
-                # replace_keys (r16): the merge key IS the replace key, so
-                # "drop matching docs + insert the batch's signatures" is
-                # exactly the keyed upsert — minus the full-outer
-                # sort-merge join (the pruned signature scan is no longer
-                # shuffled; the key set broadcasts from the already-
-                # persisted new_sigs cache)
+            if _is_bucketed(self.pairs_table) and _is_bucketed(self.sig_table):
+                pass  # folded into the staged fast path above
+            elif _is_bucketed(self.sig_table):
+                # replace_keys (r16): see the fast path's sigs note
                 merge_upsert_scoped(
                     spark,
                     self.sig_table,
