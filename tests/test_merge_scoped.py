@@ -264,3 +264,78 @@ def test_exists_restores_orphaned_old_generation(spark, table):
         table.path + "_nope", SCHEMA, [PART_COL], n_buckets=8
     )
     assert not fresh.exists()
+
+
+def test_staged_merge_abort_and_ordered_commit(spark, table, tmp_path):
+    """r16: merge_upsert_scoped(stage_only=True) runs the write job but
+    publishes NOTHING until commit(); abort() discards the staged files
+    with the table bit-untouched — the invariants the multi-table sinks'
+    overlapped staging + ordered commits are built on. Checked on both
+    physical layouts (rename swap and manifest PUT)."""
+    from financial_data_ingestion_canonical_snowflake_spark.operators.manifest import (
+        ManifestTable,
+    )
+
+    for t in (
+        table,
+        ManifestTable(str(tmp_path / "mtbl"), SCHEMA, [PART_COL], n_buckets=8),
+    ):
+        merge_upsert_scoped(
+            spark, t, _df(spark, [("a", 1, "s1"), ("b", 2, "s1")]), keys=["k"]
+        )
+        before = _snapshot(t.path)
+        upd = _df(spark, [("a", 99, "s2"), ("c", 3, "s2")])
+        # stage + abort: write job ran, table identical byte-for-byte
+        staged = merge_upsert_scoped(spark, t, upd, keys=["k"], stage_only=True)
+        staged.abort()
+        assert _snapshot(t.path) == before
+        assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {
+            "a": 1,
+            "b": 2,
+        }
+        # stage + commit == the inline merge
+        staged = merge_upsert_scoped(spark, t, upd, keys=["k"], stage_only=True)
+        staged.commit()
+        assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {
+            "a": 99,
+            "b": 2,
+            "c": 3,
+        }
+
+
+def test_replace_keys_equals_merge(spark, table):
+    """r16: the replace_keys fast path (broadcast anti-join + union) must
+    equal the full-outer MERGE whenever the source is the complete state
+    for its keys — here with the replace scope a PREFIX of the merge key
+    (the SCD2 shape: all of a key's versions are replaced together)."""
+    seed = [("a", 1, "v1"), ("a", 2, "v1"), ("b", 1, "v1"), ("c", 1, "v1")]
+    upd = [("a", 1, "v2"), ("a", 2, "v2"), ("a", 3, "v2"), ("c", 1, "v2")]
+    sch = "k string, version long, payload string"
+    t_merge = ParquetTable(table.path + "_m", None, [PART_COL], n_buckets=8)
+    t_repl = ParquetTable(table.path + "_r", None, [PART_COL], n_buckets=8)
+    for t in (t_merge, t_repl):
+        merge_upsert_scoped(
+            spark, t, spark.createDataFrame(seed, sch), keys=["k", "version"]
+        )
+    src = spark.createDataFrame(upd, sch)
+    merge_upsert_scoped(spark, t_merge, src, keys=["k", "version"])
+    merge_upsert_scoped(
+        spark,
+        t_repl,
+        src,
+        keys=["k", "version"],
+        replace_keys=src.select("k").distinct(),
+    )
+    want = sorted(map(tuple, t_merge.read(spark).collect()))
+    got = sorted(map(tuple, t_repl.read(spark).collect()))
+    assert got == want and len(got) == 5  # a x3 (replaced), b x1 (kept), c x1
+    # matched-row semantics cannot ride along with a replacement
+    with pytest.raises(AssertionError, match="whole-key replacement"):
+        merge_upsert_scoped(
+            spark,
+            t_repl,
+            src,
+            keys=["k", "version"],
+            preserve=["payload"],
+            replace_keys=src.select("k").distinct(),
+        )
